@@ -1,0 +1,35 @@
+"""flash_attn_tpu — a TPU-native FlashAttention-2 kernel family and quantized
+inference engine.
+
+Built from scratch for TPU (JAX / XLA / Pallas / pjit) with the capabilities of
+the reference C ABI (``/root/reference/flash_attn.h``): dense + varlen
+FlashAttention-2 forward/backward, MQA/GQA, causal and additive masking,
+reproducible dropout, LSE residuals — plus the surrounding system: quantized
+KV-cache attention (INT8/FP8), paged KV, flash-decode, INT4/INT8 weight-only
+matmuls, ring/Ulysses sequence parallelism, tensor/data/pipeline parallelism,
+and a continuous-batching inference engine.
+
+Design stance (vs. the reference's C ABI, flash_attn.h:10-134): the public
+surface is a *function*, not a library boundary — dtype-polymorphic jnp arrays
+instead of ``void* + is_bf16`` (flash_attn.h:31), shapes instead of
+pre-rounded dims (flash_attn.h:20-21,25), ``(out, lse)`` returns instead of
+caller-allocated workspaces, and exceptions instead of the bool +
+``flash_attn_error()`` pair (flash_attn.h:136-138).  Everything composes with
+``jit`` / ``pjit`` / ``shard_map`` so parallelism is sharding, not new entry
+points.
+"""
+
+from flash_attn_tpu.ops.attention import flash_attention, flash_attention_varlen
+from flash_attn_tpu.ops.decode import flash_decode
+from flash_attn_tpu.ops.lse import lse_merge
+from flash_attn_tpu.ops.reference import mha_reference
+from flash_attn_tpu.version import __version__
+
+__all__ = [
+    "flash_attention",
+    "flash_attention_varlen",
+    "flash_decode",
+    "lse_merge",
+    "mha_reference",
+    "__version__",
+]

@@ -1,0 +1,165 @@
+"""Inference engine: continuous batching over jitted prefill/decode steps
+(B10; BASELINE.json "continuous batching scheduler, prefill/decode
+interleave, sampler").
+
+Two jitted device functions, fixed shapes (recompilation is the TPU enemy):
+- prefill_one: (params, tokens [1, S_bucket], cache, slot, true_len) — runs
+  the model on one padded prompt and writes its KV into the slot,
+- decode_batch: (params, tokens [B], cache, key) — one token for every slot;
+  inactive slots are masked by kv_length and ignored by the scheduler.
+
+The host loop (ContinuousBatchingScheduler) admits requests into slots as
+they free up, so decode batches stay full — the reference-side analog is
+varlen packing (flash_attn.h:38-66) feeding one kernel launch.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attn_tpu.engine.kv_cache import KVCache
+from flash_attn_tpu.engine.sampler import SamplingParams, sample
+from flash_attn_tpu.engine.scheduler import (
+    ContinuousBatchingScheduler,
+    Request,
+    bucket_length,
+)
+
+
+@dataclass
+class ModelAdapter:
+    """What the engine needs from a model family."""
+
+    # (params, tokens [1, S], positions [1, S]) -> (logits_last [1, V],
+    #  kvs: list of (k, v) [1, S, Hk, D] per layer)
+    prefill_with_kv: Callable
+    # (params, token [B], cache) -> (logits [B, V], cache)
+    decode_step: Callable
+    num_layers: int
+    num_kv_heads: int
+    head_dim: int
+    eos_token: int | None = None
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        params,
+        adapter: ModelAdapter,
+        *,
+        max_batch: int = 8,
+        capacity: int = 2048,
+        kv_mode: str = "none",
+        cache_dtype=jnp.bfloat16,
+        sampling: SamplingParams | None = None,
+        rng_seed: int = 0,
+    ):
+        self.params = params
+        self.adapter = adapter
+        self.capacity = capacity
+        self.sampling = sampling or SamplingParams()
+        self.sched = ContinuousBatchingScheduler(max_batch)
+        self.cache = KVCache.create(
+            adapter.num_layers, max_batch, capacity, adapter.num_kv_heads,
+            adapter.head_dim, dtype=cache_dtype, mode=kv_mode,
+        )
+        self.key = jax.random.PRNGKey(rng_seed)
+        self.next_token = np.zeros((max_batch,), np.int32)
+        self._prefill_jit = jax.jit(self._prefill_one, static_argnums=())
+        self._decode_jit = jax.jit(self._decode_batch)
+
+    # --- jitted bodies ---
+
+    def _prefill_one(self, params, tokens, cache: KVCache, slot, true_len):
+        positions = jnp.arange(tokens.shape[1])[None]
+        logits_all, kvs = self.adapter.prefill_with_kv(params, tokens, positions)
+        for layer, (k, v) in enumerate(kvs):
+            cache = _insert_slot_kv(cache, layer, slot, k[0], v[0])
+        cache = KVCache(
+            cache.k, cache.v, cache.k_scale, cache.v_scale,
+            cache.length.at[slot].set(true_len), cache.mode,
+        )
+        # logits at the last *real* token of the padded prompt
+        logits = logits_all[0, true_len - 1]
+        return logits, cache
+
+    def _decode_batch(self, params, tokens, cache: KVCache, key):
+        logits, cache = self.adapter.decode_step(params, tokens, cache)
+        toks = sample(logits, key, self.sampling)
+        return toks, cache
+
+    # --- host loop ---
+
+    def submit(self, prompt, max_tokens=64) -> Request:
+        return self.sched.submit(prompt, max_tokens, self.adapter.eos_token)
+
+    def run(self, max_steps: int = 10_000) -> None:
+        """Drive until all submitted work completes."""
+        steps = 0
+        while self.sched.has_work and steps < max_steps:
+            steps += 1
+            for req in self.sched.admit():
+                self._do_prefill(req)
+            if not self.sched.active:
+                continue
+            self._do_decode_step()
+
+    def _do_prefill(self, req: Request):
+        bucket = bucket_length(len(req.prompt))
+        bucket = min(bucket, self.capacity)
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, : len(req.prompt)] = req.prompt
+        logits, self.cache = self._prefill_jit(
+            self.params, jnp.asarray(toks), self.cache,
+            jnp.int32(req.slot), jnp.int32(len(req.prompt)),
+        )
+        tok = int(sample(logits[None], self._next_key(), self.sampling)[0])
+        # record the first generated token
+        req.generated.append(tok)
+        if len(req.generated) >= req.max_tokens or (
+            req.eos_token is not None and tok == req.eos_token
+        ):
+            self.sched.complete(req)
+        else:
+            self.next_token[req.slot] = tok
+
+    def _do_decode_step(self):
+        slots = self.sched.active_slots()
+        toks, self.cache = self._decode_jit(
+            self.params, jnp.asarray(self.next_token), self.cache, self._next_key()
+        )
+        toks = np.asarray(toks)
+        for slot in slots:
+            tok = int(toks[slot])
+            if not self.sched.step_done(slot, tok):
+                self.next_token[slot] = tok
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+
+def _insert_slot_kv(cache: KVCache, layer: int, slot, k, v) -> KVCache:
+    """Write a full prompt's KV [S, Hk, D] into (layer, slot, 0:S)."""
+    from flash_attn_tpu.ops.quant import quantize_kv
+
+    kq, ks, vq, vs = quantize_kv(k, v, cache.mode)
+
+    def put(buf, new):
+        return jax.lax.dynamic_update_slice(
+            buf, new[None, None].astype(buf.dtype), (layer, slot, 0, 0, 0)
+        )
+
+    knew = put(cache.k, kq)
+    vnew = put(cache.v, vq)
+    ksn, vsn = cache.k_scale, cache.v_scale
+    if cache.mode != "none":
+        ksn = put(cache.k_scale, ks)
+        vsn = put(cache.v_scale, vs)
+    return KVCache(knew, vnew, ksn, vsn, cache.length, cache.mode)

@@ -1,0 +1,106 @@
+"""KV-cache state: contiguous per-layer cache with optional INT8/FP8
+quantize-on-append (BASELINE.json north star: quantized KV with dequant fused
+into the decode kernel — see ops/decode.py).
+
+The cache is a pytree of arrays, so it jits/shards/donates cleanly:
+  k, v:        [L, B, S_max, Hk, D]   (quantized dtype or model dtype)
+  k_scale/...: [L, B, S_max, Hk, 1]   (fp32; absent for mode='none')
+  length:      [B] int32 — valid entries per sequence
+
+Layout note: S_max is the padded cache capacity; attention masks positions
+>= length (the decode kernel's kv_length argument).  A paged variant lives in
+engine/paged.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from flash_attn_tpu.ops.quant import quantize_kv
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class KVCache:
+    k: jax.Array
+    v: jax.Array
+    k_scale: jax.Array | None
+    v_scale: jax.Array | None
+    length: jax.Array  # [B] int32
+    mode: str = "none"
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.k_scale, self.v_scale, self.length), (self.mode,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, mode=aux[0])
+
+    @property
+    def num_layers(self):
+        return self.k.shape[0]
+
+    @property
+    def capacity(self):
+        return self.k.shape[2]
+
+    @classmethod
+    def create(cls, num_layers, batch, capacity, num_kv_heads, head_dim,
+               dtype=jnp.bfloat16, mode: str = "none"):
+        if mode == "int8":
+            store_dtype = jnp.int8
+        elif mode == "fp8":
+            store_dtype = jnp.float8_e4m3fn
+        elif mode == "none":
+            store_dtype = dtype
+        else:
+            raise ValueError(f"unknown kv cache mode {mode!r}")
+        shape = (num_layers, batch, capacity, num_kv_heads, head_dim)
+        k = jnp.zeros(shape, store_dtype)
+        v = jnp.zeros(shape, store_dtype)
+        if mode == "none":
+            ks = vs = None
+        else:
+            ks = jnp.ones((num_layers, batch, capacity, num_kv_heads, 1), jnp.float32)
+            vs = jnp.ones((num_layers, batch, capacity, num_kv_heads, 1), jnp.float32)
+        return cls(k, v, ks, vs, jnp.zeros((batch,), jnp.int32), mode)
+
+    def append(self, layer: int, new_k: jax.Array, new_v: jax.Array) -> "KVCache":
+        """Insert [B, T, Hk, D] new entries at position ``length`` (same T for
+        all sequences; per-sequence positions differ via ``length``).
+        Quantizes on append per (token, head). Does NOT advance length —
+        call advance() once after all layers."""
+        kq, ks, vq, vs = quantize_kv(new_k, new_v, self.mode)
+        kq = kq.astype(self.k.dtype)
+        vq = vq.astype(self.v.dtype)
+        T = new_k.shape[1]
+        batch = new_k.shape[0]
+
+        def upd(cache, new):
+            return jax.vmap(
+                lambda c, n, st: jax.lax.dynamic_update_slice(c, n, (st, 0, 0))
+            )(cache[layer], new, self.length)
+
+        k = self.k.at[layer].set(upd(self.k, kq))
+        v = self.v.at[layer].set(upd(self.v, vq))
+        if self.mode == "none":
+            ks_new, vs_new = self.k_scale, self.v_scale
+        else:
+            ks_new = self.k_scale.at[layer].set(upd(self.k_scale, ks))
+            vs_new = self.v_scale.at[layer].set(upd(self.v_scale, vs))
+        return KVCache(k, v, ks_new, vs_new, self.length, self.mode)
+
+    def advance(self, t: int | jax.Array) -> "KVCache":
+        return KVCache(
+            self.k, self.v, self.k_scale, self.v_scale, self.length + t, self.mode
+        )
+
+    def layer(self, i: int):
+        """(k, v, k_scale, v_scale) views for layer i."""
+        ks = None if self.k_scale is None else self.k_scale[i]
+        vs = None if self.v_scale is None else self.v_scale[i]
+        return self.k[i], self.v[i], ks, vs

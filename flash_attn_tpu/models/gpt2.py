@@ -1,0 +1,301 @@
+"""GPT-2 in pure JAX (no flax): pytree params, flash-attention core.
+
+BASELINE.json config 0: GPT-2 124M decode, BF16 weights + INT8 KV-cache,
+batch 1, seq 1024 — the CPU-runnable oracle that proves the whole stack
+(model -> flash kernels -> quantized KV -> decode loop) end to end.
+
+Weight loading converts HuggingFace ``gpt2`` checkpoints (transformers, torch
+CPU) into the param pytree; greedy decode is tested against the HF reference
+(SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attn_tpu.engine.kv_cache import KVCache
+from flash_attn_tpu.ops.attention import flash_attention
+from flash_attn_tpu.ops.decode import flash_decode
+
+
+@dataclass(frozen=True)
+class GPT2Config:
+    vocab_size: int = 50257
+    max_position: int = 1024
+    num_layers: int = 12
+    num_heads: int = 12
+    hidden: int = 768
+    dtype: str = "float32"
+
+    @property
+    def head_dim(self):
+        return self.hidden // self.num_heads
+
+
+GPT2_124M = GPT2Config()
+GPT2_TINY = GPT2Config(
+    vocab_size=1024, max_position=128, num_layers=2, num_heads=4, hidden=128
+)
+
+
+def init_params(cfg: GPT2Config, key) -> dict:
+    """Random init (tests use this; real weights come from load_hf)."""
+    dtype = jnp.dtype(cfg.dtype)
+    keys = iter(jax.random.split(key, 4 + 12 * cfg.num_layers))
+
+    def dense(kin, kout):
+        return {
+            "w": jax.random.normal(next(keys), (kin, kout), dtype) * 0.02,
+            "b": jnp.zeros((kout,), dtype),
+        }
+
+    def ln():
+        return {"g": jnp.ones((cfg.hidden,), dtype), "b": jnp.zeros((cfg.hidden,), dtype)}
+
+    blocks = []
+    for _ in range(cfg.num_layers):
+        blocks.append(
+            {
+                "ln_1": ln(),
+                "attn": {
+                    "qkv": dense(cfg.hidden, 3 * cfg.hidden),
+                    "proj": dense(cfg.hidden, cfg.hidden),
+                },
+                "ln_2": ln(),
+                "mlp": {
+                    "fc": dense(cfg.hidden, 4 * cfg.hidden),
+                    "proj": dense(4 * cfg.hidden, cfg.hidden),
+                },
+            }
+        )
+    return {
+        "wte": jax.random.normal(next(keys), (cfg.vocab_size, cfg.hidden), dtype) * 0.02,
+        "wpe": jax.random.normal(next(keys), (cfg.max_position, cfg.hidden), dtype) * 0.01,
+        "blocks": blocks,
+        "ln_f": ln(),
+    }
+
+
+def _layer_norm(x, p, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _dense(x, p):
+    return (
+        jnp.einsum("...i,ij->...j", x.astype(jnp.float32), p["w"].astype(jnp.float32))
+        + p["b"].astype(jnp.float32)
+    ).astype(x.dtype)
+
+
+def _split_heads(x, num_heads):
+    b, s, h = x.shape
+    return x.reshape(b, s, num_heads, h // num_heads)
+
+
+def forward(params, tokens, cfg: GPT2Config, *, interpret=None):
+    """Full-sequence forward (prefill/training): tokens [B, S] -> logits
+    [B, S, V].  Attention is the Pallas flash kernel, causal."""
+    b, s = tokens.shape
+    x = params["wte"][tokens] + params["wpe"][jnp.arange(s)]
+    for blk in params["blocks"]:
+        h = _layer_norm(x, blk["ln_1"])
+        qkv = _dense(h, blk["attn"]["qkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, cfg.num_heads)
+        k = _split_heads(k, cfg.num_heads)
+        v = _split_heads(v, cfg.num_heads)
+        attn = flash_attention(q, k, v, causal=True, interpret=interpret)
+        attn = attn.reshape(b, s, cfg.hidden)
+        x = x + _dense(attn, blk["attn"]["proj"])
+        h = _layer_norm(x, blk["ln_2"])
+        m = _dense(h, blk["mlp"]["fc"])
+        m = jax.nn.gelu(m, approximate=True)
+        x = x + _dense(m, blk["mlp"]["proj"])
+    x = _layer_norm(x, params["ln_f"])
+    return jnp.einsum(
+        "bsh,vh->bsv", x.astype(jnp.float32), params["wte"].astype(jnp.float32)
+    )
+
+
+def prefill(params, tokens, cfg: GPT2Config, cache: KVCache, *, interpret=None):
+    """Run the prompt through the model, filling the KV cache.  Returns
+    (logits_last [B, V], cache)."""
+    b, s = tokens.shape
+    x = params["wte"][tokens] + params["wpe"][cache.length[:, None] + jnp.arange(s)]
+    for i, blk in enumerate(params["blocks"]):
+        h = _layer_norm(x, blk["ln_1"])
+        qkv = _dense(h, blk["attn"]["qkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, cfg.num_heads)
+        k = _split_heads(k, cfg.num_heads)
+        v = _split_heads(v, cfg.num_heads)
+        cache = cache.append(i, k, v)
+        attn = flash_attention(q, k, v, causal=True, interpret=interpret)
+        attn = attn.reshape(b, s, cfg.hidden)
+        x = x + _dense(attn, blk["attn"]["proj"])
+        h = _layer_norm(x, blk["ln_2"])
+        m = jax.nn.gelu(_dense(h, blk["mlp"]["fc"]), approximate=True)
+        x = x + _dense(m, blk["mlp"]["proj"])
+    cache = cache.advance(s)
+    x = _layer_norm(x[:, -1], params["ln_f"])
+    logits = jnp.einsum(
+        "bh,vh->bv", x.astype(jnp.float32), params["wte"].astype(jnp.float32)
+    )
+    return logits, cache
+
+
+def decode_step(params, token, cfg: GPT2Config, cache: KVCache, *, interpret=None):
+    """One decode step: token [B] -> (logits [B, V], cache).  Attention reads
+    the (possibly quantized) cache through the flash-decode kernel with fused
+    dequant."""
+    b = token.shape[0]
+    x = params["wte"][token] + params["wpe"][cache.length]  # [B, H]
+    x = x[:, None, :]  # [B, 1, H]
+    for i, blk in enumerate(params["blocks"]):
+        h = _layer_norm(x, blk["ln_1"])
+        qkv = _dense(h, blk["attn"]["qkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        cache = cache.append(i, _split_heads(k, cfg.num_heads), _split_heads(v, cfg.num_heads))
+        kc, vc, ks, vs = cache.layer(i)
+        attn = flash_decode(
+            _split_heads(q, cfg.num_heads)[:, 0],  # [B, H, D]
+            kc, vc, k_scale=ks, v_scale=vs,
+            kv_length=cache.length + 1,
+            interpret=interpret,
+        )  # [B, H, D]
+        x = x + _dense(attn.reshape(b, 1, cfg.hidden), blk["attn"]["proj"])
+        h = _layer_norm(x, blk["ln_2"])
+        m = jax.nn.gelu(_dense(h, blk["mlp"]["fc"]), approximate=True)
+        x = x + _dense(m, blk["mlp"]["proj"])
+    cache = cache.advance(1)
+    x = _layer_norm(x[:, 0], params["ln_f"])
+    logits = jnp.einsum(
+        "bh,vh->bv", x.astype(jnp.float32), params["wte"].astype(jnp.float32)
+    )
+    return logits, cache
+
+
+def prefill_with_kv(params, tokens, positions, cfg: GPT2Config, *, interpret=None):
+    """Engine adapter: full logits + per-layer KV without touching a cache.
+    tokens/positions: [1, S]. Returns (logits [1, S, V], [(k, v), ...])."""
+    b, s = tokens.shape
+    x = params["wte"][tokens] + params["wpe"][positions]
+    kvs = []
+    for blk in params["blocks"]:
+        h = _layer_norm(x, blk["ln_1"])
+        qkv = _dense(h, blk["attn"]["qkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, cfg.num_heads)
+        k = _split_heads(k, cfg.num_heads)
+        v = _split_heads(v, cfg.num_heads)
+        kvs.append((k, v))
+        attn = flash_attention(q, k, v, causal=True, interpret=interpret)
+        x = x + _dense(attn.reshape(b, s, cfg.hidden), blk["attn"]["proj"])
+        h = _layer_norm(x, blk["ln_2"])
+        m = jax.nn.gelu(_dense(h, blk["mlp"]["fc"]), approximate=True)
+        x = x + _dense(m, blk["mlp"]["proj"])
+    x = _layer_norm(x, params["ln_f"])
+    logits = jnp.einsum(
+        "bsh,vh->bsv", x.astype(jnp.float32), params["wte"].astype(jnp.float32)
+    )
+    return logits, kvs
+
+
+def make_adapter(cfg: GPT2Config, *, interpret=None, eos_token=None):
+    """Engine adapter for GPT-2 (engine/engine.py ModelAdapter)."""
+    from flash_attn_tpu.engine.engine import ModelAdapter
+
+    return ModelAdapter(
+        prefill_with_kv=lambda p, t, pos: prefill_with_kv(
+            p, t, pos, cfg, interpret=interpret
+        ),
+        decode_step=lambda p, tok, cache: decode_step(
+            p, tok, cfg, cache, interpret=interpret
+        ),
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_heads,
+        head_dim=cfg.head_dim,
+        eos_token=eos_token,
+    )
+
+
+def make_cache(cfg: GPT2Config, batch, capacity, mode="none", dtype=None):
+    return KVCache.create(
+        cfg.num_layers, batch, capacity, cfg.num_heads, cfg.head_dim,
+        dtype=jnp.dtype(dtype or cfg.dtype), mode=mode,
+    )
+
+
+def greedy_decode(params, prompt, cfg: GPT2Config, *, steps, kv_mode="none",
+                  capacity=None, interpret=None):
+    """Greedy generation: prompt [B, S0] -> tokens [B, steps]."""
+    b, s0 = prompt.shape
+    capacity = capacity or (s0 + steps)
+    cache = make_cache(cfg, b, capacity, mode=kv_mode)
+    logits, cache = prefill(params, prompt, cfg, cache, interpret=interpret)
+    tok = jnp.argmax(logits, axis=-1)
+    outs = [tok]
+    for _ in range(steps - 1):
+        logits, cache = decode_step(params, tok, cfg, cache, interpret=interpret)
+        tok = jnp.argmax(logits, axis=-1)
+        outs.append(tok)
+    return jnp.stack(outs, axis=1)
+
+
+def load_hf(model_name: str = "gpt2", dtype="float32"):
+    """Convert a HuggingFace GPT-2 checkpoint to our param pytree.
+
+    HF stores conv1d-style weights with shape [in, out] — same orientation as
+    our dense, so no transpose needed.
+    """
+    from transformers import GPT2LMHeadModel
+
+    model = GPT2LMHeadModel.from_pretrained(model_name)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    del model
+    njl = jnp.dtype(dtype)
+
+    def arr(name):
+        return jnp.asarray(sd[name], njl)
+
+    n_layer = len({k.split(".")[2] for k in sd if k.startswith("transformer.h.")})
+    cfg = GPT2Config(
+        vocab_size=sd["transformer.wte.weight"].shape[0],
+        max_position=sd["transformer.wpe.weight"].shape[0],
+        num_layers=n_layer,
+        num_heads=12 if sd["transformer.wte.weight"].shape[1] == 768 else
+                  sd["transformer.wte.weight"].shape[1] // 64,
+        hidden=sd["transformer.wte.weight"].shape[1],
+        dtype=dtype,
+    )
+    blocks = []
+    for i in range(n_layer):
+        p = f"transformer.h.{i}."
+        blocks.append({
+            "ln_1": {"g": arr(p + "ln_1.weight"), "b": arr(p + "ln_1.bias")},
+            "attn": {
+                "qkv": {"w": arr(p + "attn.c_attn.weight"), "b": arr(p + "attn.c_attn.bias")},
+                "proj": {"w": arr(p + "attn.c_proj.weight"), "b": arr(p + "attn.c_proj.bias")},
+            },
+            "ln_2": {"g": arr(p + "ln_2.weight"), "b": arr(p + "ln_2.bias")},
+            "mlp": {
+                "fc": {"w": arr(p + "mlp.c_fc.weight"), "b": arr(p + "mlp.c_fc.bias")},
+                "proj": {"w": arr(p + "mlp.c_proj.weight"), "b": arr(p + "mlp.c_proj.bias")},
+            },
+        })
+    params = {
+        "wte": arr("transformer.wte.weight"),
+        "wpe": arr("transformer.wpe.weight"),
+        "blocks": blocks,
+        "ln_f": {"g": arr("transformer.ln_f.weight"), "b": arr("transformer.ln_f.bias")},
+    }
+    return params, cfg

@@ -1,0 +1,330 @@
+"""Llama-3 in pure JAX: RMSNorm + RoPE + GQA + SwiGLU, flash-attention core,
+optional INT8/INT4 weight-only projections (B11; BASELINE.json configs 1-4).
+
+Param pytree layout (per block): wq/wk/wv/wo, w_gate/w_up/w_down,
+attn_norm/mlp_norm; top level: tok_emb, final_norm, lm_head.  Weights may be
+plain arrays, (int8, scales) tuples, or Int4Weight — every projection goes
+through ops/matmul.quantized_matmul, which dispatches on type.
+
+TP sharding specs for this pytree live in parallel/tp.py; the decode path
+reads the quantized KV cache through the flash-decode kernel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attn_tpu.engine.kv_cache import KVCache
+from flash_attn_tpu.ops.attention import flash_attention
+from flash_attn_tpu.ops.decode import flash_decode
+from flash_attn_tpu.ops.matmul import quantized_matmul
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    hidden: int = 4096
+    intermediate: int = 14336
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 500000.0
+    rms_eps: float = 1e-5
+    max_position: int = 8192
+    dtype: str = "bfloat16"
+    tie_embeddings: bool = False
+
+
+LLAMA3_8B = LlamaConfig()
+LLAMA3_70B = LlamaConfig(
+    hidden=8192, intermediate=28672, num_layers=80, num_heads=64, num_kv_heads=8
+)
+LLAMA_TINY = LlamaConfig(
+    vocab_size=512, hidden=128, intermediate=256, num_layers=2,
+    num_heads=4, num_kv_heads=2, head_dim=32, max_position=256,
+    rope_theta=10000.0, dtype="float32",
+)
+
+
+def init_params(cfg: LlamaConfig, key) -> dict:
+    dtype = jnp.dtype(cfg.dtype)
+    keys = iter(jax.random.split(key, 3 + 7 * cfg.num_layers))
+
+    def w(kin, kout, scale=0.02):
+        return jax.random.normal(next(keys), (kin, kout), dtype) * scale
+
+    q_dim = cfg.num_heads * cfg.head_dim
+    kv_dim = cfg.num_kv_heads * cfg.head_dim
+    blocks = []
+    for _ in range(cfg.num_layers):
+        blocks.append({
+            "attn_norm": jnp.ones((cfg.hidden,), dtype),
+            "wq": w(cfg.hidden, q_dim),
+            "wk": w(cfg.hidden, kv_dim),
+            "wv": w(cfg.hidden, kv_dim),
+            "wo": w(q_dim, cfg.hidden),
+            "mlp_norm": jnp.ones((cfg.hidden,), dtype),
+            "w_gate": w(cfg.hidden, cfg.intermediate),
+            "w_up": w(cfg.hidden, cfg.intermediate),
+            "w_down": w(cfg.intermediate, cfg.hidden),
+        })
+    return {
+        "tok_emb": w(cfg.vocab_size, cfg.hidden),
+        "blocks": blocks,
+        "final_norm": jnp.ones((cfg.hidden,), dtype),
+        "lm_head": w(cfg.hidden, cfg.vocab_size),
+    }
+
+
+def _rms_norm(x, g, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * g.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_cos_sin(positions, head_dim, theta, dtype=jnp.float32):
+    """positions [...] -> cos/sin [..., head_dim//2]."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
+
+
+def apply_rope(x, cos, sin):
+    """x [..., S, H, D]; cos/sin [..., S, D/2] (broadcast over heads).
+    Rotate-half convention (Llama / HF NEOX style)."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    c = cos[..., None, :]
+    s = sin[..., None, :]
+    xf1 = x1.astype(jnp.float32)
+    xf2 = x2.astype(jnp.float32)
+    return jnp.concatenate(
+        [xf1 * c - xf2 * s, xf2 * c + xf1 * s], axis=-1
+    ).astype(x.dtype)
+
+
+def _proj(x, w, interpret=None):
+    """Matmul dispatching on weight kind ([..., K] x quantized/float [K, N])."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    out = quantized_matmul(x2, w, interpret=interpret)
+    return out.reshape(*lead, out.shape[-1])
+
+
+def _block_attn(x, blk, cfg, cos, sin, *, cache=None, layer=None,
+                segment_ids=None, interpret=None):
+    """Shared attention sub-block for prefill/forward (full-seq causal)."""
+    b, s, _ = x.shape
+    h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+    q = _proj(h, blk["wq"], interpret).reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = _proj(h, blk["wk"], interpret).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = _proj(h, blk["wv"], interpret).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    if cache is not None:
+        cache = cache.append(layer, k, v)
+    attn = flash_attention(
+        q, k, v, causal=True,
+        q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+        interpret=interpret,
+    )
+    out = _proj(attn.reshape(b, s, cfg.num_heads * cfg.head_dim), blk["wo"], interpret)
+    return x + out, cache
+
+
+def _block_mlp(x, blk, cfg, interpret=None):
+    h = _rms_norm(x, blk["mlp_norm"], cfg.rms_eps)
+    gate = _proj(h, blk["w_gate"], interpret)
+    up = _proj(h, blk["w_up"], interpret)
+    act = jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)
+    return x + _proj(act.astype(x.dtype), blk["w_down"], interpret)
+
+
+def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
+            segment_ids=None, interpret=None):
+    """tokens [B, S] -> logits [B, S, V] (training/prefill, causal)."""
+    b, s = tokens.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    x = params["tok_emb"][tokens]
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    for blk in params["blocks"]:
+        x, _ = _block_attn(
+            x, blk, cfg, cos, sin, segment_ids=segment_ids, interpret=interpret
+        )
+        x = _block_mlp(x, blk, cfg, interpret=interpret)
+    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+    return _proj(x.astype(jnp.float32), head, interpret)
+
+
+def prefill_with_kv(params, tokens, positions, cfg: LlamaConfig, *, interpret=None):
+    """Engine adapter path: logits [1,S,V] + per-layer rope'd KV."""
+    b, s = tokens.shape
+    x = params["tok_emb"][tokens]
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    kvs = []
+    for blk in params["blocks"]:
+        h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q = _proj(h, blk["wq"], interpret).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = _proj(h, blk["wk"], interpret).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = _proj(h, blk["wv"], interpret).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kvs.append((k, v))
+        attn = flash_attention(q, k, v, causal=True, interpret=interpret)
+        x = x + _proj(
+            attn.reshape(b, s, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
+        )
+        x = _block_mlp(x, blk, cfg, interpret=interpret)
+    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+    return _proj(x.astype(jnp.float32), head, interpret), kvs
+
+
+def decode_step(params, token, cfg: LlamaConfig, cache: KVCache, *, interpret=None):
+    """One cached decode step: token [B] -> (logits [B, V], cache)."""
+    b = token.shape[0]
+    x = params["tok_emb"][token][:, None, :]  # [B, 1, H]
+    cos, sin = rope_cos_sin(cache.length[:, None], cfg.head_dim, cfg.rope_theta)
+    for i, blk in enumerate(params["blocks"]):
+        h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q = _proj(h, blk["wq"], interpret).reshape(b, 1, cfg.num_heads, cfg.head_dim)
+        k = _proj(h, blk["wk"], interpret).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        v = _proj(h, blk["wv"], interpret).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        cache = cache.append(i, k, v)
+        kc, vc, ks, vs = cache.layer(i)
+        attn = flash_decode(
+            q[:, 0], kc, vc, k_scale=ks, v_scale=vs,
+            kv_length=cache.length + 1, interpret=interpret,
+        )
+        x = x + _proj(
+            attn.reshape(b, 1, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
+        )
+        x = _block_mlp(x, blk, cfg, interpret=interpret)
+    cache = cache.advance(1)
+    x = _rms_norm(x[:, 0], params["final_norm"], cfg.rms_eps)
+    head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+    logits = _proj(x.astype(jnp.float32), head, interpret)
+    return logits, cache
+
+
+def make_cache(cfg: LlamaConfig, batch, capacity, mode="none", dtype=None):
+    return KVCache.create(
+        cfg.num_layers, batch, capacity, cfg.num_kv_heads, cfg.head_dim,
+        dtype=jnp.dtype(dtype or cfg.dtype), mode=mode,
+    )
+
+
+def make_adapter(cfg: LlamaConfig, *, interpret=None, eos_token=None):
+    from flash_attn_tpu.engine.engine import ModelAdapter
+
+    return ModelAdapter(
+        prefill_with_kv=lambda p, t, pos: prefill_with_kv(
+            p, t, pos, cfg, interpret=interpret
+        ),
+        decode_step=lambda p, tok, cache: decode_step(
+            p, tok, cfg, cache, interpret=interpret
+        ),
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        eos_token=eos_token,
+    )
+
+
+def quantize_weights(params, mode: str = "int8", group_size: int = 128,
+                     skip=("tok_emb", "lm_head")):
+    """Weight-only quantization of every projection matrix (B7 wiring).
+
+    mode: 'int8' (per-column scales) or 'int4' (grouped Int4Weight).
+    Embeddings / head stay float by default.
+    """
+    from flash_attn_tpu.ops.quant import quantize_int4, quantize_int8
+
+    def quant(w):
+        if mode == "int8":
+            vals, scale = quantize_int8(w, axes=(0,))
+            return (vals, scale[0])
+        if mode == "int4":
+            return quantize_int4(w, group_size=group_size)
+        raise ValueError(mode)
+
+    out = {k: v for k, v in params.items()}
+    out["blocks"] = []
+    for blk in params["blocks"]:
+        nb = dict(blk)
+        for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+            nb[name] = quant(blk[name])
+        out["blocks"].append(nb)
+    if "lm_head" not in skip and not isinstance(params["lm_head"], tuple):
+        out["lm_head"] = quant(params["lm_head"])
+    return out
+
+
+def load_hf(model_name: str, dtype="bfloat16"):
+    """Convert a HuggingFace Llama checkpoint (torch CPU) to our pytree."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    model = AutoModelForCausalLM.from_pretrained(
+        model_name, torch_dtype=torch.float32, low_cpu_mem_usage=True
+    )
+    hf = model.config
+    sd = model.state_dict()
+    del model
+    dt = jnp.dtype(dtype)
+
+    def arr(name, transpose=True):
+        t = sd[name].detach().to(torch.float32).numpy()
+        return jnp.asarray(t.T if transpose else t, dt)
+
+    cfg = LlamaConfig(
+        vocab_size=hf.vocab_size,
+        hidden=hf.hidden_size,
+        intermediate=hf.intermediate_size,
+        num_layers=hf.num_hidden_layers,
+        num_heads=hf.num_attention_heads,
+        num_kv_heads=hf.num_key_value_heads,
+        head_dim=hf.hidden_size // hf.num_attention_heads,
+        rope_theta=float(getattr(hf, "rope_theta", 500000.0)),
+        rms_eps=float(hf.rms_norm_eps),
+        max_position=hf.max_position_embeddings,
+        dtype=dtype,
+        tie_embeddings=bool(getattr(hf, "tie_word_embeddings", False)),
+    )
+    blocks = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        blocks.append({
+            "attn_norm": arr(p + "input_layernorm.weight", transpose=False),
+            "wq": arr(p + "self_attn.q_proj.weight"),
+            "wk": arr(p + "self_attn.k_proj.weight"),
+            "wv": arr(p + "self_attn.v_proj.weight"),
+            "wo": arr(p + "self_attn.o_proj.weight"),
+            "mlp_norm": arr(p + "post_attention_layernorm.weight", transpose=False),
+            "w_gate": arr(p + "mlp.gate_proj.weight"),
+            "w_up": arr(p + "mlp.up_proj.weight"),
+            "w_down": arr(p + "mlp.down_proj.weight"),
+        })
+    params = {
+        "tok_emb": arr("model.embed_tokens.weight", transpose=False),
+        "blocks": blocks,
+        "final_norm": arr("model.norm.weight", transpose=False),
+        "lm_head": (
+            arr("model.embed_tokens.weight", transpose=False).T
+            if cfg.tie_embeddings
+            else arr("lm_head.weight")
+        ),
+    }
+    return params, cfg

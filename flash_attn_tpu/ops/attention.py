@@ -1,0 +1,299 @@
+"""Public flash-attention API — the TPU-native replacement for the reference's
+four C entry points (flash_attn.h:10-134).
+
+One dtype-polymorphic, shape-driven *function* with ``jax.custom_vjp`` instead
+of four void*-based ABI symbols: dense and varlen collapse into one surface
+(varlen = packed tokens + segment ids; ``flash_attention_varlen`` adapts
+cu_seqlens at the edge, flash_attn.h:41-42), forward/backward pair through
+autodiff instead of caller-managed residual buffers, and errors are Python
+exceptions instead of bool + flash_attn_error() (flash_attn.h:136-138).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from flash_attn_tpu.ops import reference
+from flash_attn_tpu.ops.flash_fwd import FlashConfig, flash_fwd
+from flash_attn_tpu.ops.varlen import cu_seqlens_to_segment_ids
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11)
+)
+def _flash_attention_core(
+    q,
+    k,
+    v,
+    bias,
+    segs,  # (q_segment_ids, kv_segment_ids) or None
+    causal: bool,
+    scale: Optional[float],
+    dropout_rate: float,
+    dropout_seed: int,
+    window,
+    config,
+    interpret,
+):
+    out, _ = flash_fwd(
+        q,
+        k,
+        v,
+        bias=bias,
+        q_segment_ids=None if segs is None else segs[0],
+        kv_segment_ids=None if segs is None else segs[1],
+        causal=causal,
+        scale=scale,
+        dropout_rate=dropout_rate,
+        dropout_seed=dropout_seed,
+        config=config,
+        interpret=interpret,
+    )
+    return out
+
+
+def _core_fwd(q, k, v, bias, segs, causal, scale, dropout_rate, dropout_seed,
+              window, config, interpret):
+    out, lse = flash_fwd(
+        q, k, v,
+        bias=bias,
+        q_segment_ids=None if segs is None else segs[0],
+        kv_segment_ids=None if segs is None else segs[1],
+        causal=causal, scale=scale,
+        dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+        config=config, interpret=interpret,
+    )
+    # Residuals ≙ what the reference saves for flash_attn_bwd: q,k,v,out,lse
+    # (flash_attn.h:68-74); the LSE replaces the caller-allocated
+    # softmax_lse workspace.
+    return out, (q, k, v, bias, segs, out, lse)
+
+
+def _core_bwd(causal, scale, dropout_rate, dropout_seed, window, config,
+              interpret, res, dout):
+    q, k, v, bias, segs, out, lse = res
+    if dropout_rate > 0.0:
+        from flash_attn_tpu.ops.flash_bwd import flash_bwd
+        dq, dk, dv = flash_bwd(
+            q, k, v, out, lse, dout,
+            bias=bias,
+            q_segment_ids=None if segs is None else segs[0],
+            kv_segment_ids=None if segs is None else segs[1],
+            causal=causal, scale=scale,
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+            config=config, interpret=interpret,
+        )
+        dbias = None if bias is None else jnp.zeros_like(bias)
+        return dq, dk, dv, dbias, _int_cotangent(segs)
+    dq, dk, dv, dbias = _jnp_backward(
+        q, k, v, out, lse, dout, bias=bias, segs=segs, causal=causal,
+        scale=scale, window=window, want_dbias=bias is not None,
+    )
+    return dq, dk, dv, dbias, _int_cotangent(segs)
+
+
+def _int_cotangent(segs):
+    """float0 cotangents for the integer segment-id arrays."""
+    if segs is None:
+        return None
+    import numpy as np
+
+    return tuple(np.zeros(s.shape, dtype=jax.dtypes.float0) for s in segs)
+
+
+_flash_attention_core.defvjp(_core_fwd, _core_bwd)
+
+
+def _jnp_backward(q, k, v, out, lse, dout, *, bias, segs, causal, scale,
+                  window, want_dbias):
+    """FA2 backward math from LSE residuals, in pure jnp (O(S^2) memory;
+    the Pallas backward kernel supersedes this on the hot path).
+
+    Mirrors the recompute structure of flash_attn_bwd (flash_attn.h:68-99):
+    P = exp(S - lse); dv = P^T dout; dp = dout V^T;
+    D = rowsum(dout * out) (the softmax_d workspace, flash_attn.h:73);
+    ds = P * (dp - D); dq = ds K * scale; dk = ds^T Q * scale.
+    """
+    batch, seqlen_q, num_heads, head_dim = q.shape
+    seqlen_k = k.shape[1]
+    num_heads_k = k.shape[2]
+    if scale is None:
+        scale = head_dim**-0.5
+    group = num_heads // num_heads_k
+
+    qf = q.astype(jnp.float32)
+    kf = jnp.repeat(k.astype(jnp.float32), group, axis=2)
+    vf = jnp.repeat(v.astype(jnp.float32), group, axis=2)
+    doutf = dout.astype(jnp.float32)
+    outf = out.astype(jnp.float32)
+
+    s = jnp.einsum("bqhd,bkhd->bhqk", qf, kf) * scale
+    b = reference.attention_bias(
+        seqlen_q=seqlen_q, seqlen_k=seqlen_k, causal=causal,
+        mask=bias,
+        q_segment_ids=None if segs is None else segs[0],
+        kv_segment_ids=None if segs is None else segs[1],
+        window=window,
+    )
+    if b is not None:
+        s = s + b
+    lse_b = lse[:, :, :, None]  # [B,H,Sq,1]
+    p = jnp.where(jnp.isfinite(s) & jnp.isfinite(lse_b), jnp.exp(s - lse_b), 0.0)
+
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, doutf)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", doutf, vf)
+    delta = jnp.sum(doutf * outf, axis=-1)  # [B,Sq,H]  ≙ softmax_d
+    ds = p * (dp - jnp.transpose(delta, (0, 2, 1))[:, :, :, None])
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kf) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qf) * scale
+
+    # GQA: fold gradients of broadcast heads back onto the shared KV heads.
+    if group > 1:
+        dk = dk.reshape(batch, seqlen_k, num_heads_k, group, head_dim).sum(3)
+        dv = dv.reshape(batch, seqlen_k, num_heads_k, group, head_dim).sum(3)
+
+    dbias = None
+    if want_dbias:
+        dbias = _reduce_bias_grad(ds, bias.shape).astype(bias.dtype)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dbias
+
+
+def _reduce_bias_grad(ds, bias_shape):
+    """Sum ds [B,H,Sq,Sk] down to the (broadcastable) bias shape."""
+    g = ds
+    full = g.shape
+    pad = (1,) * (4 - len(bias_shape)) + tuple(bias_shape)
+    for axis, (bs, fs) in enumerate(zip(pad, full)):
+        if bs == 1 and fs != 1:
+            g = g.sum(axis=axis, keepdims=True)
+    return g.reshape(bias_shape)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    mask: jax.Array | None = None,
+    q_segment_ids: jax.Array | None = None,
+    kv_segment_ids: jax.Array | None = None,
+    scale: float | None = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: int | jax.Array = 0,
+    window: tuple[int, int] | None = None,
+    return_lse: bool = False,
+    config: FlashConfig | None = None,
+    interpret: bool | None = None,
+):
+    """FlashAttention-2. See flash_fwd for shapes; differentiable via
+    jax.grad. Replaces flash_attn_fwd/bwd (flash_attn.h:10-36,68-99)."""
+    _validate(q, k, v, mask)
+    if window is not None:
+        # Local windows fold into the additive mask path for now; a windowed
+        # Pallas kernel variant is a later optimisation.
+        wmask = reference.attention_bias(
+            seqlen_q=q.shape[1], seqlen_k=k.shape[1], window=window,
+        )
+        mask = wmask if mask is None else mask + wmask
+        window = None
+    segs = None
+    if q_segment_ids is not None:
+        segs = (q_segment_ids, kv_segment_ids)
+    if return_lse:
+        out, lse = flash_fwd(
+            q, k, v, bias=mask,
+            q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+            causal=causal, scale=scale, dropout_rate=dropout_rate,
+            dropout_seed=dropout_seed, config=config, interpret=interpret,
+        )
+        return out, lse
+    return _flash_attention_core(
+        q, k, v, mask, segs, causal, scale, float(dropout_rate),
+        dropout_seed if isinstance(dropout_seed, int) else int(dropout_seed),
+        window, config, interpret,
+    )
+
+
+def flash_attention_varlen(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    cu_seqlens_q: jax.Array,
+    cu_seqlens_k: jax.Array,
+    *,
+    causal: bool = False,
+    scale: float | None = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: int | jax.Array = 0,
+    return_lse: bool = False,
+    config: FlashConfig | None = None,
+    interpret: bool | None = None,
+):
+    """Varlen (packed ragged batch) flash attention ≙ flash_attn_varlen_fwd
+    (flash_attn.h:38-66).
+
+    q: [total_q, H, D]; k, v: [total_k, Hk, D]; cu_seqlens_*: [b+1] int32
+    prefix sums (flash_attn.h:41-42).  Converted at this edge to segment ids
+    over a singleton batch; causal masking is per-sequence (each packed
+    sequence is causal within itself).
+    """
+    if q.ndim != 3:
+        raise ValueError(f"varlen q must be [total_q, H, D], got {q.shape}")
+    total_q = q.shape[0]
+    total_k = k.shape[0]
+    qseg = cu_seqlens_to_segment_ids(cu_seqlens_q, total_q)[None]
+    kseg = cu_seqlens_to_segment_ids(cu_seqlens_k, total_k)[None]
+
+    # Per-sequence causal on a packed batch: global bottom-right alignment is
+    # wrong; build positions within each sequence and mask col_pos > row_pos.
+    mask = None
+    if causal:
+        from flash_attn_tpu.ops.varlen import segment_ids_to_positions
+
+        qpos = segment_ids_to_positions(qseg[0])
+        kpos = segment_ids_to_positions(kseg[0])
+        qlen = _segment_lengths(cu_seqlens_q, qseg[0])
+        klen = _segment_lengths(cu_seqlens_k, kseg[0])
+        # bottom-right alignment within each sequence pair
+        shift = klen - qlen
+        allowed = kpos[None, :] <= qpos[:, None] + shift[:, None]
+        mask = jnp.where(allowed, 0.0, float("-inf"))[None, None].astype(jnp.float32)
+        causal = False
+
+    out = flash_attention(
+        q[None], k[None], v[None],
+        causal=causal, mask=mask,
+        q_segment_ids=qseg, kv_segment_ids=kseg,
+        scale=scale, dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+        return_lse=return_lse, config=config, interpret=interpret,
+    )
+    if return_lse:
+        return out[0][0], out[1][0]
+    return out[0]
+
+
+def _segment_lengths(cu_seqlens, segment_ids):
+    """Per-token length of its own segment (id 0 padding -> length 0)."""
+    lens = jnp.diff(cu_seqlens.astype(jnp.int32))
+    lens = jnp.concatenate([jnp.zeros((1,), jnp.int32), lens])  # id->len, id0=pad
+    return lens[jnp.clip(segment_ids, 0, lens.shape[0] - 1)]
+
+
+def _validate(q, k, v, mask):
+    if q.ndim != 4 or k.ndim != 4 or v.ndim != 4:
+        raise ValueError(
+            f"q/k/v must be rank-4 [B,S,H,D]; got {q.shape}, {k.shape}, {v.shape}"
+        )
+    if k.shape != v.shape:
+        raise ValueError(f"k and v shapes differ: {k.shape} vs {v.shape}")
+    if q.shape[0] != k.shape[0] or q.shape[3] != k.shape[3]:
+        raise ValueError(f"q/k mismatch: {q.shape} vs {k.shape}")
+    if q.shape[2] % k.shape[2]:
+        raise ValueError(
+            f"num_heads {q.shape[2]} not a multiple of num_heads_k {k.shape[2]}"
+        )

@@ -1,0 +1,281 @@
+"""Flash-decode: split-KV attention for the decode phase (one query token per
+sequence, long KV), merged with the LSE algebra.
+
+This is the TPU-native form of the reference's split-K machinery
+(``num_splits`` + fp32 accumulation, flash_attn.h:94,79): KV is cut into
+splits, each split produces a partial (out, lse), and partials merge exactly
+via lse_merge — the same algebra that powers ring attention.  The decode
+kernel is the north-star metric path (BASELINE.json: tokens/sec/chip with
+quantized KV), so it supports an int8/fp8-quantized KV cache with dequant
+fused into the QK^T and PV contractions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_tpu.ops.lse import lse_merge
+from flash_attn_tpu.ops.flash_fwd import sdot
+
+NEG_INF = -1e30
+
+
+def flash_decode(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    kv_length: jax.Array | None = None,
+    scale: float | None = None,
+    num_splits: int = 1,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+    interpret: bool | None = None,
+    use_kernel: bool = True,
+    block_k: int = 256,
+):
+    """Single-token decode attention over a (possibly quantized) KV cache.
+
+    Args:
+      q: [B, H, D] — one query token per sequence.
+      k, v: [B, S, Hk, D] KV cache; any float dtype, or int8/fp8 with
+        k_scale/v_scale for fused dequant.
+      kv_length: [B] int32 — number of valid cache entries per sequence
+        (positions >= kv_length are masked).  None = all S valid.
+      num_splits: split-KV parallelism ≙ flash_attn.h:94.
+      k_scale, v_scale: dequant scales, broadcastable to [B, S, Hk, D]
+        (per-head or per-block granularity).
+
+    Returns out [B, H, D] in q.dtype.
+    """
+    batch, num_heads, head_dim = q.shape
+    _, seqlen_k, num_heads_k, _ = k.shape
+    if scale is None:
+        scale = head_dim**-0.5
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if kv_length is None:
+        kv_length = jnp.full((batch,), seqlen_k, jnp.int32)
+
+    if use_kernel:
+        return _decode_kernel_call(
+            q, k, v, kv_length, scale=scale, k_scale=k_scale, v_scale=v_scale,
+            block_k=block_k, interpret=interpret,
+        )
+    return _decode_jnp(
+        q, k, v, kv_length, scale=scale, num_splits=num_splits,
+        k_scale=k_scale, v_scale=v_scale,
+    )
+
+
+def _dequant(x, x_scale):
+    xf = x.astype(jnp.float32)
+    if x_scale is not None:
+        xf = xf * jnp.broadcast_to(x_scale, x.shape).astype(jnp.float32)
+    return xf
+
+
+def _decode_jnp(q, k, v, kv_length, *, scale, num_splits, k_scale, v_scale):
+    """jnp oracle for split-KV decode: correctness spec for the kernel."""
+    batch, num_heads, head_dim = q.shape
+    seqlen_k = k.shape[1]
+    num_heads_k = k.shape[2]
+    group = num_heads // num_heads_k
+
+    kf = _dequant(k, k_scale)
+    vf = _dequant(v, v_scale)
+    kf = jnp.repeat(kf, group, axis=2)
+    vf = jnp.repeat(vf, group, axis=2)
+    qf = q.astype(jnp.float32)
+
+    split = -(-seqlen_k // num_splits)
+    outs, lses = [], []
+    for i in range(num_splits):
+        lo = i * split
+        hi = min(lo + split, seqlen_k)
+        if lo >= seqlen_k:
+            break
+        s = jnp.einsum("bhd,bkhd->bhk", qf, kf[:, lo:hi]) * scale
+        pos = jnp.arange(lo, hi)
+        valid = pos[None, None, :] < kv_length[:, None, None]
+        s = jnp.where(valid, s, float("-inf"))
+        m = jnp.max(s, axis=-1, keepdims=True)
+        safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
+        p = jnp.where(jnp.isfinite(s), jnp.exp(s - safe_m), 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.einsum("bhk,bkhd->bhd", p, vf[:, lo:hi])
+        o = jnp.where(l > 0, o / jnp.maximum(l, 1e-37), 0.0)
+        lse = jnp.where(l[..., 0] > 0, safe_m[..., 0] + jnp.log(jnp.maximum(l[..., 0], 1e-37)), float("-inf"))
+        outs.append(o)
+        lses.append(lse)
+    out, _ = lse_merge(jnp.stack(outs), jnp.stack(lses), axis=0)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas decode kernel: grid (batch, kv_block); all heads of one sequence are
+# processed together so the MXU sees [H, D] x [D, bk] GEMMs even at batch 1.
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(
+    kvlen_ref,  # scalar prefetch [B]
+    q_ref,      # [1, H, D]
+    k_ref,      # [1, bk, Hk, D]
+    v_ref,      # [1, bk, Hk, D]
+    ks_ref,     # [1, bk, Hk, 1] scales (or dummy)
+    vs_ref,
+    o_ref,      # [1, H, D]
+    m_scratch,  # [H, 128]
+    l_scratch,  # [H, 128]
+    acc_scratch,  # [H, D]
+    *,
+    block_k: int,
+    num_k_blocks: int,
+    num_heads: int,
+    num_heads_k: int,
+    scale: float,
+    has_k_scale: bool,
+    has_v_scale: bool,
+    out_dtype,
+):
+    b, ki = pl.program_id(0), pl.program_id(1)
+    group = num_heads // num_heads_k
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    kv_len = kvlen_ref[b]
+
+    @pl.when(ki * block_k < kv_len)
+    def _body():
+        q = q_ref[0].astype(jnp.float32)  # [H, D]
+        k = k_ref[0].astype(jnp.float32)  # [bk, Hk, D]
+        if has_k_scale:
+            k = k * ks_ref[0].astype(jnp.float32)
+        # scores per kv-head group: q heads [H] = [Hk, group]
+        # s[h, j] = q[h] . k[j, h//group]
+        qg = q.reshape(num_heads_k, group, q.shape[-1])  # [Hk, g, D]
+        s = sdot(
+            qg, jnp.swapaxes(k, 0, 1),  # [Hk, g, D] x [Hk, bk, D]
+            (((2,), (2,)), ((0,), (0,))),
+        )  # [Hk, g, bk]
+        s = s.reshape(num_heads, block_k) * scale
+
+        col = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (num_heads, block_k), 1
+        )
+        mask = col < kv_len
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scratch[:, :1]
+        l_prev = l_scratch[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)  # [H, bk]
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+
+        v = v_ref[0].astype(jnp.float32)  # [bk, Hk, D]
+        if has_v_scale:
+            v = v * vs_ref[0].astype(jnp.float32)
+        pg = p.reshape(num_heads_k, group, block_k)
+        o = sdot(
+            pg, jnp.swapaxes(v, 0, 1),  # [Hk, g, bk] x [Hk, bk, D]
+            (((2,), (1,)), ((0,), (0,))),
+        )  # [Hk, g, D]
+        o = o.reshape(num_heads, v.shape[-1])
+        acc_scratch[...] = acc_scratch[...] * alpha + o
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        l = l_scratch[:, :1]
+        valid = l > 0.0
+        o_ref[0] = jnp.where(
+            valid, acc_scratch[...] / jnp.where(valid, l, 1.0), 0.0
+        ).astype(out_dtype)
+
+
+def _decode_kernel_call(q, k, v, kv_length, *, scale, k_scale, v_scale,
+                        block_k, interpret):
+    batch, num_heads, head_dim = q.shape
+    _, seqlen_k, num_heads_k, _ = k.shape
+
+    block_k = min(block_k, max(-(-seqlen_k // 128) * 128, 128))
+    sk_p = -(-seqlen_k // block_k) * block_k
+    if sk_p != seqlen_k:
+        pads = ((0, 0), (0, sk_p - seqlen_k), (0, 0), (0, 0))
+        k = jnp.pad(k, pads)
+        v = jnp.pad(v, pads)
+    num_k_blocks = sk_p // block_k
+
+    has_ks = k_scale is not None
+    has_vs = v_scale is not None
+
+    def scales_arg(s):
+        if s is None:
+            return jnp.zeros((1, 1, num_heads_k, 1), jnp.float32)
+        s = jnp.broadcast_to(s, (batch, seqlen_k, num_heads_k, 1)).astype(jnp.float32)
+        return jnp.pad(s, ((0, 0), (0, sk_p - seqlen_k), (0, 0), (0, 0)))
+
+    ks = scales_arg(k_scale)
+    vs = scales_arg(v_scale)
+
+    kv_spec = pl.BlockSpec((1, block_k, num_heads_k, head_dim), lambda b, ki, *_: (b, ki, 0, 0))
+    def scale_spec(has):
+        if has:
+            return pl.BlockSpec((1, block_k, num_heads_k, 1), lambda b, ki, *_: (b, ki, 0, 0))
+        return pl.BlockSpec((1, 1, num_heads_k, 1), lambda b, ki, *_: (0, 0, 0, 0))
+
+    kernel = functools.partial(
+        _decode_kernel,
+        block_k=block_k,
+        num_k_blocks=num_k_blocks,
+        num_heads=num_heads,
+        num_heads_k=num_heads_k,
+        scale=float(scale),
+        has_k_scale=has_ks,
+        has_v_scale=has_vs,
+        out_dtype=q.dtype,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(batch, num_k_blocks),
+            in_specs=[
+                pl.BlockSpec((1, num_heads, head_dim), lambda b, ki, *_: (b, 0, 0)),
+                kv_spec,
+                kv_spec,
+                scale_spec(has_ks),
+                scale_spec(has_vs),
+            ],
+            out_specs=pl.BlockSpec((1, num_heads, head_dim), lambda b, ki, *_: (b, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((num_heads, 128), jnp.float32),
+                pltpu.VMEM((num_heads, 128), jnp.float32),
+                pltpu.VMEM((num_heads, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, num_heads, head_dim), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * num_heads * seqlen_k * head_dim,
+            bytes_accessed=int(k.size * k.dtype.itemsize * 2),
+            transcendentals=batch * num_heads * seqlen_k,
+        ),
+        interpret=interpret,
+    )(kv_length.astype(jnp.int32), q, k, v, ks, vs)
+    return out

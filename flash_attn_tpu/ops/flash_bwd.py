@@ -1,0 +1,405 @@
+"""Pallas FlashAttention-2 backward kernels (TPU).
+
+Semantics of ``flash_attn_bwd`` / ``flash_attn_varlen_bwd``
+(flash_attn.h:68-134): recompute P from (q, k, lse), consume dout, produce
+(dq, dk, dv) with fp32 accumulation.
+
+The reference parallelises over K with ``num_splits`` and accumulates dq
+through an fp32 ``dq_accum`` buffer with atomics (flash_attn.h:79,94).  TPUs
+have no atomics, so the same math is restructured into two grid passes, each
+race-free by construction:
+
+- **dq pass**: grid (b, h, q_block, k_block), k innermost — dq tile
+  accumulates in VMEM scratch across the sequential k steps (the scratch IS
+  the dq_accum, but private to the grid lane, so no atomics).
+- **dkv pass**: grid (b, h, k_block, q_block), q innermost — dk/dv tiles
+  accumulate across q steps.  GQA: dk/dv are produced per *query* head and
+  group-reduced onto the shared KV heads outside the kernel
+  (flash_attn.h:22-23 broadcast, transposed).
+
+``delta = rowsum(dout * out)`` — the reference's ``softmax_d`` preprocess
+workspace (flash_attn.h:73) — is a cheap fused elementwise+reduce left to XLA.
+
+Dropout replays the identical per-(b,h,qi,ki) counter-seeded mask as the
+forward (flash_attn.h:96-97 seed/offset replay).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_tpu.ops.flash_fwd import (
+    NEG_INF,
+    FlashConfig,
+    _cdiv,
+    _mix_seed,
+    _pad_axis,
+    dropout_keep_mask,
+    sdot,
+)
+
+
+def _recompute_p_ds(
+    q, k, v, dout, lse_row, delta_row, *,
+    row0, col0, block_q, block_k, seqlen_q, seqlen_k, shift,
+    causal, has_segs, qs, ks, has_bias, bias, scale,
+    dropout_rate, seed_ref, b, h, qi, ki,
+):
+    """Shared tile math: returns (p_drop, ds) fp32 [bq, bk].
+
+    lse_row / delta_row are [bq, 1] columns; qs is [bq, 1], ks is [1, bk].
+    p_drop is the post-dropout probability tile (feeds dv);
+    ds is the score gradient tile (feeds dq and dk).
+    """
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if has_bias:
+        s = s + bias
+
+    row = row0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    col = col0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    # Padded q rows (row >= seqlen_q) carry lse = NEG_INF; exp(s - lse)
+    # would overflow there, so they must be masked out elementwise.
+    mask = (col < seqlen_k) & (row < seqlen_q)
+    if causal:
+        mask &= col <= row + shift
+    if has_segs:
+        mask &= qs == ks  # (bq,1) == (1,bk) broadcast
+
+    # p = exp(s - lse); fully-masked rows have lse=NEG_INF -> force p=0 via
+    # the element mask (never via the subtraction, which would yield exp(0)).
+    lse_safe = jnp.maximum(lse_row, NEG_INF / 2)  # [bq, 1]
+    p = jnp.where(mask & (lse_row > NEG_INF / 2), jnp.exp(s - lse_safe), 0.0)
+
+    dp_drop = jax.lax.dot_general(
+        dout, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk] = dout @ v^T
+
+    if dropout_rate > 0.0:
+        keep = dropout_keep_mask(
+            seed_ref, b, h, qi, ki, block_q, block_k, dropout_rate
+        )
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+        p_drop = jnp.where(keep, p * inv_keep, 0.0)
+        dp = jnp.where(keep, dp_drop * inv_keep, 0.0)
+    else:
+        p_drop = p
+        dp = dp_drop
+
+    ds = p * (dp - delta_row)  # delta_row: [bq, 1]
+    return p_drop, ds
+
+
+def _dq_kernel(
+    seed_ref,
+    q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref, bias_ref, qseg_ref, kseg_ref,
+    dq_ref,
+    dq_scratch,
+    *,
+    seqlen_q, seqlen_k, block_q, block_k, num_k_blocks,
+    causal, scale, dropout_rate, has_bias, has_segs, out_dtype,
+):
+    b, h, qi, ki = (pl.program_id(i) for i in range(4))
+    shift = seqlen_k - seqlen_q
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scratch[...] = jnp.zeros_like(dq_scratch)
+
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        dout = dout_ref[0, 0]
+        lse_row = lse_ref[0, 0]
+        delta_row = delta_ref[0, 0]
+        _, ds = _recompute_p_ds(
+            q, k, v, dout, lse_row, delta_row,
+            row0=qi * block_q, col0=ki * block_k,
+            block_q=block_q, block_k=block_k,
+            seqlen_q=seqlen_q, seqlen_k=seqlen_k, shift=shift,
+            causal=causal, has_segs=has_segs,
+            qs=qseg_ref[0] if has_segs else None,
+            ks=kseg_ref[0] if has_segs else None,
+            has_bias=has_bias,
+            bias=bias_ref[0, 0].astype(jnp.float32) if has_bias else None,
+            scale=scale, dropout_rate=dropout_rate, seed_ref=seed_ref,
+            b=b, h=h, qi=qi, ki=ki,
+        )
+        dq_scratch[...] += scale * sdot(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ()))
+        )
+
+    if causal:
+        first_masked_col = qi * block_q + (block_q - 1) + shift + 1
+        pl.when(ki * block_k < first_masked_col)(_body)
+    else:
+        _body()
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scratch[...].astype(out_dtype)
+
+
+def _dkv_kernel(
+    seed_ref,
+    q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref, bias_ref, qseg_ref, kseg_ref,
+    dk_ref, dv_ref,
+    dk_scratch, dv_scratch,
+    *,
+    seqlen_q, seqlen_k, block_q, block_k, num_q_blocks,
+    causal, scale, dropout_rate, has_bias, has_segs, out_dtype,
+):
+    b, h, ki, qi = (pl.program_id(i) for i in range(4))
+    shift = seqlen_k - seqlen_q
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros_like(dk_scratch)
+        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        dout = dout_ref[0, 0]
+        lse_row = lse_ref[0, 0]
+        delta_row = delta_ref[0, 0]
+        p_drop, ds = _recompute_p_ds(
+            q, k, v, dout, lse_row, delta_row,
+            row0=qi * block_q, col0=ki * block_k,
+            block_q=block_q, block_k=block_k,
+            seqlen_q=seqlen_q, seqlen_k=seqlen_k, shift=shift,
+            causal=causal, has_segs=has_segs,
+            qs=qseg_ref[0] if has_segs else None,
+            ks=kseg_ref[0] if has_segs else None,
+            has_bias=has_bias,
+            bias=bias_ref[0, 0].astype(jnp.float32) if has_bias else None,
+            scale=scale, dropout_rate=dropout_rate, seed_ref=seed_ref,
+            b=b, h=h, qi=qi, ki=ki,
+        )
+        # dv += P_drop^T @ dout ; dk += scale * dS^T @ q
+        dv_scratch[...] += sdot(
+            p_drop.astype(dout.dtype), dout, (((0,), (0,)), ((), ()))
+        )
+        dk_scratch[...] += scale * sdot(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ()))
+        )
+
+    if causal:
+        # Block (ki, qi) is live iff some (row, col) satisfies col <= row+shift.
+        pl.when(ki * block_k <= qi * block_q + (block_q - 1) + shift)(_body)
+    else:
+        _body()
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scratch[...].astype(out_dtype)
+        dv_ref[0, 0] = dv_scratch[...].astype(out_dtype)
+
+
+def flash_bwd(
+    q, k, v, out, lse, dout,
+    *,
+    bias=None,
+    q_segment_ids=None,
+    kv_segment_ids=None,
+    causal=False,
+    scale=None,
+    dropout_rate=0.0,
+    dropout_seed=0,
+    config: FlashConfig | None = None,
+    interpret: bool | None = None,
+):
+    """Returns (dq, dk, dv). Layouts as flash_fwd (BSHD in/out); lse [B,H,Sq]."""
+    cfg = config or FlashConfig()
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    batch, seqlen_q, num_heads, head_dim = q.shape
+    _, seqlen_k, num_heads_k, _ = k.shape
+    group = num_heads // num_heads_k
+    if scale is None:
+        scale = head_dim**-0.5
+
+    block_q = min(cfg.block_q, max(_cdiv(seqlen_q, 8) * 8, 8))
+    block_k = min(cfg.block_k, max(_cdiv(seqlen_k, 128) * 128, 128))
+
+    # delta = rowsum(dout*out): the softmax_d preprocess (flash_attn.h:73).
+    delta = jnp.einsum(
+        "bqhd,bqhd->bhq", dout.astype(jnp.float32), out.astype(jnp.float32)
+    )
+
+    qt = _pad_axis(jnp.swapaxes(q, 1, 2), 2, block_q)
+    dot = _pad_axis(jnp.swapaxes(dout, 1, 2), 2, block_q)
+    kt = _pad_axis(jnp.swapaxes(k, 1, 2), 2, block_k)
+    vt = _pad_axis(jnp.swapaxes(v, 1, 2), 2, block_k)
+    # Pad lse with NEG_INF (masked rows) and delta with 0 so pad rows are
+    # inert; both ride a trailing length-1 lane dim ([B,H,Sq,1], Mosaic-legal).
+    lse_p = jnp.pad(
+        lse.astype(jnp.float32),
+        ((0, 0), (0, 0), (0, qt.shape[2] - seqlen_q)),
+        constant_values=NEG_INF,
+    )[..., None]
+    delta_p = _pad_axis(delta, 2, block_q)[..., None]
+
+    sq_p, sk_p = qt.shape[2], kt.shape[2]
+    num_q_blocks = sq_p // block_q
+    num_k_blocks = sk_p // block_k
+
+    has_bias = bias is not None
+    has_segs = q_segment_ids is not None
+
+    if has_bias:
+        bias_f = jnp.broadcast_to(
+            bias.astype(jnp.float32), (batch, num_heads, seqlen_q, seqlen_k)
+        )
+        bias_f = _pad_axis(_pad_axis(bias_f, 2, block_q), 3, block_k)
+    else:
+        bias_f = jnp.zeros((1, 1, block_q, block_k), jnp.float32)
+
+    if has_segs:
+        qseg = _pad_axis(q_segment_ids.astype(jnp.int32), 1, block_q)[..., None]
+        kseg = jnp.pad(
+            kv_segment_ids.astype(jnp.int32),
+            ((0, 0), (0, sk_p - kv_segment_ids.shape[1])),
+            constant_values=-1,
+        )[:, None, :]
+    else:
+        qseg = jnp.zeros((batch, block_q, 1), jnp.int32)
+        kseg = jnp.zeros((batch, 1, block_k), jnp.int32)
+
+    seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
+
+    # --- common specs (as functions of the two block-coord names) ---
+    def mk_specs(order):
+        # order maps kernel grid ids -> (qi, ki)
+        def qmap(b, h, x, y, *_):
+            qi, ki = order(x, y)
+            return (b, h, qi, 0)
+
+        def kmap(b, h, x, y, *_, g=group):
+            qi, ki = order(x, y)
+            return (b, h // g, ki, 0)
+
+        def rowmap(b, h, x, y, *_):
+            qi, ki = order(x, y)
+            return (b, h, qi, 0)
+
+        def biasmap(b, h, x, y, *_):
+            qi, ki = order(x, y)
+            return (b, h, qi, ki) if has_bias else (0, 0, 0, 0)
+
+        def qsegmap(b, h, x, y, *_):
+            qi, ki = order(x, y)
+            return (b, qi, 0) if has_segs else (0, 0, 0)
+
+        def ksegmap(b, h, x, y, *_):
+            qi, ki = order(x, y)
+            return (b, 0, ki) if has_segs else (0, 0, 0)
+
+        return [
+            pl.BlockSpec((1, 1, block_q, head_dim), qmap),      # q
+            pl.BlockSpec((1, 1, block_k, head_dim), kmap),      # k
+            pl.BlockSpec((1, 1, block_k, head_dim), kmap),      # v
+            pl.BlockSpec((1, 1, block_q, head_dim), qmap),      # dout
+            pl.BlockSpec((1, 1, block_q, 1), rowmap),           # lse
+            pl.BlockSpec((1, 1, block_q, 1), rowmap),           # delta
+            pl.BlockSpec((1, 1, block_q, block_k), biasmap),    # bias
+            pl.BlockSpec((1, block_q, 1), qsegmap),             # qseg
+            pl.BlockSpec((1, 1, block_k), ksegmap),             # kseg
+        ]
+
+    common_kwargs = dict(
+        seqlen_q=seqlen_q, seqlen_k=seqlen_k,
+        block_q=block_q, block_k=block_k,
+        causal=causal, scale=float(scale),
+        dropout_rate=float(dropout_rate),
+        has_bias=has_bias, has_segs=has_segs,
+    )
+    args = (seed, qt, kt, vt, dot, lse_p, delta_p, bias_f, qseg, kseg)
+
+    gemm_flops = 2 * batch * num_heads * seqlen_q * seqlen_k * head_dim
+    if causal:
+        gemm_flops //= 2
+
+    # --- dq pass ---
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, num_k_blocks=num_k_blocks, out_dtype=jnp.float32,
+            **common_kwargs,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(batch, num_heads, num_q_blocks, num_k_blocks),
+            in_specs=mk_specs(lambda x, y: (x, y)),
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, head_dim), lambda b, h, x, y, *_: (b, h, x, 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((block_q, head_dim), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_heads, sq_p, head_dim), jnp.float32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_bytes,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * gemm_flops, bytes_accessed=qt.size * 4 * 4,
+            transcendentals=batch * num_heads * seqlen_q * seqlen_k,
+        ),
+        interpret=interpret,
+    )(*args)
+
+    # --- dkv pass (per query head; group-reduced below) ---
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, num_q_blocks=num_q_blocks, out_dtype=jnp.float32,
+            **common_kwargs,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(batch, num_heads, num_k_blocks, num_q_blocks),
+            in_specs=mk_specs(lambda x, y: (y, x)),
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, block_k, head_dim), lambda b, h, x, y, *_: (b, h, x, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_k, head_dim), lambda b, h, x, y, *_: (b, h, x, 0)
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, head_dim), jnp.float32),
+                pltpu.VMEM((block_k, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, num_heads, sk_p, head_dim), jnp.float32),
+            jax.ShapeDtypeStruct((batch, num_heads, sk_p, head_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_bytes,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * gemm_flops, bytes_accessed=kt.size * 4 * 4,
+            transcendentals=batch * num_heads * seqlen_q * seqlen_k,
+        ),
+        interpret=interpret,
+    )(*args)
+
+    dq = jnp.swapaxes(dq[:, :, :seqlen_q], 1, 2).astype(q.dtype)
+    dk = jnp.swapaxes(dk[:, :, :seqlen_k], 1, 2)
+    dv = jnp.swapaxes(dv[:, :, :seqlen_k], 1, 2)
+    if group > 1:
+        dk = dk.reshape(batch, seqlen_k, num_heads_k, group, head_dim).sum(3)
+        dv = dv.reshape(batch, seqlen_k, num_heads_k, group, head_dim).sum(3)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)

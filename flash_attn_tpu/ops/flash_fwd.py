@@ -1,0 +1,405 @@
+"""Pallas FlashAttention-2 forward kernel (TPU).
+
+Implements the semantics of the reference's ``flash_attn_fwd`` /
+``flash_attn_varlen_fwd`` (flash_attn.h:10-66) as a single online-softmax
+block pipeline:
+
+- grid (batch, q_head, q_block, k_block); the k_block axis is innermost so
+  fp32 running max / sum / accumulator live in VMEM scratch across grid steps
+  (the Pallas grid pipeline double-buffers the K/V block DMAs for us),
+- GQA/MQA via the K/V BlockSpec index map (num_heads vs num_heads_k,
+  flash_attn.h:22-23) — no materialised head broadcast,
+- causal = bottom-right-aligned mask with *static* whole-block skip on the
+  strictly-upper blocks (flash_attn.h:29),
+- segment ids (varlen packing ≙ cu_seqlens, flash_attn.h:41-42) and an
+  arbitrary additive bias (attn_mask, flash_attn.h:35-36) composable with
+  causal,
+- reproducible counter-based dropout: per-(b,h,qi,ki) seeding of the TPU PRNG
+  from a user seed ≙ Philox seed/offset (flash_attn.h:33-34); backward replays
+  the identical mask from the same seed,
+- LSE residual output in ``b x h x seqlen_q`` layout (flash_attn.h:16,74).
+
+Unlike the reference ABI there are no *_rounded dims (flash_attn.h:20-21,25):
+padding to block multiples happens here, inside the wrapper, and is masked in
+the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30  # large-negative instead of -inf inside kernels (avoids NaNs)
+
+LANES = 128
+
+
+@dataclass(frozen=True)
+class FlashConfig:
+    """Kernel block configuration (the TPU analog of the reference's tile
+    geometry that leaked into its ABI as *_rounded args)."""
+
+    block_q: int = 128
+    block_k: int = 128
+    # Upper bound for VMEM the compiler may use; None = let Mosaic decide.
+    vmem_limit_bytes: int | None = None
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def sdot(a, b, dims=(((1,), (1,)), ((), ()))):
+    """MXU dot with fp32 accumulation.
+
+    bf16/fp16 operands feed the MXU natively (single pass); fp32 operands get
+    HIGHEST precision (multi-pass) so fp32 attention matches the fp32 oracle.
+    Default dims contract the last axis of both (q @ k^T shape).
+    """
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if a.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32, precision=prec
+    )
+
+
+def _pad_axis(x: jax.Array, axis: int, multiple: int) -> jax.Array:
+    size = x.shape[axis]
+    padded = _cdiv(size, multiple) * multiple
+    if padded == size:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, padded - size)
+    return jnp.pad(x, pads)
+
+
+def _mix_seed(seed_ref, b, h, qi, ki):
+    """Deterministic per-block PRNG seed from (user seed, block coords) —
+    counter-based like Philox seed/offset (flash_attn.h:33-34), so the
+    backward pass can replay the identical dropout mask."""
+    import numpy as np
+
+    s = seed_ref[0]
+    # Cheap integer hash; all operands int32 (SMEM scalars).  Constants are
+    # the usual avalanche multipliers, wrapped into int32 range.
+    c1, c2, c3, c4 = (
+        np.uint32(c).astype(np.int32)
+        for c in (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F)
+    )
+    x = s ^ (b * c1)
+    x = x ^ (h * c2)
+    x = x ^ (qi * c3)
+    x = x ^ (ki * c4)
+    return x
+
+
+def dropout_keep_mask(seed_ref, b, h, qi, ki, block_q, block_k, rate):
+    """Counter-based dropout keep-mask, [block_q, block_k] bool.
+
+    A murmur3-style integer finalizer over (seed, block coords, element
+    coords) — pure int32 VPU ops, so it runs identically under Mosaic and
+    interpret mode, and the backward pass replays it exactly from the same
+    seed (the TPU-native form of the Philox seed/offset contract,
+    flash_attn.h:33-34, 96-97).
+    """
+    import numpy as np
+
+    mix = _mix_seed(seed_ref, b, h, qi, ki)
+    row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    m1 = np.uint32(0x9E3779B9).astype(np.int32)
+    m2 = np.uint32(0x7FEB352D).astype(np.int32)
+    f1 = np.uint32(0x85EBCA6B).astype(np.int32)
+    f2 = np.uint32(0xC2B2AE35).astype(np.int32)
+    x = mix + row * m1 + col * m2
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    x = x * f1
+    x = x ^ jax.lax.shift_right_logical(x, 13)
+    x = x * f2
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    threshold = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    return bits >= threshold
+
+
+def _fwd_kernel(
+    # scalar prefetch
+    seed_ref,
+    # inputs
+    q_ref,
+    k_ref,
+    v_ref,
+    bias_ref,
+    qseg_ref,
+    kseg_ref,
+    # outputs
+    out_ref,
+    lse_ref,
+    # scratch
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    seqlen_q: int,
+    seqlen_k: int,
+    block_q: int,
+    block_k: int,
+    num_k_blocks: int,
+    causal: bool,
+    scale: float,
+    dropout_rate: float,
+    has_bias: bool,
+    has_segs: bool,
+    out_dtype,
+):
+    b, h, qi, ki = (pl.program_id(i) for i in range(4))
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    # Bottom-right-aligned causal: q row i sees k col j iff j <= i + shift.
+    shift = seqlen_k - seqlen_q
+
+    def _body():
+        # Native-dtype operands straight into the MXU (bf16 x bf16 -> fp32).
+        s = sdot(q_ref[0, 0], k_ref[0, 0])  # [bq, bk] fp32
+        s = s * scale
+
+        if has_bias:
+            s = s + bias_ref[0, 0].astype(jnp.float32)
+
+        row = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        col = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = col < seqlen_k  # pad columns
+        if causal:
+            mask &= col <= row + shift
+        if has_segs:
+            qs = qseg_ref[0]  # [bq, 1]
+            ks = kseg_ref[0]  # [1, bk]
+            mask &= qs == ks
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scratch[:, :1]  # [bq, 1]
+        l_prev = l_scratch[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
+        p = jnp.exp(s - m_new)  # [bq, bk]
+        # Rows where everything so far is masked: m_new == NEG_INF; exp(0)=1
+        # would pollute l. Zero those p entries explicitly.
+        p = jnp.where(mask, p, 0.0)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+
+        if dropout_rate > 0.0:
+            keep = dropout_keep_mask(
+                seed_ref, b, h, qi, ki, block_q, block_k, dropout_rate
+            )
+            p_v = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        else:
+            p_v = p
+
+        v = v_ref[0, 0]  # [bk, d]
+        pv = sdot(p_v.astype(v.dtype), v, (((1,), (0,)), ((), ())))  # [bq, d]
+        acc_scratch[...] = acc_scratch[...] * alpha + pv
+
+    if causal:
+        # Whole block strictly above the diagonal band -> skip all compute.
+        # (Static grid; predication is the TPU-native form of block skipping.)
+        first_masked_col = qi * block_q + (block_q - 1) + shift + 1
+        pl.when(ki * block_k < first_masked_col)(_body)
+    else:
+        _body()
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        m = m_scratch[:, :1]
+        l = l_scratch[:, :1]
+        valid = l > 0.0
+        out = jnp.where(valid, acc_scratch[...] / jnp.where(valid, l, 1.0), 0.0)
+        out_ref[0, 0] = out.astype(out_dtype)
+        lse = jnp.where(
+            valid, m + jnp.log(jnp.where(valid, l, 1.0)), NEG_INF
+        )  # [bq, 1]
+        lse_ref[0, 0] = lse.astype(jnp.float32)
+
+
+def flash_fwd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    bias: jax.Array | None = None,
+    q_segment_ids: jax.Array | None = None,
+    kv_segment_ids: jax.Array | None = None,
+    causal: bool = False,
+    scale: float | None = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: jax.Array | int = 0,
+    config: FlashConfig | None = None,
+    interpret: bool | None = None,
+):
+    """FlashAttention-2 forward. q: [B,Sq,H,D]; k,v: [B,Sk,Hk,D] (BSHD, the
+    reference layout, flash_attn.h:10-12). Returns (out [B,Sq,H,D],
+    lse [B,H,Sq] fp32).
+    """
+    cfg = config or FlashConfig()
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    batch, seqlen_q, num_heads, head_dim = q.shape
+    _, seqlen_k, num_heads_k, _ = k.shape
+    if num_heads % num_heads_k:
+        raise ValueError(f"num_heads {num_heads} not divisible by num_heads_k {num_heads_k}")
+    group = num_heads // num_heads_k
+    if scale is None:
+        scale = head_dim**-0.5
+
+    block_q = min(cfg.block_q, max(_cdiv(seqlen_q, 8) * 8, 8))
+    block_k = min(cfg.block_k, max(_cdiv(seqlen_k, 128) * 128, 128))
+
+    # BSHD -> BHSD for clean [bq, d] blocks, pad seq dims to block multiples.
+    qt = _pad_axis(jnp.swapaxes(q, 1, 2), 2, block_q)
+    kt = _pad_axis(jnp.swapaxes(k, 1, 2), 2, block_k)
+    vt = _pad_axis(jnp.swapaxes(v, 1, 2), 2, block_k)
+    sq_p, sk_p = qt.shape[2], kt.shape[2]
+    num_q_blocks = sq_p // block_q
+    num_k_blocks = sk_p // block_k
+
+    has_bias = bias is not None
+    has_segs = q_segment_ids is not None
+    if has_segs and kv_segment_ids is None:
+        raise ValueError("q_segment_ids given without kv_segment_ids")
+
+    if has_bias:
+        bias = jnp.broadcast_to(
+            bias.astype(jnp.float32), (batch, num_heads, seqlen_q, seqlen_k)
+        )
+        bias = _pad_axis(_pad_axis(bias, 2, block_q), 3, block_k)
+        bias_spec = pl.BlockSpec(
+            (1, 1, block_q, block_k), lambda b, h, qi, ki, *_: (b, h, qi, ki)
+        )
+    else:
+        bias = jnp.zeros((1, 1, block_q, block_k), jnp.float32)
+        bias_spec = pl.BlockSpec(
+            (1, 1, block_q, block_k), lambda b, h, qi, ki, *_: (0, 0, 0, 0)
+        )
+
+    # TPU-legal seg layouts: qseg [B, Sq, 1] (column), kseg [B, 1, Sk] (row);
+    # the in-kernel compare broadcasts (bq,1) == (1,bk) directly.
+    if has_segs:
+        qseg = _pad_axis(q_segment_ids.astype(jnp.int32), 1, block_q)[..., None]
+        # pad KV segment ids with -1 so padding never matches a real segment
+        ksz = kv_segment_ids.shape[1]
+        kseg = jnp.pad(
+            kv_segment_ids.astype(jnp.int32),
+            ((0, 0), (0, sk_p - ksz)),
+            constant_values=-1,
+        )[:, None, :]
+    else:
+        qseg = jnp.zeros((batch, block_q, 1), jnp.int32)
+        kseg = jnp.zeros((batch, 1, block_k), jnp.int32)
+    qseg_spec = pl.BlockSpec(
+        (1, block_q, 1),
+        (lambda b, h, qi, ki, *_: (b, qi, 0)) if has_segs else (lambda b, h, qi, ki, *_: (0, 0, 0)),
+    )
+    kseg_spec = pl.BlockSpec(
+        (1, 1, block_k),
+        (lambda b, h, qi, ki, *_: (b, 0, ki)) if has_segs else (lambda b, h, qi, ki, *_: (0, 0, 0)),
+    )
+
+    seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
+
+    grid = (batch, num_heads, num_q_blocks, num_k_blocks)
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        seqlen_q=seqlen_q,
+        seqlen_k=seqlen_k,
+        block_q=block_q,
+        block_k=block_k,
+        num_k_blocks=num_k_blocks,
+        causal=causal,
+        scale=float(scale),
+        dropout_rate=float(dropout_rate),
+        has_bias=has_bias,
+        has_segs=has_segs,
+        out_dtype=q.dtype,
+    )
+
+    flops = 4 * batch * num_heads * seqlen_q * seqlen_k * head_dim
+    if causal:
+        flops //= 2
+    bytes_accessed = (
+        qt.size * qt.dtype.itemsize
+        + kt.size * kt.dtype.itemsize
+        + vt.size * vt.dtype.itemsize
+        + qt.size * qt.dtype.itemsize
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+                pl.BlockSpec(
+                    (1, 1, block_k, head_dim),
+                    lambda b, h, qi, ki, *_, g=group: (b, h // g, ki, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_k, head_dim),
+                    lambda b, h, qi, ki, *_, g=group: (b, h // g, ki, 0),
+                ),
+                bias_spec,
+                qseg_spec,
+                kseg_spec,
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+                # lse rides a trailing length-1 lane dim: [B, H, Sq, 1] is the
+                # Mosaic-legal layout for per-row statistics.
+                pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, num_heads, sq_p, head_dim), q.dtype),
+            jax.ShapeDtypeStruct((batch, num_heads, sq_p, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_bytes,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=batch * num_heads * seqlen_q * seqlen_k
+        ),
+        interpret=interpret,
+    )(seed, qt, kt, vt, bias, qseg, kseg)
+
+    out = jnp.swapaxes(out[:, :, :seqlen_q, :], 1, 2)  # BHSD -> BSHD
+    lse = lse[:, :, :seqlen_q, 0]
+    return out, lse

@@ -1,0 +1,245 @@
+"""Pallas weight-only quantized matmul kernels (INT8 / packed-INT4).
+
+BASELINE.json north star: "INT4/INT8 weight-only matmuls with on-the-fly
+dequant".  Decode-phase linear layers are HBM-bandwidth-bound: streaming
+weights at 1 byte (int8) or 0.5 bytes (int4) per element instead of 2 (bf16)
+is a 2-4x speedup at the roofline.  Dequant happens in VMEM on the block the
+MXU is about to consume — scales per output channel (int8) or per
+(k-group, output channel) (int4, group-local-halves packing from
+ops/quant.py so the unpack is a concat, not an interleave).
+
+Grid: (m_block, n_block, k_block), k innermost, fp32 accumulator in VMEM
+scratch — the same no-atomics accumulation pattern as the attention kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_tpu.ops.quant import Int4Weight
+from flash_attn_tpu.ops.flash_fwd import sdot
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _pad2(x, m0, m1):
+    p0 = _cdiv(x.shape[0], m0) * m0 - x.shape[0]
+    p1 = _cdiv(x.shape[1], m1) * m1 - x.shape[1]
+    if p0 or p1:
+        x = jnp.pad(x, ((0, p0), (0, p1)))
+    return x
+
+
+def _int8_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, nk, out_dtype):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    x = x_ref[...]
+    w = (w_ref[...].astype(jnp.float32) * s_ref[...].astype(jnp.float32)).astype(
+        x.dtype
+    )
+    acc[...] += sdot(x, w, (((1,), (0,)), ((), ())))
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[...] = acc[...].astype(out_dtype)
+
+
+def matmul_int8(
+    x: jax.Array,
+    w: jax.Array,
+    scales: jax.Array,
+    *,
+    block_m: int = 128,
+    block_n: int = 256,
+    block_k: int = 512,
+    out_dtype=None,
+    interpret: bool | None = None,
+):
+    """x [M, K] (bf16/f32) @ int8 w [K, N] with per-column scales [N] or
+    per-(group,N) scales [K//g, N].  Returns [M, N]."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    out_dtype = out_dtype or x.dtype
+    M, K = x.shape
+    Kw, N = w.shape
+    assert K == Kw, (x.shape, w.shape)
+
+    block_m = min(block_m, _cdiv(M, 8) * 8)
+    block_n = min(block_n, _cdiv(N, 128) * 128)
+    block_k = min(block_k, _cdiv(K, 128) * 128)
+
+    if scales.ndim == 1:
+        scales2 = jnp.broadcast_to(scales[None, :], (1, N))
+        groups_per_block = None  # single row of scales for every k block
+    else:
+        g = K // scales.shape[0]
+        if block_k % g:
+            block_k = g
+        groups_per_block = block_k // g
+        scales2 = scales
+
+    xp = _pad2(x, block_m, block_k)
+    wp = _pad2(w, block_k, block_n)
+    Mp, Kp = xp.shape
+    _, Np = wp.shape
+    nk = Kp // block_k
+
+    if groups_per_block is None:
+        sp = _pad2(scales2, 1, block_n)
+        s_spec = pl.BlockSpec((1, block_n), lambda mi, ni, ki: (0, ni))
+        kern = functools.partial(_int8_kernel, nk=nk, out_dtype=out_dtype)
+    else:
+        sp = _pad2(scales2, groups_per_block, block_n)
+        s_spec = pl.BlockSpec(
+            (groups_per_block, block_n), lambda mi, ni, ki: (ki, ni)
+        )
+        g = block_k // groups_per_block
+
+        def kern(x_ref, w_ref, s_ref, o_ref, acc, *, nk=nk, out_dtype=out_dtype):
+            ki = pl.program_id(2)
+
+            @pl.when(ki == 0)
+            def _():
+                acc[...] = jnp.zeros_like(acc)
+
+            x_ = x_ref[...]
+            s_full = jnp.repeat(s_ref[...], g, axis=0)  # [block_k, block_n]
+            w_ = (w_ref[...].astype(jnp.float32) * s_full.astype(jnp.float32)).astype(x_.dtype)
+            acc[...] += sdot(x_, w_, (((1,), (0,)), ((), ())))
+
+            @pl.when(ki == nk - 1)
+            def _():
+                o_ref[...] = acc[...].astype(out_dtype)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(Mp // block_m, Np // block_n, nk),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda mi, ni, ki: (mi, ki)),
+            pl.BlockSpec((block_k, block_n), lambda mi, ni, ki: (ki, ni)),
+            s_spec,
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda mi, ni, ki: (mi, ni)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K * N + M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, wp, sp)
+    return out[:M, :N]
+
+
+def _int4_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, nk, gpb, half, out_dtype):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    x = x_ref[...]
+    p = w_ref[...]  # [block_k//2, block_n] uint8, group-local-halves layout
+    bn = p.shape[-1]
+    # group-local halves: reshape to groups, unpack lo/hi, concat along k.
+    pg = p.reshape(gpb, half, bn)
+    lo = (pg & jnp.uint8(0x0F)).astype(jnp.int8) - 8
+    hi = ((pg >> 4) & jnp.uint8(0x0F)).astype(jnp.int8) - 8
+    vals = jnp.concatenate([lo, hi], axis=1)  # [gpb, g, bn]
+    s = s_ref[...].reshape(gpb, 1, bn).astype(jnp.float32)
+    w = (vals.astype(jnp.float32) * s).reshape(gpb * 2 * half, bn).astype(x.dtype)
+    acc[...] += sdot(x, w, (((1,), (0,)), ((), ())))
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[...] = acc[...].astype(out_dtype)
+
+
+def matmul_int4(
+    x: jax.Array,
+    w: Int4Weight,
+    *,
+    block_m: int = 128,
+    block_n: int = 256,
+    block_k: int | None = None,
+    out_dtype=None,
+    interpret: bool | None = None,
+):
+    """x [M, K] @ packed-int4 w (K, N) with per-(group, N) scales."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    out_dtype = out_dtype or x.dtype
+    M, K = x.shape
+    Kw, N = w.shape
+    assert K == Kw, (x.shape, w.shape)
+    g = w.group_size
+    block_k = block_k or max(g, min(512, K))
+    if block_k % g:
+        block_k = g
+    gpb = block_k // g  # groups per k-block
+    half = g // 2
+
+    block_m = min(block_m, _cdiv(M, 8) * 8)
+    block_n = min(block_n, _cdiv(N, 128) * 128)
+    if K % block_k:
+        raise ValueError(f"K ({K}) must be a multiple of block_k ({block_k})")
+
+    xp = _pad2(x, block_m, block_k)
+    packed = _pad2(w.packed, block_k // 2, block_n)
+    sp = _pad2(w.scales, gpb, block_n)
+    Mp = xp.shape[0]
+    Np = packed.shape[1]
+    nk = K // block_k
+
+    out = pl.pallas_call(
+        functools.partial(
+            _int4_kernel, nk=nk, gpb=gpb, half=half, out_dtype=out_dtype
+        ),
+        grid=(Mp // block_m, Np // block_n, nk),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda mi, ni, ki: (mi, ki)),
+            pl.BlockSpec((block_k // 2, block_n), lambda mi, ni, ki: (ki, ni)),
+            pl.BlockSpec((gpb, block_n), lambda mi, ni, ki: (ki, ni)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda mi, ni, ki: (mi, ni)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K * N // 2 + M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, packed, sp)
+    return out[:M, :N]
+
+
+def quantized_matmul(x, w, *, out_dtype=None, interpret=None):
+    """Dispatch on weight type: Int4Weight, (int8, scales) tuple, or plain
+    float array (falls through to jnp.dot)."""
+    if isinstance(w, Int4Weight):
+        return matmul_int4(x, w, out_dtype=out_dtype, interpret=interpret)
+    if isinstance(w, tuple):
+        vals, scales = w
+        return matmul_int8(x, vals, scales, out_dtype=out_dtype, interpret=interpret)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(
+        out_dtype or x.dtype
+    )

@@ -1,0 +1,145 @@
+"""Quantization primitives: INT8 / FP8(E4M3) / packed-INT4 with absmax scales.
+
+These back the two quantized paths from the BASELINE.json north star:
+- KV-cache quantization (quantize-on-append; dequant fused into the decode
+  kernel's QK^T and PV contractions — see ops/decode.py),
+- weight-only INT4/INT8 matmuls with on-the-fly dequant (ops/matmul.py).
+
+Conventions:
+- scales are always fp32 and multiply on dequant: ``x ≈ values * scale``;
+- INT8 uses symmetric absmax over the reduced axes, range ±127;
+- FP8 is ``float8_e4m3fn`` scaled so the absmax maps to 448 (its max normal);
+- INT4 is stored two-per-byte in uint8 (low nibble = even index along the
+  packed axis), symmetric range ±7, with per-group scales along the packed
+  axis (group_size contraction entries share one scale).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+FP8_MAX = 448.0  # float8_e4m3fn max normal
+
+
+def _absmax_scale(x: jax.Array, axes, qmax: float) -> jax.Array:
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axes, keepdims=True)
+    return jnp.where(amax > 0, amax / qmax, 1.0)
+
+
+def quantize_int8(x: jax.Array, axes=(-1,)):
+    """Symmetric INT8: returns (values int8, scale fp32 with reduced axes
+    kept as 1)."""
+    scale = _absmax_scale(x, axes, 127.0)
+    vals = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return vals.astype(jnp.int8), scale
+
+
+def quantize_fp8(x: jax.Array, axes=(-1,)):
+    """FP8 E4M3 with absmax scaling to the format's full range."""
+    scale = _absmax_scale(x, axes, FP8_MAX)
+    vals = (x.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn)
+    return vals, scale
+
+
+def dequantize(values: jax.Array, scale: jax.Array, dtype=jnp.float32):
+    return (values.astype(jnp.float32) * scale.astype(jnp.float32)).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# INT4 (packed) — weight-only
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Int4Weight:
+    """Packed int4 weight for [K, N] matmul: packed [K//2, N] uint8 (low
+    nibble = even k), scales [K//group_size, N] fp32."""
+
+    packed: jax.Array
+    scales: jax.Array
+    group_size: int
+    shape: tuple  # original (K, N)
+
+    def tree_flatten(self):
+        return (self.packed, self.scales), (self.group_size, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        packed, scales = children
+        return cls(packed, scales, aux[0], aux[1])
+
+
+jax.tree_util.register_pytree_node(
+    Int4Weight, Int4Weight.tree_flatten, Int4Weight.tree_unflatten
+)
+
+
+def quantize_int4(w: jax.Array, group_size: int = 128) -> Int4Weight:
+    """Quantize [K, N] weights to packed int4 with per-(group, N) scales.
+
+    Packing is *group-local halves*, not interleaved: within each group of
+    ``group_size`` k-rows, packed row j holds (row j, row j + group_size/2)
+    in its (low, high) nibbles.  This makes the in-kernel unpack a single
+    concat along k — no interleave shuffle on the VPU (SURVEY.md §7 hard
+    part (d): TPU-friendly unpack layout).
+    """
+    K, N = w.shape
+    if group_size % 2:
+        raise ValueError("group_size must be even")
+    if K % group_size:
+        raise ValueError(f"K ({K}) must be a multiple of group_size ({group_size})")
+    g = group_size
+    wf = w.astype(jnp.float32).reshape(K // g, g, N)
+    amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)
+    scales = jnp.where(amax > 0, amax / 7.0, 1.0)  # [K//g, 1, N]
+    q = jnp.clip(jnp.round(wf / scales), -7, 7).astype(jnp.int8)  # [K//g, g, N]
+    qu = (q + 8).astype(jnp.uint8)
+    lo = qu[:, : g // 2]  # first half of each group
+    hi = qu[:, g // 2 :]  # second half
+    packed = (lo | (hi << 4)).reshape(K // 2, N).astype(jnp.uint8)
+    return Int4Weight(packed, scales[:, 0, :], group_size, (K, N))
+
+
+def unpack_int4(packed: jax.Array, group_size: int) -> jax.Array:
+    """Inverse of the group-local-halves packing: [K//2, N] uint8 ->
+    [K, N] int8 in [-8, 7]."""
+    K2, N = packed.shape
+    g = group_size
+    p = packed.reshape(K2 * 2 // g, g // 2, N)
+    lo = (p & jnp.uint8(0x0F)).astype(jnp.int8) - 8
+    hi = ((p >> 4) & jnp.uint8(0x0F)).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=1).reshape(K2 * 2, N)
+
+
+def dequantize_int4(w: Int4Weight, dtype=jnp.float32) -> jax.Array:
+    K, N = w.shape
+    vals = unpack_int4(w.packed, w.group_size).astype(jnp.float32)  # [K, N]
+    scales = jnp.repeat(w.scales, w.group_size, axis=0)  # [K, N]
+    return (vals * scales).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# KV-cache quantization helpers (quantize-on-append granularity: per token,
+# per KV head -> scale shape [..., 1] broadcast over head_dim)
+# ---------------------------------------------------------------------------
+
+
+def quantize_kv(k: jax.Array, v: jax.Array, mode: str):
+    """Quantize new KV entries. k/v: [..., Hk, D]; scales per (token, head).
+
+    mode: 'int8' | 'fp8' | 'none'. Returns (kq, k_scale, vq, v_scale).
+    """
+    if mode == "none":
+        return k, None, v, None
+    if mode == "int8":
+        kq, ks = quantize_int8(k, axes=(-1,))
+        vq, vs = quantize_int8(v, axes=(-1,))
+        return kq, ks, vq, vs
+    if mode == "fp8":
+        kq, ks = quantize_fp8(k, axes=(-1,))
+        vq, vs = quantize_fp8(v, axes=(-1,))
+        return kq, ks, vq, vs
+    raise ValueError(f"unknown kv quant mode: {mode!r}")

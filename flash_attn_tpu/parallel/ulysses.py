@@ -1,0 +1,66 @@
+"""Ulysses-style sequence parallelism: all-to-all head<->sequence reshard.
+
+The alternative to ring attention when num_heads >= ring size (SURVEY.md §5
+long-context): tokens arrive sequence-sharded; one all_to_all redistributes
+so each device holds *all* tokens for a subset of heads, runs the ordinary
+flash kernel locally (exact, no per-step merging), and a second all_to_all
+restores sequence sharding.  Two collectives total vs n-1 ppermutes — wins
+when ICI all-to-all bandwidth is plentiful and head count divides evenly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from flash_attn_tpu.ops.flash_fwd import flash_fwd
+
+
+def ulysses_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    causal: bool = False,
+    scale: float | None = None,
+    interpret: bool | None = None,
+):
+    """Shard-local body (inside shard_map): q/k/v local shards
+    [B, S_loc, H, D]; heads H must be divisible by the axis size."""
+    n = jax.lax.axis_size(axis_name)
+    if q.shape[2] % n:
+        raise ValueError(f"num_heads {q.shape[2]} not divisible by axis size {n}")
+
+    # seq-sharded -> head-sharded: split heads across devices, gather seq.
+    def to_heads(x):
+        # [B, S_loc, H, D] -> [B, S, H/n, D]
+        return jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
+
+    def to_seq(x):
+        return jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
+
+    qh = to_heads(q)
+    kh = to_heads(k)
+    vh = to_heads(v)
+    out, _ = flash_fwd(qh, kh, vh, causal=causal, scale=scale, interpret=interpret)
+    return to_seq(out)
+
+
+def make_ulysses_attention(mesh, *, axis_name="sp", causal=False, scale=None,
+                           interpret=None):
+    body = functools.partial(
+        ulysses_attention, axis_name=axis_name, causal=causal, scale=scale,
+        interpret=interpret,
+    )
+    spec = P(None, axis_name, None, None)
+    return jax.shard_map(
+        lambda q, k, v: body(q, k, v),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )

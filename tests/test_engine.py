@@ -1,0 +1,130 @@
+"""Continuous-batching engine end-to-end on tiny GPT-2: requests admitted,
+decoded, completed; outputs match direct greedy decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu.engine.engine import InferenceEngine
+from flash_attn_tpu.engine.paged import PagedKVPool, paged_decode_attention
+from flash_attn_tpu.engine.sampler import SamplingParams, sample
+from flash_attn_tpu.engine.scheduler import ContinuousBatchingScheduler
+from flash_attn_tpu.models import gpt2
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = gpt2.GPT2_TINY
+    params = gpt2.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def test_scheduler_slot_lifecycle():
+    s = ContinuousBatchingScheduler(max_batch=2)
+    r1 = s.submit([1, 2], 4)
+    r2 = s.submit([3], 4)
+    r3 = s.submit([4], 2)
+    admitted = s.admit()
+    assert [r.uid for r in admitted] == [r1.uid, r2.uid]
+    assert r3.slot is None and s.waiting
+    # finish r1 -> r3 admitted into its slot
+    s.complete(r1)
+    admitted = s.admit()
+    assert admitted == [r3]
+    assert r3.slot == 0
+
+
+def test_engine_single_request_matches_greedy(tiny):
+    cfg, params = tiny
+    prompt = list(range(1, 9))
+    eng = InferenceEngine(
+        params, gpt2.make_adapter(cfg, interpret=True),
+        max_batch=2, capacity=64, cache_dtype=jnp.dtype(cfg.dtype),
+    )
+    req = eng.submit(prompt, max_tokens=5)
+    eng.run()
+    assert req.done and len(req.generated) == 5
+
+    want = gpt2.greedy_decode(
+        params, jnp.asarray([prompt]), cfg, steps=5, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(req.generated), np.asarray(want[0])
+    )
+
+
+def test_engine_continuous_batching_two_requests(tiny):
+    cfg, params = tiny
+    eng = InferenceEngine(
+        params, gpt2.make_adapter(cfg, interpret=True),
+        max_batch=2, capacity=64, cache_dtype=jnp.dtype(cfg.dtype),
+    )
+    p1, p2 = [1, 2, 3, 4], [7, 8, 9]
+    r1 = eng.submit(p1, max_tokens=4)
+    r2 = eng.submit(p2, max_tokens=6)
+    eng.run()
+    assert r1.done and r2.done
+    w1 = gpt2.greedy_decode(params, jnp.asarray([p1]), cfg, steps=4, interpret=True)
+    w2 = gpt2.greedy_decode(params, jnp.asarray([p2]), cfg, steps=6, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r1.generated), np.asarray(w1[0]))
+    np.testing.assert_array_equal(np.asarray(r2.generated), np.asarray(w2[0]))
+
+
+def test_engine_slot_reuse_more_requests_than_slots(tiny):
+    cfg, params = tiny
+    eng = InferenceEngine(
+        params, gpt2.make_adapter(cfg, interpret=True),
+        max_batch=2, capacity=64, cache_dtype=jnp.dtype(cfg.dtype),
+    )
+    reqs = [eng.submit([i + 1, i + 2], max_tokens=3) for i in range(5)]
+    eng.run()
+    assert all(r.done for r in reqs)
+    for r in reqs:
+        w = gpt2.greedy_decode(
+            params, jnp.asarray([r.prompt]), cfg, steps=3, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(r.generated), np.asarray(w[0]))
+
+
+def test_paged_pool_matches_contiguous():
+    """Paged append+gather+decode == decode over a contiguous cache."""
+    key = jax.random.PRNGKey(1)
+    L, B, Hk, D = 2, 2, 2, 32
+    page, npages, maxp = 8, 16, 4
+    pool = PagedKVPool.create(L, npages, page, B, maxp, Hk, D, dtype=jnp.float32)
+    pool = pool.assign_pages(0, [1, 2, 3, 4]).assign_pages(1, [5, 6, 7, 8])
+
+    T = 20
+    ks = jax.random.normal(key, (T, L, B, Hk, D))
+    vs = jax.random.normal(jax.random.PRNGKey(2), (T, L, B, Hk, D))
+    for t in range(T):
+        for l in range(L):
+            pool = pool.append_token(l, ks[t, l], vs[t, l])
+        pool = pool.advance(1)
+
+    q = jax.random.normal(jax.random.PRNGKey(3), (B, 4, D))
+    got = paged_decode_attention(pool, 0, q, interpret=True)
+
+    from flash_attn_tpu.ops.decode import flash_decode
+
+    k_contig = jnp.swapaxes(ks[:, 0], 0, 1)  # [B, T, Hk, D]
+    v_contig = jnp.swapaxes(vs[:, 0], 0, 1)
+    want = flash_decode(
+        q, k_contig, v_contig, kv_length=jnp.full((B,), T, jnp.int32),
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+
+
+def test_sampler_modes():
+    logits = jnp.asarray([[1.0, 5.0, 2.0, 0.0]])
+    key = jax.random.PRNGKey(0)
+    assert int(sample(logits, key, SamplingParams())[0]) == 1
+    # top_k=1 == greedy regardless of temperature
+    assert int(sample(logits, key, SamplingParams(temperature=2.0, top_k=1))[0]) == 1
+    # top_p tiny == greedy
+    assert int(sample(logits, key, SamplingParams(temperature=1.0, top_p=0.1))[0]) == 1
+    # temperature sampling is within support
+    t = int(sample(logits, key, SamplingParams(temperature=1.0))[0])
+    assert 0 <= t < 4

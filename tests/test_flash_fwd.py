@@ -1,0 +1,142 @@
+"""Pallas FA2 forward vs the pure-jnp oracle (SURVEY.md §4 obligation 1).
+
+Tolerances are keyed to dtype: the kernel may differ from the fp32 oracle by
+a small multiple of the input dtype's own rounding error (FA2 test practice).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu.ops.flash_fwd import FlashConfig, flash_fwd
+from flash_attn_tpu.ops.reference import mha_reference
+
+TOL = {jnp.float32: 2e-5, jnp.bfloat16: 2e-2, jnp.float16: 2e-3}
+
+
+def make_qkv(key, batch, sq, sk, h, hk, d, dtype):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (batch, sq, h, d), dtype=jnp.float32)
+    k = jax.random.normal(kk, (batch, sk, hk, d), dtype=jnp.float32)
+    v = jax.random.normal(kv, (batch, sk, hk, d), dtype=jnp.float32)
+    return q.astype(dtype), k.astype(dtype), v.astype(dtype)
+
+
+def check(q, k, v, *, lse_rtol=1e-5, **kw):
+    out, lse = flash_fwd(q, k, v, interpret=True, **kw)
+    ref_out, ref_lse = mha_reference(q, k, v, return_lse=True, **kw)
+    tol = TOL[q.dtype.type]
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref_out, np.float32),
+        atol=tol * 10, rtol=tol * 10,
+    )
+    # LSE in fp32: tight check (finite rows only; -inf rows must agree exactly)
+    ref_lse = np.asarray(ref_lse)
+    got_lse = np.asarray(lse)
+    finite = np.isfinite(ref_lse)
+    np.testing.assert_allclose(got_lse[finite], ref_lse[finite], rtol=1e-3, atol=1e-3)
+    assert np.all(got_lse[~finite] <= -1e29)
+    return out, lse
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("causal", [False, True])
+def test_dense_basic(dtype, causal):
+    q, k, v = make_qkv(jax.random.PRNGKey(0), 2, 256, 256, 4, 4, 64, dtype)
+    check(q, k, v, causal=causal)
+
+
+@pytest.mark.parametrize("sq,sk", [(128, 384), (384, 128), (200, 300), (1, 256)])
+def test_rect_and_ragged_shapes(sq, sk):
+    # Non-block-multiple shapes exercise the in-kernel padding mask
+    # (the reference forces callers to pre-round instead, flash_attn.h:20-21).
+    q, k, v = make_qkv(jax.random.PRNGKey(1), 2, sq, sk, 2, 2, 64, jnp.float32)
+    check(q, k, v, causal=False)
+    check(q, k, v, causal=True)
+
+
+@pytest.mark.parametrize("h,hk", [(8, 1), (8, 2), (4, 4)])
+def test_gqa_mqa(h, hk):
+    # num_heads vs num_heads_k broadcast (flash_attn.h:22-23)
+    q, k, v = make_qkv(jax.random.PRNGKey(2), 1, 128, 256, h, hk, 64, jnp.float32)
+    check(q, k, v, causal=True)
+
+
+def test_additive_mask():
+    # attn_mask parity (flash_attn.h:35-36): arbitrary additive bias
+    q, k, v = make_qkv(jax.random.PRNGKey(3), 2, 128, 128, 2, 2, 64, jnp.float32)
+    mask = jax.random.normal(jax.random.PRNGKey(4), (2, 2, 128, 128))
+    out, lse = flash_fwd(q, k, v, bias=mask, interpret=True)
+    ref_out, ref_lse = mha_reference(q, k, v, mask=mask, return_lse=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), rtol=1e-3, atol=1e-3)
+
+
+def test_broadcast_mask():
+    q, k, v = make_qkv(jax.random.PRNGKey(5), 2, 128, 128, 2, 2, 64, jnp.float32)
+    mask = jnp.where(
+        jax.random.bernoulli(jax.random.PRNGKey(6), 0.8, (1, 1, 128, 128)),
+        0.0, float("-inf"),
+    )
+    out, _ = flash_fwd(q, k, v, bias=mask, interpret=True)
+    ref_out = mha_reference(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-4, rtol=2e-4)
+
+
+def test_segment_ids():
+    # varlen packing semantics (flash_attn.h:41-42)
+    batch, s = 2, 256
+    q, k, v = make_qkv(jax.random.PRNGKey(7), batch, s, s, 2, 2, 64, jnp.float32)
+    seg = jnp.concatenate([
+        jnp.full((batch, 100), 1, jnp.int32),
+        jnp.full((batch, 100), 2, jnp.int32),
+        jnp.zeros((batch, 56), jnp.int32),
+    ], axis=1)
+    out, lse = flash_fwd(q, k, v, q_segment_ids=seg, kv_segment_ids=seg, interpret=True)
+    ref_out, ref_lse = mha_reference(
+        q, k, v, q_segment_ids=seg, kv_segment_ids=seg, return_lse=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-4, rtol=2e-4)
+    finite = np.isfinite(np.asarray(ref_lse))
+    np.testing.assert_allclose(
+        np.asarray(lse)[finite], np.asarray(ref_lse)[finite], rtol=1e-3, atol=1e-3
+    )
+
+
+def test_segment_ids_with_causal():
+    batch, s = 1, 128
+    q, k, v = make_qkv(jax.random.PRNGKey(8), batch, s, s, 2, 2, 64, jnp.float32)
+    seg = jnp.concatenate([
+        jnp.full((batch, 64), 1, jnp.int32),
+        jnp.full((batch, 64), 2, jnp.int32),
+    ], axis=1)
+    out, _ = flash_fwd(
+        q, k, v, q_segment_ids=seg, kv_segment_ids=seg, causal=True, interpret=True
+    )
+    ref_out = mha_reference(q, k, v, q_segment_ids=seg, kv_segment_ids=seg, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-4, rtol=2e-4)
+
+
+def test_scale_override():
+    # softmax_scale parity (flash_attn.h:27)
+    q, k, v = make_qkv(jax.random.PRNGKey(9), 1, 128, 128, 2, 2, 64, jnp.float32)
+    out, _ = flash_fwd(q, k, v, scale=0.5, interpret=True)
+    ref_out = mha_reference(q, k, v, scale=0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-4, rtol=2e-4)
+
+
+def test_small_blocks_config():
+    q, k, v = make_qkv(jax.random.PRNGKey(10), 1, 512, 512, 2, 2, 64, jnp.float32)
+    cfg = FlashConfig(block_q=64, block_k=128)
+    out, _ = flash_fwd(q, k, v, causal=True, config=cfg, interpret=True)
+    ref_out = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-4, rtol=2e-4)
+
+
+def test_long_context_bf16_stability():
+    # many k blocks -> online rescaling must stay stable
+    q, k, v = make_qkv(jax.random.PRNGKey(11), 1, 128, 2048, 2, 2, 64, jnp.bfloat16)
+    check(q, k, v, causal=False)

@@ -1,0 +1,87 @@
+"""Llama family: cached decode vs full forward, quantized weights, RoPE."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu.models import llama
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = llama.LLAMA_TINY
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def test_forward_finite(tiny):
+    cfg, params = tiny
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    logits = llama.forward(params, toks, cfg, interpret=True)
+    assert logits.shape == (2, 16, cfg.vocab_size)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_rope_rotation_properties():
+    # position 0 is identity; equal positions preserve inner products
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 2, 32))
+    pos = jnp.zeros((1, 4), jnp.int32)
+    cos, sin = llama.rope_cos_sin(pos, 32, 10000.0)
+    np.testing.assert_allclose(
+        np.asarray(llama.apply_rope(x, cos, sin)), np.asarray(x), atol=1e-6
+    )
+    # relative property: <R(p)q, R(p+k)v> depends only on k
+    q = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 1, 32))
+    v = jax.random.normal(jax.random.PRNGKey(4), (1, 1, 1, 32))
+
+    def dot_at(p):
+        pos_q = jnp.full((1, 1), p, jnp.int32)
+        pos_v = jnp.full((1, 1), p + 5, jnp.int32)
+        cq, sq = llama.rope_cos_sin(pos_q, 32, 10000.0)
+        cv, sv = llama.rope_cos_sin(pos_v, 32, 10000.0)
+        qr = llama.apply_rope(q, cq, sq)
+        vr = llama.apply_rope(v, cv, sv)
+        return float(jnp.sum(qr * vr))
+
+    assert abs(dot_at(0) - dot_at(7)) < 1e-4
+
+
+def test_cached_decode_matches_forward(tiny):
+    cfg, params = tiny
+    prompt = jax.random.randint(jax.random.PRNGKey(5), (1, 8), 0, cfg.vocab_size)
+    cache = llama.make_cache(cfg, 1, 32)
+    # prefill via engine-adapter path, then one decode step
+    logits_all, kvs = llama.prefill_with_kv(
+        params, prompt, jnp.arange(8)[None], cfg, interpret=True
+    )
+    full = llama.forward(params, prompt, cfg, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(logits_all), np.asarray(full), atol=2e-3, rtol=2e-3
+    )
+    for i, (k, v) in enumerate(kvs):
+        cache = cache.append(i, k, v)
+    cache = cache.advance(8)
+    tok = jnp.argmax(logits_all[:, -1], -1)
+    logits_d, cache = llama.decode_step(params, tok, cfg, cache, interpret=True)
+    full2 = llama.forward(
+        params, jnp.concatenate([prompt, tok[:, None]], 1), cfg, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_d), np.asarray(full2[:, -1]), atol=5e-3, rtol=5e-3
+    )
+
+
+@pytest.mark.parametrize("mode", ["int8", "int4"])
+def test_quantized_weights_forward_close(tiny, mode):
+    cfg, params = tiny
+    toks = jax.random.randint(jax.random.PRNGKey(6), (1, 16), 0, cfg.vocab_size)
+    full = llama.forward(params, toks, cfg, interpret=True)
+    qparams = llama.quantize_weights(params, mode=mode, group_size=64)
+    qlogits = llama.forward(qparams, toks, cfg, interpret=True)
+    # per-token top-1 agreement is the meaningful metric
+    agree = float(
+        np.mean(np.argmax(np.asarray(full), -1) == np.argmax(np.asarray(qlogits), -1))
+    )
+    assert agree > 0.7, agree
+    assert bool(jnp.all(jnp.isfinite(qlogits)))

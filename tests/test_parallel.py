@@ -1,0 +1,58 @@
+"""Distributed paths on the virtual 8-device CPU mesh (SURVEY.md §4.3):
+ring attention has an exact algebraic oracle — ring-merged (out, lse) must
+equal the single-device kernel's output."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from flash_attn_tpu.ops.reference import mha_reference
+from flash_attn_tpu.parallel.mesh import MeshConfig, make_mesh
+from flash_attn_tpu.parallel.ring import make_ring_attention
+from flash_attn_tpu.parallel.ulysses import make_ulysses_attention
+
+
+@pytest.fixture(scope="module")
+def mesh4():
+    cfg = MeshConfig(sp=4)
+    return make_mesh(cfg)
+
+
+def qkv(key, b, s, h, d):
+    ks = jax.random.split(key, 3)
+    return tuple(jax.random.normal(k, (b, s, h, d)) for k in ks)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_single_device(mesh4, causal):
+    q, k, v = qkv(jax.random.PRNGKey(0), 1, 256, 4, 64)
+    ring_fn = make_ring_attention(mesh4, causal=causal, interpret=True)
+    got = ring_fn(q, k, v)
+    want = mha_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ulysses_matches_single_device(mesh4, causal):
+    q, k, v = qkv(jax.random.PRNGKey(1), 1, 256, 8, 64)
+    fn = make_ulysses_attention(mesh4, causal=causal, interpret=True)
+    got = fn(q, k, v)
+    want = mha_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+
+
+def test_tp_sharded_gpt2_forward(mesh4):
+    """GPT-2 forward under pjit with Megatron shardings == unsharded."""
+    from flash_attn_tpu.models import gpt2
+    from flash_attn_tpu.parallel.tp import gpt2_param_specs, shard_params
+
+    cfg = gpt2.GPT2_TINY
+    params = gpt2.init_params(cfg, jax.random.PRNGKey(2))
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (2, 16), 0, cfg.vocab_size)
+    want = gpt2.forward(params, tokens, cfg, interpret=True)
+
+    sharded = shard_params(params, mesh4, gpt2_param_specs("tp"))
+    got = jax.jit(lambda p, t: gpt2.forward(p, t, cfg, interpret=True))(sharded, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-3)

@@ -1,0 +1,109 @@
+"""Quantization ops + weight-only matmul kernels vs dequantize-then-float
+oracles (SURVEY.md §4 obligation 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu.ops.matmul import matmul_int4, matmul_int8, quantized_matmul
+from flash_attn_tpu.ops.quant import (
+    dequantize,
+    dequantize_int4,
+    quantize_fp8,
+    quantize_int4,
+    quantize_int8,
+    quantize_kv,
+    unpack_int4,
+)
+
+
+def test_int8_roundtrip_error_bounded():
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 128))
+    vals, scale = quantize_int8(x)
+    xr = dequantize(vals, scale)
+    # worst-case quantization error is scale/2 per element
+    err = np.abs(np.asarray(xr - x))
+    bound = np.broadcast_to(np.asarray(scale) / 2, x.shape) + 1e-7
+    assert np.all(err <= bound)
+
+
+def test_fp8_roundtrip_error_bounded():
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 128))
+    vals, scale = quantize_fp8(x)
+    assert vals.dtype == jnp.float8_e4m3fn
+    xr = dequantize(vals, scale)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=0.1, rtol=0.1)
+
+
+def test_int4_pack_unpack_exact():
+    w = jax.random.normal(jax.random.PRNGKey(2), (256, 128))
+    qw = quantize_int4(w, group_size=128)
+    assert qw.packed.shape == (128, 128)
+    assert qw.scales.shape == (2, 128)
+    # unpack∘pack == the quantized integer grid exactly
+    vals = unpack_int4(qw.packed, 128)
+    assert vals.shape == (256, 128)
+    assert np.asarray(vals).min() >= -8 and np.asarray(vals).max() <= 7
+    wr = dequantize_int4(qw)
+    err = np.abs(np.asarray(wr - w))
+    scales_full = np.repeat(np.asarray(qw.scales), 128, axis=0)
+    assert np.all(err <= scales_full / 2 + 1e-7)
+
+
+@pytest.mark.parametrize("scales_kind", ["per_col", "per_group"])
+def test_matmul_int8_vs_oracle(scales_kind):
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (32, 256), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(4), (256, 192), jnp.float32)
+    if scales_kind == "per_col":
+        vals, scale = quantize_int8(w, axes=(0,))
+        scales = scale[0]  # [N]
+    else:
+        wg = w.reshape(2, 128, 192)
+        amax = jnp.max(jnp.abs(wg), axis=1, keepdims=True)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        vals = jnp.clip(jnp.round(wg / scale), -127, 127).astype(jnp.int8).reshape(256, 192)
+        scales = scale[:, 0, :]  # [K//g, N]
+    got = matmul_int8(x, vals, scales, interpret=True)
+    want = x @ dequantize(
+        vals, scales[None, :] if scales.ndim == 1 else jnp.repeat(scales, 128, axis=0)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-3)
+
+
+def test_matmul_int4_vs_oracle():
+    x = jax.random.normal(jax.random.PRNGKey(5), (16, 512), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(6), (512, 256), jnp.float32)
+    qw = quantize_int4(w, group_size=128)
+    got = matmul_int4(x, qw, interpret=True)
+    want = x @ dequantize_int4(qw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-3)
+
+
+def test_quantized_matmul_dispatch():
+    x = jax.random.normal(jax.random.PRNGKey(7), (8, 256), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(8), (256, 128), jnp.float32)
+    out_f = quantized_matmul(x, w)
+    qw = quantize_int4(w)
+    out_4 = quantized_matmul(x, qw, interpret=True)
+    vals, scale = quantize_int8(w, axes=(0,))
+    out_8 = quantized_matmul(x, (vals, scale[0]), interpret=True)
+    # int8 closer to float than int4
+    e8 = float(jnp.mean(jnp.abs(out_8 - out_f)))
+    e4 = float(jnp.mean(jnp.abs(out_4 - out_f)))
+    assert e8 < e4 < 3.0
+
+
+def test_quantize_kv_modes():
+    k = jax.random.normal(jax.random.PRNGKey(9), (2, 16, 4, 64))
+    v = jax.random.normal(jax.random.PRNGKey(10), (2, 16, 4, 64))
+    for mode, dt in [("int8", jnp.int8), ("fp8", jnp.float8_e4m3fn)]:
+        kq, ks, vq, vs = quantize_kv(k, v, mode)
+        assert kq.dtype == dt
+        assert ks.shape == (2, 16, 4, 1)
+        np.testing.assert_allclose(
+            np.asarray(dequantize(kq, ks)), np.asarray(k), atol=0.1, rtol=0.2
+        )
+    kq, ks, vq, vs = quantize_kv(k, v, "none")
+    assert kq is k and ks is None
