@@ -5,50 +5,60 @@ quantized KV on one chip.  Decode attention is bandwidth-bound: ideal time =
 KV bytes / HBM bandwidth; we report achieved/ideal.  Also measures the FA2
 forward kernel's TFLOP/s as a secondary detail.
 
-Run on the real TPU by the driver; falls back to CPU numbers (marked) if no
-TPU is present.
+Timing methodology: through the axon relay, ``block_until_ready`` does NOT
+synchronize with remote execution (dispatch acks immediately), so every
+measurement chains N data-dependent kernel invocations inside one jit and
+forces a scalar host readback; kernel time = (t_chain - t_roundtrip) / N.
 """
 
 import json
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-# Per-chip peak numbers for roofline accounting.
-CHIP_SPECS = {
-    # name: (bf16 TFLOP/s, HBM GB/s)
-    "v5e": (197.0, 819.0),
-    "v5p": (459.0, 2765.0),
-    "v4": (275.0, 1228.0),
-    "cpu": (1.0, 50.0),
-}
 
-
-def chip_kind():
-    d = jax.devices()[0]
-    kind = getattr(d, "device_kind", "cpu").lower()
-    for name in CHIP_SPECS:
-        if name in kind:
-            return name
-    if "v5 lite" in kind or "v5lite" in kind:
-        return "v5e"
-    return "cpu" if d.platform == "cpu" else "v5e"
-
-
-def timeit(fn, *args, iters=20, warmup=3):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+def _median_time(callable_, iters=7):
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        callable_()
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
 
-def bench_flash_fwd(chip):
+def make_chain_timer(step_fn, init, n_chain=32):
+    """Returns a () -> float that forces full execution of n_chain chained
+    steps (data-dependent) and a scalar readback."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(x):
+        y = jax.lax.fori_loop(0, n_chain, lambda i, c: step_fn(c), x)
+        return jnp.sum(y.astype(jnp.float32))
+
+    def run():
+        return float(chained(init))  # float() forces readback => real sync
+
+    run()  # compile + warm
+    run()
+    return run
+
+
+def roundtrip_seconds():
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 128), jnp.float32)
+    f = jax.jit(lambda a: jnp.sum(a))
+    float(f(x))
+    return _median_time(lambda: float(f(x)))
+
+
+def bench_flash_fwd(chip_peaks, rt):
+    import jax
+    import jax.numpy as jnp
+
     from flash_attn_tpu.ops.flash_fwd import flash_fwd
 
     B, S, H, D = 4, 2048, 16, 128
@@ -56,16 +66,24 @@ def bench_flash_fwd(chip):
     q = jax.random.normal(key, (B, S, H, D), jnp.bfloat16)
     k = jax.random.normal(key, (B, S, H, D), jnp.bfloat16)
     v = jax.random.normal(key, (B, S, H, D), jnp.bfloat16)
-    fn = jax.jit(lambda a, b, c: flash_fwd(a, b, c, causal=True)[0])
-    t = timeit(fn, q, k, v)
-    flops = 4 * B * H * S * S * D / 2  # causal
+
+    N = 16
+    step = lambda q_: flash_fwd(q_, k, v, causal=True)[0]
+    run = make_chain_timer(step, q, N)
+    t = max((_median_time(run) - rt) / N, 1e-9)
+    flops = 4 * B * H * S * S * D / 2
     tflops = flops / t / 1e12
-    peak = CHIP_SPECS[chip][0]
-    return {"fwd_tflops": round(tflops, 2), "fwd_frac_peak": round(tflops / peak, 4),
-            "fwd_ms": round(t * 1e3, 3)}
+    return {
+        "fwd_ms": round(t * 1e3, 3),
+        "fwd_tflops": round(tflops, 2),
+        "fwd_frac_peak": round(tflops / chip_peaks[0], 4),
+    }
 
 
-def bench_decode(chip, mode="int8"):
+def bench_decode(chip_peaks, rt, mode="int8"):
+    import jax
+    import jax.numpy as jnp
+
     from flash_attn_tpu.ops.decode import flash_decode
     from flash_attn_tpu.ops.quant import quantize_kv
 
@@ -79,16 +97,16 @@ def bench_decode(chip, mode="int8"):
         kv_bytes = 2 * B * S * Hk * D * 2
     else:
         kq, ks, vq, vs = quantize_kv(k, v, mode)
-        kv_bytes = 2 * B * S * Hk * D * 1 + 2 * B * S * Hk * 4
+        elem = 1  # int8 / fp8
+        kv_bytes = 2 * B * S * Hk * (D * elem + 4)
 
-    fn = jax.jit(
-        lambda q_, k_, v_, ks_, vs_: flash_decode(
-            q_, k_, v_, k_scale=ks_, v_scale=vs_
-        )
+    N = 32
+    step = lambda q_: flash_decode(q_, kq, vq, k_scale=ks, v_scale=vs).astype(
+        jnp.bfloat16
     )
-    t = timeit(fn, q, kq, vq, ks, vs)
-    bw = CHIP_SPECS[chip][1] * 1e9
-    ideal = kv_bytes / bw
+    run = make_chain_timer(step, q, N)
+    t = max((_median_time(run) - rt) / N, 1e-9)
+    ideal = kv_bytes / (chip_peaks[2] * 1e9)
     return {
         f"decode_{mode}_us": round(t * 1e6, 1),
         f"decode_{mode}_roofline_frac": round(ideal / t, 4),
@@ -96,15 +114,32 @@ def bench_decode(chip, mode="int8"):
 
 
 def main():
-    chip = chip_kind()
-    details = {"chip": chip, "backend": jax.default_backend()}
     try:
-        details.update(bench_flash_fwd(chip))
+        from flash_attn_tpu.utils.tpu_connect import ensure_tpu
+
+        ensure_tpu()
+    except Exception:
+        pass
+
+    import jax
+
+    from flash_attn_tpu.utils.profiling import CHIP_PEAKS, chip_kind
+
+    chip = chip_kind()
+    peaks = CHIP_PEAKS[chip]
+    rt = roundtrip_seconds()
+    details = {
+        "chip": chip,
+        "backend": jax.default_backend(),
+        "roundtrip_us": round(rt * 1e6, 1),
+    }
+    try:
+        details.update(bench_flash_fwd(peaks, rt))
     except Exception as e:  # pragma: no cover
         details["fwd_error"] = repr(e)[:200]
     for mode in ("int8", "none"):
         try:
-            details.update(bench_decode(chip, mode))
+            details.update(bench_decode(peaks, rt, mode))
         except Exception as e:  # pragma: no cover
             details[f"decode_{mode}_error"] = repr(e)[:200]
 

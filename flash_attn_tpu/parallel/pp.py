@@ -1,0 +1,104 @@
+"""Pipeline parallelism: GPipe-style microbatched stage execution (B8 PP).
+
+Stages are closures over their own (stage-sharded) params; the microbatch
+loop runs as a host-level Python loop over jitted stage steps with
+device_put transfers between stage meshes — the simple, correct form.  For
+single-mesh SPMD pipelines, `pipeline_spmd` runs the loop inside one jit with
+``ppermute`` rotation over a 'pp' axis (compile-friendly, used by the
+multichip dry-run tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def split_layers(params_blocks: Sequence, num_stages: int):
+    """Partition a list of per-layer params into contiguous stages."""
+    n = len(params_blocks)
+    per = -(-n // num_stages)
+    return [params_blocks[i * per : (i + 1) * per] for i in range(num_stages)]
+
+
+def pipeline_apply(
+    stages: Sequence[Callable],
+    x: jax.Array,
+    *,
+    num_microbatches: int,
+):
+    """Run x [B, ...] through sequential stages with microbatching.
+
+    stages: list of fns h -> h (already closed over their params, jitted by
+    the caller).  Returns the final activations in original batch order.
+    1F schedule (inference/forward): microbatch i enters stage s as soon as
+    stage s-1 produced it — XLA's async dispatch gives the overlap.
+    """
+    batch = x.shape[0]
+    if batch % num_microbatches:
+        raise ValueError(f"batch {batch} not divisible by {num_microbatches} microbatches")
+    mbs = jnp.split(x, num_microbatches, axis=0)
+    outs = []
+    for mb in mbs:
+        h = mb
+        for stage in stages:
+            h = stage(h)
+        outs.append(h)
+    return jnp.concatenate(outs, axis=0)
+
+
+def pipeline_spmd(stage_fn, params_stacked, x, *, axis_name: str,
+                  num_microbatches: int):
+    """SPMD pipeline inside shard_map: every device holds ONE stage's params
+    (stacked and sharded over ``axis_name``); activations rotate through the
+    ring with ppermute while microbatches stream in.
+
+    stage_fn(stage_params, h) -> h.
+    x: local input microbatches [num_microbatches, mb, ...] — only the
+    device at position 0's input is used; results exit at the last device
+    and are psum-broadcast back.
+
+    Classic GPipe fill-drain over a ring: T = num_microbatches + n - 1 ticks.
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    num_t = num_microbatches + n - 1
+    mb_shape = x.shape[1:]
+
+    perm_fwd = [(i, (i + 1) % n) for i in range(n)]
+
+    def tick(carry, t):
+        h_in, outputs = carry
+        # stage 0 injects microbatch t (if still filling)
+        inject = jnp.where(t < num_microbatches, t, num_microbatches - 1)
+        my_input = jnp.where(
+            (idx == 0) & (t < num_microbatches),
+            x[inject],
+            h_in,
+        )
+        h_out = stage_fn(params_stacked, my_input)
+        # last stage records output for microbatch (t - (n - 1))
+        out_t = t - (n - 1)
+        record = (idx == n - 1) & (out_t >= 0)
+        outputs = jax.lax.cond(
+            record,
+            lambda o: o.at[jnp.clip(out_t, 0, num_microbatches - 1)].set(h_out),
+            lambda o: o,
+            outputs,
+        )
+        h_next = jax.lax.ppermute(h_out, axis_name, perm_fwd)
+        return (h_next, outputs), None
+
+    h0 = jnp.zeros(mb_shape, x.dtype)
+    outputs0 = jnp.zeros((num_microbatches,) + mb_shape, x.dtype)
+    (_, outputs), _ = jax.lax.scan(
+        tick, (h0, outputs0), jnp.arange(num_t)
+    )
+    # broadcast results from the last stage to all devices
+    outputs = jax.lax.psum(
+        jnp.where(idx == n - 1, outputs, jnp.zeros_like(outputs)), axis_name
+    )
+    return outputs
