@@ -114,12 +114,17 @@ def bench_decode(chip_peaks, rt, mode="int8"):
 
 
 def main():
-    try:
-        from flash_attn_tpu.utils.tpu_connect import ensure_tpu
+    import os
+    import sys
 
-        ensure_tpu()
-    except Exception:
-        pass
+    from flash_attn_tpu.utils.tpu_connect import run_with_tpu_retry, tpu_available
+
+    if not tpu_available() and os.environ.get("PALLAS_AXON_POOL_IPS"):
+        # Startup TPU registration failed (stale claim race) — this process
+        # is unusable for TPU work; retry from fresh child processes.
+        if os.environ.get("FATPU_BENCH_CHILD"):
+            sys.exit(42)
+        sys.exit(run_with_tpu_retry(os.path.abspath(__file__), "FATPU_BENCH_CHILD"))
 
     import jax
 

@@ -30,7 +30,7 @@ def _flash_attention_core(
     k,
     v,
     bias,
-    segs,  # (q_segment_ids, kv_segment_ids) or None
+    segs,  # (q_segment_ids, kv_segment_ids, q_positions, kv_positions) or None
     causal: bool,
     scale: Optional[float],
     dropout_rate: float,
@@ -46,6 +46,8 @@ def _flash_attention_core(
         bias=bias,
         q_segment_ids=None if segs is None else segs[0],
         kv_segment_ids=None if segs is None else segs[1],
+        q_positions=None if segs is None else segs[2],
+        kv_positions=None if segs is None else segs[3],
         causal=causal,
         scale=scale,
         dropout_rate=dropout_rate,
@@ -63,6 +65,8 @@ def _core_fwd(q, k, v, bias, segs, causal, scale, dropout_rate, dropout_seed,
         bias=bias,
         q_segment_ids=None if segs is None else segs[0],
         kv_segment_ids=None if segs is None else segs[1],
+        q_positions=None if segs is None else segs[2],
+        kv_positions=None if segs is None else segs[3],
         causal=causal, scale=scale,
         dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         config=config, interpret=interpret,
@@ -83,6 +87,8 @@ def _core_bwd(causal, scale, dropout_rate, dropout_seed, window, config,
             bias=bias,
             q_segment_ids=None if segs is None else segs[0],
             kv_segment_ids=None if segs is None else segs[1],
+            q_positions=None if segs is None else segs[2],
+            kv_positions=None if segs is None else segs[3],
             causal=causal, scale=scale,
             dropout_rate=dropout_rate, dropout_seed=dropout_seed,
             config=config, interpret=interpret,
@@ -102,7 +108,10 @@ def _int_cotangent(segs):
         return None
     import numpy as np
 
-    return tuple(np.zeros(s.shape, dtype=jax.dtypes.float0) for s in segs)
+    return tuple(
+        None if s is None else np.zeros(s.shape, dtype=jax.dtypes.float0)
+        for s in segs
+    )
 
 
 _flash_attention_core.defvjp(_core_fwd, _core_bwd)
@@ -141,6 +150,10 @@ def _jnp_backward(q, k, v, out, lse, dout, *, bias, segs, causal, scale,
     )
     if b is not None:
         s = s + b
+    if segs is not None and segs[2] is not None:
+        qp, kp = segs[2], segs[3]
+        allowed = kp[:, None, None, :] <= qp[:, None, :, None]
+        s = jnp.where(allowed, s, float("-inf"))
     lse_b = lse[:, :, :, None]  # [B,H,Sq,1]
     p = jnp.where(jnp.isfinite(s) & jnp.isfinite(lse_b), jnp.exp(s - lse_b), 0.0)
 
@@ -182,6 +195,8 @@ def flash_attention(
     mask: jax.Array | None = None,
     q_segment_ids: jax.Array | None = None,
     kv_segment_ids: jax.Array | None = None,
+    q_positions: jax.Array | None = None,
+    kv_positions: jax.Array | None = None,
     scale: float | None = None,
     dropout_rate: float = 0.0,
     dropout_seed: int | jax.Array = 0,
@@ -191,7 +206,10 @@ def flash_attention(
     interpret: bool | None = None,
 ):
     """FlashAttention-2. See flash_fwd for shapes; differentiable via
-    jax.grad. Replaces flash_attn_fwd/bwd (flash_attn.h:10-36,68-99)."""
+    jax.grad. Replaces flash_attn_fwd/bwd (flash_attn.h:10-36,68-99).
+
+    q_positions/kv_positions: optional int32 position arrays enforcing
+    kv_pos <= q_pos (per-sequence causal for packed batches)."""
     _validate(q, k, v, mask)
     if window is not None:
         # Local windows fold into the additive mask path for now; a windowed
@@ -202,12 +220,13 @@ def flash_attention(
         mask = wmask if mask is None else mask + wmask
         window = None
     segs = None
-    if q_segment_ids is not None:
-        segs = (q_segment_ids, kv_segment_ids)
+    if q_segment_ids is not None or q_positions is not None:
+        segs = (q_segment_ids, kv_segment_ids, q_positions, kv_positions)
     if return_lse:
         out, lse = flash_fwd(
             q, k, v, bias=mask,
             q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+            q_positions=q_positions, kv_positions=kv_positions,
             causal=causal, scale=scale, dropout_rate=dropout_rate,
             dropout_seed=dropout_seed, config=config, interpret=interpret,
         )
@@ -250,25 +269,27 @@ def flash_attention_varlen(
     kseg = cu_seqlens_to_segment_ids(cu_seqlens_k, total_k)[None]
 
     # Per-sequence causal on a packed batch: global bottom-right alignment is
-    # wrong; build positions within each sequence and mask col_pos > row_pos.
-    mask = None
+    # wrong; encode the per-sequence alignment into position arrays compared
+    # inside the kernel (kv_pos <= q_pos) — no O(S^2) bias tensor.
+    qpos_arg = kpos_arg = None
     if causal:
         from flash_attn_tpu.ops.varlen import segment_ids_to_positions
 
         qpos = segment_ids_to_positions(qseg[0])
         kpos = segment_ids_to_positions(kseg[0])
+        # per-Q-token lengths of its own q- and k-sequences, for the
+        # bottom-right alignment shift within each sequence pair
         qlen = _segment_lengths(cu_seqlens_q, qseg[0])
-        klen = _segment_lengths(cu_seqlens_k, kseg[0])
-        # bottom-right alignment within each sequence pair
-        shift = klen - qlen
-        allowed = kpos[None, :] <= qpos[:, None] + shift[:, None]
-        mask = jnp.where(allowed, 0.0, float("-inf"))[None, None].astype(jnp.float32)
+        klen_for_q = _segment_lengths(cu_seqlens_k, qseg[0])
+        qpos_arg = (qpos + (klen_for_q - qlen))[None]
+        kpos_arg = kpos[None]
         causal = False
 
     out = flash_attention(
         q[None], k[None], v[None],
-        causal=causal, mask=mask,
+        causal=causal,
         q_segment_ids=qseg, kv_segment_ids=kseg,
+        q_positions=qpos_arg, kv_positions=kpos_arg,
         scale=scale, dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         return_lse=return_lse, config=config, interpret=interpret,
     )

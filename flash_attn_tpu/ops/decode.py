@@ -38,6 +38,7 @@ def flash_decode(
     interpret: bool | None = None,
     use_kernel: bool = True,
     block_k: int = 256,
+    return_lse: bool = False,
 ):
     """Single-token decode attention over a (possibly quantized) KV cache.
 
@@ -51,7 +52,8 @@ def flash_decode(
       k_scale, v_scale: dequant scales, broadcastable to [B, S, Hk, D]
         (per-head or per-block granularity).
 
-    Returns out [B, H, D] in q.dtype.
+    Returns out [B, H, D] in q.dtype; with return_lse also lse [B, H] fp32
+    (the merge residual for sharded/distributed decode, flash_attn.h:16).
     """
     batch, num_heads, head_dim = q.shape
     _, seqlen_k, num_heads_k, _ = k.shape
@@ -65,11 +67,11 @@ def flash_decode(
     if use_kernel:
         return _decode_kernel_call(
             q, k, v, kv_length, scale=scale, k_scale=k_scale, v_scale=v_scale,
-            block_k=block_k, interpret=interpret,
+            block_k=block_k, interpret=interpret, return_lse=return_lse,
         )
     return _decode_jnp(
         q, k, v, kv_length, scale=scale, num_splits=num_splits,
-        k_scale=k_scale, v_scale=v_scale,
+        k_scale=k_scale, v_scale=v_scale, return_lse=return_lse,
     )
 
 
@@ -80,7 +82,8 @@ def _dequant(x, x_scale):
     return xf
 
 
-def _decode_jnp(q, k, v, kv_length, *, scale, num_splits, k_scale, v_scale):
+def _decode_jnp(q, k, v, kv_length, *, scale, num_splits, k_scale, v_scale,
+                return_lse=False):
     """jnp oracle for split-KV decode: correctness spec for the kernel."""
     batch, num_heads, head_dim = q.shape
     seqlen_k = k.shape[1]
@@ -113,7 +116,9 @@ def _decode_jnp(q, k, v, kv_length, *, scale, num_splits, k_scale, v_scale):
         lse = jnp.where(l[..., 0] > 0, safe_m[..., 0] + jnp.log(jnp.maximum(l[..., 0], 1e-37)), float("-inf"))
         outs.append(o)
         lses.append(lse)
-    out, _ = lse_merge(jnp.stack(outs), jnp.stack(lses), axis=0)
+    out, lse = lse_merge(jnp.stack(outs), jnp.stack(lses), axis=0)
+    if return_lse:
+        return out.astype(q.dtype), lse
     return out.astype(q.dtype)
 
 
@@ -131,6 +136,7 @@ def _decode_kernel(
     ks_ref,     # [1, bk, Hk, 1] scales (or dummy)
     vs_ref,
     o_ref,      # [1, H, D]
+    lse_ref,    # [1, H, 1]
     m_scratch,  # [H, 128]
     l_scratch,  # [H, 128]
     acc_scratch,  # [H, D]
@@ -198,15 +204,19 @@ def _decode_kernel(
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
+        m = m_scratch[:, :1]
         l = l_scratch[:, :1]
         valid = l > 0.0
         o_ref[0] = jnp.where(
             valid, acc_scratch[...] / jnp.where(valid, l, 1.0), 0.0
         ).astype(out_dtype)
+        lse_ref[0] = jnp.where(
+            valid, m + jnp.log(jnp.where(valid, l, 1.0)), NEG_INF
+        ).astype(jnp.float32)
 
 
 def _decode_kernel_call(q, k, v, kv_length, *, scale, k_scale, v_scale,
-                        block_k, interpret):
+                        block_k, interpret, return_lse=False):
     batch, num_heads, head_dim = q.shape
     _, seqlen_k, num_heads_k, _ = k.shape
 
@@ -248,7 +258,7 @@ def _decode_kernel_call(q, k, v, kv_length, *, scale, k_scale, v_scale,
         out_dtype=q.dtype,
     )
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -260,14 +270,20 @@ def _decode_kernel_call(q, k, v, kv_length, *, scale, k_scale, v_scale,
                 scale_spec(has_ks),
                 scale_spec(has_vs),
             ],
-            out_specs=pl.BlockSpec((1, num_heads, head_dim), lambda b, ki, *_: (b, 0, 0)),
+            out_specs=[
+                pl.BlockSpec((1, num_heads, head_dim), lambda b, ki, *_: (b, 0, 0)),
+                pl.BlockSpec((1, num_heads, 1), lambda b, ki, *_: (b, 0, 0)),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((num_heads, 128), jnp.float32),
                 pltpu.VMEM((num_heads, 128), jnp.float32),
                 pltpu.VMEM((num_heads, head_dim), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, num_heads, head_dim), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, num_heads, head_dim), q.dtype),
+            jax.ShapeDtypeStruct((batch, num_heads, 1), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -278,4 +294,6 @@ def _decode_kernel_call(q, k, v, kv_length, *, scale, k_scale, v_scale,
         ),
         interpret=interpret,
     )(kv_length.astype(jnp.int32), q, k, v, ks, vs)
+    if return_lse:
+        return out, lse[..., 0]
     return out

@@ -47,7 +47,7 @@ from flash_attn_tpu.ops.flash_fwd import (
 def _recompute_p_ds(
     q, k, v, dout, lse_row, delta_row, *,
     row0, col0, block_q, block_k, seqlen_q, seqlen_k, shift,
-    causal, has_segs, qs, ks, has_bias, bias, scale,
+    causal, has_segs, qs, ks, has_pos, qp, kp, has_bias, bias, scale,
     dropout_rate, seed_ref, b, h, qi, ki,
 ):
     """Shared tile math: returns (p_drop, ds) fp32 [bq, bk].
@@ -71,6 +71,8 @@ def _recompute_p_ds(
         mask &= col <= row + shift
     if has_segs:
         mask &= qs == ks  # (bq,1) == (1,bk) broadcast
+    if has_pos:
+        mask &= kp <= qp  # per-sequence causal via positions
 
     # p = exp(s - lse); fully-masked rows have lse=NEG_INF -> force p=0 via
     # the element mask (never via the subtraction, which would yield exp(0)).
@@ -99,11 +101,12 @@ def _recompute_p_ds(
 def _dq_kernel(
     seed_ref,
     q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref, bias_ref, qseg_ref, kseg_ref,
+    qpos_ref, kpos_ref,
     dq_ref,
     dq_scratch,
     *,
     seqlen_q, seqlen_k, block_q, block_k, num_k_blocks,
-    causal, scale, dropout_rate, has_bias, has_segs, out_dtype,
+    causal, scale, dropout_rate, has_bias, has_segs, has_pos, out_dtype,
 ):
     b, h, qi, ki = (pl.program_id(i) for i in range(4))
     shift = seqlen_k - seqlen_q
@@ -127,6 +130,9 @@ def _dq_kernel(
             causal=causal, has_segs=has_segs,
             qs=qseg_ref[0] if has_segs else None,
             ks=kseg_ref[0] if has_segs else None,
+            has_pos=has_pos,
+            qp=qpos_ref[0] if has_pos else None,
+            kp=kpos_ref[0] if has_pos else None,
             has_bias=has_bias,
             bias=bias_ref[0, 0].astype(jnp.float32) if has_bias else None,
             scale=scale, dropout_rate=dropout_rate, seed_ref=seed_ref,
@@ -150,11 +156,12 @@ def _dq_kernel(
 def _dkv_kernel(
     seed_ref,
     q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref, bias_ref, qseg_ref, kseg_ref,
+    qpos_ref, kpos_ref,
     dk_ref, dv_ref,
     dk_scratch, dv_scratch,
     *,
     seqlen_q, seqlen_k, block_q, block_k, num_q_blocks,
-    causal, scale, dropout_rate, has_bias, has_segs, out_dtype,
+    causal, scale, dropout_rate, has_bias, has_segs, has_pos, out_dtype,
 ):
     b, h, ki, qi = (pl.program_id(i) for i in range(4))
     shift = seqlen_k - seqlen_q
@@ -179,6 +186,9 @@ def _dkv_kernel(
             causal=causal, has_segs=has_segs,
             qs=qseg_ref[0] if has_segs else None,
             ks=kseg_ref[0] if has_segs else None,
+            has_pos=has_pos,
+            qp=qpos_ref[0] if has_pos else None,
+            kp=kpos_ref[0] if has_pos else None,
             has_bias=has_bias,
             bias=bias_ref[0, 0].astype(jnp.float32) if has_bias else None,
             scale=scale, dropout_rate=dropout_rate, seed_ref=seed_ref,
@@ -210,6 +220,8 @@ def flash_bwd(
     bias=None,
     q_segment_ids=None,
     kv_segment_ids=None,
+    q_positions=None,
+    kv_positions=None,
     causal=False,
     scale=None,
     dropout_rate=0.0,
@@ -275,6 +287,22 @@ def flash_bwd(
         qseg = jnp.zeros((batch, block_q, 1), jnp.int32)
         kseg = jnp.zeros((batch, 1, block_k), jnp.int32)
 
+    has_pos = q_positions is not None
+    if has_pos:
+        qpos = jnp.pad(
+            q_positions.astype(jnp.int32),
+            ((0, 0), (0, sq_p - q_positions.shape[1])),
+            constant_values=-(2**30),
+        )[..., None]
+        kpos = jnp.pad(
+            kv_positions.astype(jnp.int32),
+            ((0, 0), (0, sk_p - kv_positions.shape[1])),
+            constant_values=2**30,
+        )[:, None, :]
+    else:
+        qpos = jnp.zeros((batch, block_q, 1), jnp.int32)
+        kpos = jnp.zeros((batch, 1, block_k), jnp.int32)
+
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
 
     # --- common specs (as functions of the two block-coord names) ---
@@ -304,6 +332,14 @@ def flash_bwd(
             qi, ki = order(x, y)
             return (b, 0, ki) if has_segs else (0, 0, 0)
 
+        def qposmap(b, h, x, y, *_):
+            qi, ki = order(x, y)
+            return (b, qi, 0) if has_pos else (0, 0, 0)
+
+        def kposmap(b, h, x, y, *_):
+            qi, ki = order(x, y)
+            return (b, 0, ki) if has_pos else (0, 0, 0)
+
         return [
             pl.BlockSpec((1, 1, block_q, head_dim), qmap),      # q
             pl.BlockSpec((1, 1, block_k, head_dim), kmap),      # k
@@ -314,6 +350,8 @@ def flash_bwd(
             pl.BlockSpec((1, 1, block_q, block_k), biasmap),    # bias
             pl.BlockSpec((1, block_q, 1), qsegmap),             # qseg
             pl.BlockSpec((1, 1, block_k), ksegmap),             # kseg
+            pl.BlockSpec((1, block_q, 1), qposmap),             # qpos
+            pl.BlockSpec((1, 1, block_k), kposmap),             # kpos
         ]
 
     common_kwargs = dict(
@@ -321,9 +359,9 @@ def flash_bwd(
         block_q=block_q, block_k=block_k,
         causal=causal, scale=float(scale),
         dropout_rate=float(dropout_rate),
-        has_bias=has_bias, has_segs=has_segs,
+        has_bias=has_bias, has_segs=has_segs, has_pos=has_pos,
     )
-    args = (seed, qt, kt, vt, dot, lse_p, delta_p, bias_f, qseg, kseg)
+    args = (seed, qt, kt, vt, dot, lse_p, delta_p, bias_f, qseg, kseg, qpos, kpos)
 
     gemm_flops = 2 * batch * num_heads * seqlen_q * seqlen_k * head_dim
     if causal:

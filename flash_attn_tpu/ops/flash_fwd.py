@@ -141,6 +141,8 @@ def _fwd_kernel(
     bias_ref,
     qseg_ref,
     kseg_ref,
+    qpos_ref,
+    kpos_ref,
     # outputs
     out_ref,
     lse_ref,
@@ -159,6 +161,7 @@ def _fwd_kernel(
     dropout_rate: float,
     has_bias: bool,
     has_segs: bool,
+    has_pos: bool,
     out_dtype,
 ):
     b, h, qi, ki = (pl.program_id(i) for i in range(4))
@@ -193,6 +196,11 @@ def _fwd_kernel(
             qs = qseg_ref[0]  # [bq, 1]
             ks = kseg_ref[0]  # [1, bk]
             mask &= qs == ks
+        if has_pos:
+            # per-sequence causal for packed varlen batches: caller encodes
+            # the bottom-right alignment into q_positions (flash_attn.h:38-66
+            # varlen causal semantics, in-kernel, no O(S^2) bias tensor).
+            mask &= kpos_ref[0] <= qpos_ref[0]
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scratch[:, :1]  # [bq, 1]
@@ -250,6 +258,8 @@ def flash_fwd(
     bias: jax.Array | None = None,
     q_segment_ids: jax.Array | None = None,
     kv_segment_ids: jax.Array | None = None,
+    q_positions: jax.Array | None = None,
+    kv_positions: jax.Array | None = None,
     causal: bool = False,
     scale: float | None = None,
     dropout_rate: float = 0.0,
@@ -260,6 +270,10 @@ def flash_fwd(
     """FlashAttention-2 forward. q: [B,Sq,H,D]; k,v: [B,Sk,Hk,D] (BSHD, the
     reference layout, flash_attn.h:10-12). Returns (out [B,Sq,H,D],
     lse [B,H,Sq] fp32).
+
+    q_positions/kv_positions ([B,Sq]/[B,Sk] int32): when given, positions
+    mask attention to kv_pos <= q_pos — the in-kernel form of per-sequence
+    causal on packed varlen batches (compose with segment ids).
     """
     cfg = config or FlashConfig()
     if interpret is None:
@@ -326,6 +340,33 @@ def flash_fwd(
         (lambda b, h, qi, ki, *_: (b, 0, ki)) if has_segs else (lambda b, h, qi, ki, *_: (0, 0, 0)),
     )
 
+    has_pos = q_positions is not None
+    if has_pos and kv_positions is None:
+        raise ValueError("q_positions given without kv_positions")
+    if has_pos:
+        BIG = jnp.int32(2**30)
+        qpos = jnp.pad(
+            q_positions.astype(jnp.int32),
+            ((0, 0), (0, sq_p - q_positions.shape[1])),
+            constant_values=-(2**30),
+        )[..., None]
+        kpos = jnp.pad(
+            kv_positions.astype(jnp.int32),
+            ((0, 0), (0, sk_p - kv_positions.shape[1])),
+            constant_values=2**30,
+        )[:, None, :]
+    else:
+        qpos = jnp.zeros((batch, block_q, 1), jnp.int32)
+        kpos = jnp.zeros((batch, 1, block_k), jnp.int32)
+    qpos_spec = pl.BlockSpec(
+        (1, block_q, 1),
+        (lambda b, h, qi, ki, *_: (b, qi, 0)) if has_pos else (lambda b, h, qi, ki, *_: (0, 0, 0)),
+    )
+    kpos_spec = pl.BlockSpec(
+        (1, 1, block_k),
+        (lambda b, h, qi, ki, *_: (b, 0, ki)) if has_pos else (lambda b, h, qi, ki, *_: (0, 0, 0)),
+    )
+
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
 
     grid = (batch, num_heads, num_q_blocks, num_k_blocks)
@@ -342,6 +383,7 @@ def flash_fwd(
         dropout_rate=float(dropout_rate),
         has_bias=has_bias,
         has_segs=has_segs,
+        has_pos=has_pos,
         out_dtype=q.dtype,
     )
 
@@ -373,6 +415,8 @@ def flash_fwd(
                 bias_spec,
                 qseg_spec,
                 kseg_spec,
+                qpos_spec,
+                kpos_spec,
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
@@ -398,7 +442,7 @@ def flash_fwd(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=batch * num_heads * seqlen_q * seqlen_k
         ),
         interpret=interpret,
-    )(seed, qt, kt, vt, bias, qseg, kseg)
+    )(seed, qt, kt, vt, bias, qseg, kseg, qpos, kpos)
 
     out = jnp.swapaxes(out[:, :, :seqlen_q, :], 1, 2)  # BHSD -> BSHD
     lse = lse[:, :, :seqlen_q, 0]

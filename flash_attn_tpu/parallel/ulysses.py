@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from flash_attn_tpu.ops.flash_fwd import flash_fwd
+from flash_attn_tpu.ops.attention import flash_attention
 
 
 def ulysses_attention(
@@ -46,7 +46,9 @@ def ulysses_attention(
     qh = to_heads(q)
     kh = to_heads(k)
     vh = to_heads(v)
-    out, _ = flash_fwd(qh, kh, vh, causal=causal, scale=scale, interpret=interpret)
+    # public API (custom_vjp) so the whole sequence-parallel path is
+    # differentiable: all_to_all transposes under AD automatically.
+    out = flash_attention(qh, kh, vh, causal=causal, scale=scale, interpret=interpret)
     return to_seq(out)
 
 

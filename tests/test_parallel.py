@@ -56,3 +56,45 @@ def test_tp_sharded_gpt2_forward(mesh4):
     sharded = shard_params(params, mesh4, gpt2_param_specs("tp"))
     got = jax.jit(lambda p, t: gpt2.forward(p, t, cfg, interpret=True))(sharded, tokens)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-3)
+
+
+def test_sharded_decode_matches_single_device(mesh4):
+    """KV sharded over 4 devices + LSE psum merge == single-device decode
+    (BASELINE config 3 path)."""
+    import numpy as onp
+
+    from flash_attn_tpu.ops.decode import flash_decode
+    from flash_attn_tpu.parallel.sharded_decode import make_sharded_decode
+
+    B, S, H, Hk, D = 2, 512, 4, 2, 64
+    key = jax.random.PRNGKey(5)
+    q = jax.random.normal(key, (B, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(6), (B, S, Hk, D))
+    v = jax.random.normal(jax.random.PRNGKey(7), (B, S, Hk, D))
+    # ragged validity: per-shard lengths for global lengths [300, 512]
+    glens = [300, 512]
+    s_loc = S // 4
+    lens = onp.zeros((4, B), onp.int32)
+    for b, gl in enumerate(glens):
+        for sh in range(4):
+            lens[sh, b] = min(max(gl - sh * s_loc, 0), s_loc)
+
+    fn = make_sharded_decode(mesh4, interpret=True)
+    got = fn(q, k, v, jnp.asarray(lens))
+    want = flash_decode(q, k, v, kv_length=jnp.asarray(glens), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+
+
+def test_decode_return_lse_matches_merge():
+    from flash_attn_tpu.ops.decode import flash_decode
+    from flash_attn_tpu.ops.lse import lse_merge2
+
+    B, S, H, D = 1, 256, 2, 32
+    q = jax.random.normal(jax.random.PRNGKey(8), (B, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(9), (B, S, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(10), (B, S, H, D))
+    o1, l1 = flash_decode(q, k[:, :128], v[:, :128], interpret=True, return_lse=True)
+    o2, l2 = flash_decode(q, k[:, 128:], v[:, 128:], interpret=True, return_lse=True)
+    merged, _ = lse_merge2(o1, l1, o2, l2)
+    full = flash_decode(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(full), atol=2e-4, rtol=2e-4)

@@ -94,3 +94,63 @@ def test_pipeline_spmd_ring():
     got = fn(ws, x)
     want = x * float(jnp.prod(ws))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_moe_ep_matches_dense_oracle():
+    from jax.sharding import PartitionSpec as P
+
+    from flash_attn_tpu.parallel.mesh import MeshConfig, make_mesh
+    from flash_attn_tpu.parallel.moe import make_moe_ffn, moe_ffn_reference
+
+    mesh = make_mesh(MeshConfig(tp=4))
+    T, H, F, E = 16, 32, 64, 8
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 5)
+    x = jax.random.normal(ks[0], (T, H))
+    router_w = jax.random.normal(ks[1], (H, E))
+    w_gate = jax.random.normal(ks[2], (E, H, F)) * 0.1
+    w_up = jax.random.normal(ks[3], (E, H, F)) * 0.1
+    w_down = jax.random.normal(ks[4], (E, F, H)) * 0.1
+
+    want = moe_ffn_reference(x, router_w, w_gate, w_up, w_down, top_k=2)
+    fn = make_moe_ffn(mesh, top_k=2)
+    got = fn(x, router_w, w_gate, w_up, w_down)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+def test_train_step_reduces_loss():
+    from flash_attn_tpu.models import gpt2
+    from flash_attn_tpu.utils.train import TrainConfig, make_train_step
+
+    cfg = gpt2.GPT2_TINY
+    params = gpt2.init_params(cfg, jax.random.PRNGKey(0))
+    fwd = lambda p, t: gpt2.forward(p, t, cfg, interpret=True)
+    init_fn, step_fn = make_train_step(fwd, TrainConfig(learning_rate=1e-3, remat=False))
+    opt_state = init_fn(params)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    targets = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, cfg.vocab_size)
+    losses = []
+    for _ in range(4):
+        params, opt_state, m = step_fn(params, opt_state, tokens, targets)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_train_step_grad_accum_matches_single():
+    from flash_attn_tpu.models import gpt2
+    from flash_attn_tpu.utils.train import TrainConfig, make_train_step
+
+    cfg = gpt2.GPT2_TINY
+    params = gpt2.init_params(cfg, jax.random.PRNGKey(3))
+    fwd = lambda p, t: gpt2.forward(p, t, cfg, interpret=True)
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (4, 8), 0, cfg.vocab_size)
+    targets = jax.random.randint(jax.random.PRNGKey(5), (4, 8), 0, cfg.vocab_size)
+
+    _, step1 = make_train_step(fwd, TrainConfig(accum_steps=1, remat=False))
+    _, step2 = make_train_step(fwd, TrainConfig(accum_steps=2, remat=False))
+    init_fn, _ = make_train_step(fwd, TrainConfig(remat=False))
+    p1, _, m1 = step1(params, init_fn(params), tokens, targets)
+    p2, _, m2 = step2(params, init_fn(params), tokens, targets)
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), p1, p2)
+    assert max(jax.tree.leaves(d)) < 1e-4
