@@ -115,16 +115,54 @@ def bench_decode(chip_peaks, rt, mode="int8"):
 
 def main():
     import os
+    import subprocess
     import sys
 
-    from flash_attn_tpu.utils.tpu_connect import run_with_tpu_retry, tpu_available
+    if os.environ.get("FATPU_BENCH_ORCH") == "1":
+        # Clean orchestrator (no axon client in this process): spawn fresh
+        # children that re-attempt TPU registration at startup.
+        env = dict(os.environ)
+        env["PALLAS_AXON_POOL_IPS"] = env.pop("FATPU_POOL_IPS_SAVED")
+        env.pop("FATPU_BENCH_ORCH")
+        env["FATPU_BENCH_CHILD"] = "1"
+        # Escalating backoff: a relay wedged by a killed mid-compile process
+        # can take ~10 min to recover.
+        for attempt in range(10):
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
+            if r.returncode == 0:
+                sys.exit(0)
+            time.sleep(min(30 * (attempt + 1), 150))
+        # TPU never came up: emit a stub line rather than burning hours on
+        # CPU interpret-mode kernels.
+        print(
+            json.dumps(
+                {
+                    "metric": "decode_attention_roofline_frac_int8kv",
+                    "value": 0.0,
+                    "unit": "fraction_of_hbm_roofline",
+                    "vs_baseline": 0.0,
+                    "details": {"error": "tpu_unavailable_after_retries"},
+                }
+            )
+        )
+        return
+
+    from flash_attn_tpu.utils.tpu_connect import tpu_available
 
     if not tpu_available() and os.environ.get("PALLAS_AXON_POOL_IPS"):
-        # Startup TPU registration failed (stale claim race) — this process
-        # is unusable for TPU work; retry from fresh child processes.
+        # Startup TPU registration failed; this process's axon client is
+        # broken and (observed) can wedge the relay for successors — replace
+        # ourselves with a clean orchestrator that never touches axon.
         if os.environ.get("FATPU_BENCH_CHILD"):
             sys.exit(42)
-        sys.exit(run_with_tpu_retry(os.path.abspath(__file__), "FATPU_BENCH_CHILD"))
+        env = dict(os.environ)
+        env["FATPU_BENCH_ORCH"] = "1"
+        env["FATPU_POOL_IPS_SAVED"] = env.pop("PALLAS_AXON_POOL_IPS")
+        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+    _run_bench()
+
+
+def _run_bench():
 
     import jax
 

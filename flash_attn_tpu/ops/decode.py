@@ -161,19 +161,29 @@ def _decode_kernel(
 
     kv_len = kvlen_ref[b]
 
+    # MXU compute dtype: bf16 path for bf16/fp16/int8/fp8 inputs (int8->bf16
+    # casts are exact for |x| <= 127); fp32 stays fp32 (HIGHEST precision).
+    compute_dtype = (
+        jnp.float32 if q_ref.dtype == jnp.float32 else jnp.bfloat16
+    )
+
     @pl.when(ki * block_k < kv_len)
     def _body():
-        q = q_ref[0].astype(jnp.float32)  # [H, D]
-        k = k_ref[0].astype(jnp.float32)  # [bk, Hk, D]
-        if has_k_scale:
-            k = k * ks_ref[0].astype(jnp.float32)
-        # scores per kv-head group: q heads [H] = [Hk, group]
-        # s[h, j] = q[h] . k[j, h//group]
+        # Per-(token, head) dequant scales are FOLDED OUT of the matmuls:
+        #   s_hj = softmax_scale * ks_j * (q_h . k_int_j)
+        #   out  = sum_j (p_hj * vs_j) * v_int_j
+        # so the MXU sees narrow operands, and dequant is O(H*bk) VPU work
+        # on scores instead of O(bk*Hk*D) on the cache block.
+        q = q_ref[0].astype(compute_dtype)  # [H, D]
+        k = k_ref[0].astype(compute_dtype)  # [bk, Hk, D] (no scale applied)
         qg = q.reshape(num_heads_k, group, q.shape[-1])  # [Hk, g, D]
         s = sdot(
             qg, jnp.swapaxes(k, 0, 1),  # [Hk, g, D] x [Hk, bk, D]
             (((2,), (2,)), ((0,), (0,))),
-        )  # [Hk, g, bk]
+        )  # [Hk, g, bk] fp32
+        if has_k_scale:
+            ks_t = jnp.swapaxes(ks_ref[0, :, :, 0], 0, 1)  # [Hk, bk]
+            s = s * ks_t[:, None, :].astype(jnp.float32)
         s = s.reshape(num_heads, block_k) * scale
 
         col = ki * block_k + jax.lax.broadcasted_iota(
@@ -186,19 +196,20 @@ def _decode_kernel(
         l_prev = l_scratch[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)  # [H, bk]
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)  # [H, bk] fp32
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
         l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
 
-        v = v_ref[0].astype(jnp.float32)  # [bk, Hk, D]
-        if has_v_scale:
-            v = v * vs_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(compute_dtype)  # [bk, Hk, D] (no scale applied)
         pg = p.reshape(num_heads_k, group, block_k)
+        if has_v_scale:
+            vs_t = jnp.swapaxes(vs_ref[0, :, :, 0], 0, 1)  # [Hk, bk]
+            pg = pg * vs_t[:, None, :].astype(jnp.float32)
         o = sdot(
-            pg, jnp.swapaxes(v, 0, 1),  # [Hk, g, bk] x [Hk, bk, D]
+            pg.astype(compute_dtype), jnp.swapaxes(v, 0, 1),
             (((2,), (1,)), ((0,), (0,))),
-        )  # [Hk, g, D]
+        )  # [Hk, g, D] fp32
         o = o.reshape(num_heads, v.shape[-1])
         acc_scratch[...] = acc_scratch[...] * alpha + o
 

@@ -275,7 +275,12 @@ def flash_fwd(
     mask attention to kv_pos <= q_pos — the in-kernel form of per-sequence
     causal on packed varlen batches (compose with segment ids).
     """
-    cfg = config or FlashConfig()
+    batch, seqlen_q, num_heads, head_dim = q.shape
+    if config is None:
+        from flash_attn_tpu.utils.autotune import get_config
+
+        config = get_config(seqlen_q, k.shape[1], head_dim, q.dtype)
+    cfg = config
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
