@@ -26,23 +26,31 @@ def _median_time(callable_, iters=7):
     return float(np.median(times))
 
 
-def make_chain_timer(step_fn, init, n_chain=32):
-    """Returns a () -> float that forces full execution of n_chain chained
-    steps (data-dependent) and a scalar readback."""
+def chain_step_seconds(step_fn, init, n=32, iters=7):
+    """Per-step kernel time via paired chains: t = (T(2n) - T(n)) / n.
+
+    Chains n (and 2n) data-dependent steps inside one jit with a scalar
+    readback; the subtraction cancels the (large, jittery) relay round-trip
+    so the estimate is offset-free.
+    """
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def chained(x):
-        y = jax.lax.fori_loop(0, n_chain, lambda i, c: step_fn(c), x)
-        return jnp.sum(y.astype(jnp.float32))
+    def chained(m):
+        @jax.jit
+        def f(x):
+            y = jax.lax.fori_loop(0, m, lambda i, c: step_fn(c), x)
+            return jnp.sum(y.astype(jnp.float32))
 
-    def run():
-        return float(chained(init))  # float() forces readback => real sync
+        float(f(init))  # compile + warm
+        float(f(init))
+        return lambda: float(f(init))
 
-    run()  # compile + warm
-    run()
-    return run
+    run_n = chained(n)
+    run_2n = chained(2 * n)
+    t_n = _median_time(run_n, iters)
+    t_2n = _median_time(run_2n, iters)
+    return max((t_2n - t_n) / n, 1e-9)
 
 
 def roundtrip_seconds():
@@ -55,7 +63,7 @@ def roundtrip_seconds():
     return _median_time(lambda: float(f(x)))
 
 
-def bench_flash_fwd(chip_peaks, rt):
+def bench_flash_fwd(chip_peaks):
     import jax
     import jax.numpy as jnp
 
@@ -67,10 +75,8 @@ def bench_flash_fwd(chip_peaks, rt):
     k = jax.random.normal(key, (B, S, H, D), jnp.bfloat16)
     v = jax.random.normal(key, (B, S, H, D), jnp.bfloat16)
 
-    N = 16
     step = lambda q_: flash_fwd(q_, k, v, causal=True)[0]
-    run = make_chain_timer(step, q, N)
-    t = max((_median_time(run) - rt) / N, 1e-9)
+    t = chain_step_seconds(step, q, n=8)
     flops = 4 * B * H * S * S * D / 2
     tflops = flops / t / 1e12
     return {
@@ -80,7 +86,7 @@ def bench_flash_fwd(chip_peaks, rt):
     }
 
 
-def bench_decode(chip_peaks, rt, mode="int8"):
+def bench_decode(chip_peaks, mode="int8"):
     import jax
     import jax.numpy as jnp
 
@@ -100,12 +106,10 @@ def bench_decode(chip_peaks, rt, mode="int8"):
         elem = 1  # int8 / fp8
         kv_bytes = 2 * B * S * Hk * (D * elem + 4)
 
-    N = 32
     step = lambda q_: flash_decode(q_, kq, vq, k_scale=ks, v_scale=vs).astype(
         jnp.bfloat16
     )
-    run = make_chain_timer(step, q, N)
-    t = max((_median_time(run) - rt) / N, 1e-9)
+    t = chain_step_seconds(step, q, n=32)
     ideal = kv_bytes / (chip_peaks[2] * 1e9)
     return {
         f"decode_{mode}_us": round(t * 1e6, 1),
@@ -177,12 +181,12 @@ def _run_bench():
         "roundtrip_us": round(rt * 1e6, 1),
     }
     try:
-        details.update(bench_flash_fwd(peaks, rt))
+        details.update(bench_flash_fwd(peaks))
     except Exception as e:  # pragma: no cover
         details["fwd_error"] = repr(e)[:200]
     for mode in ("int8", "none"):
         try:
-            details.update(bench_decode(peaks, rt, mode))
+            details.update(bench_decode(peaks, mode))
         except Exception as e:  # pragma: no cover
             details[f"decode_{mode}_error"] = repr(e)[:200]
 

@@ -146,12 +146,15 @@ class InferenceEngine:
 
 
 def _insert_slot_kv(cache: KVCache, layer: int, slot, k, v) -> KVCache:
-    """Write a full prompt's KV [S, Hk, D] into (layer, slot, 0:S)."""
+    """Write a full prompt's KV [S, Hk, D] into (layer, slot) of the
+    BHSD-layout cache."""
     from flash_attn_tpu.ops.quant import quantize_kv
 
     kq, ks, vq, vs = quantize_kv(k, v, cache.mode)
 
     def put(buf, new):
+        # new [S, Hk, c] -> [Hk, S, c]; buf [L, B, Hk, S, c]
+        new = jnp.swapaxes(new, 0, 1)
         return jax.lax.dynamic_update_slice(
             buf, new[None, None].astype(buf.dtype), (layer, slot, 0, 0, 0)
         )

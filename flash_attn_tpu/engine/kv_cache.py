@@ -3,19 +3,19 @@ quantize-on-append (BASELINE.json north star: quantized KV with dequant fused
 into the decode kernel — see ops/decode.py).
 
 The cache is a pytree of arrays, so it jits/shards/donates cleanly:
-  k, v:        [L, B, S_max, Hk, D]   (quantized dtype or model dtype)
-  k_scale/...: [L, B, S_max, Hk, 1]   (fp32; absent for mode='none')
+  k, v:        [L, B, Hk, S_max, D]   (quantized dtype or model dtype)
+  k_scale/...: [L, B, Hk, S_max, 1]   (fp32; absent for mode='none')
   length:      [B] int32 — valid entries per sequence
 
-Layout note: S_max is the padded cache capacity; attention masks positions
->= length (the decode kernel's kv_length argument).  A paged variant lives in
-engine/paged.py.
+Layout note: heads-major (BHSD) is the decode-optimal layout — the
+flash-decode kernel consumes [Hk, bk, D] blocks with zero in-kernel
+transposes (kv_layout='bhsd').  S_max is the padded capacity; attention
+masks positions >= length.  A paged variant lives in engine/paged.py.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +46,7 @@ class KVCache:
 
     @property
     def capacity(self):
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @classmethod
     def create(cls, num_layers, batch, capacity, num_kv_heads, head_dim,
@@ -59,14 +59,14 @@ class KVCache:
             store_dtype = dtype
         else:
             raise ValueError(f"unknown kv cache mode {mode!r}")
-        shape = (num_layers, batch, capacity, num_kv_heads, head_dim)
+        shape = (num_layers, batch, num_kv_heads, capacity, head_dim)
         k = jnp.zeros(shape, store_dtype)
         v = jnp.zeros(shape, store_dtype)
         if mode == "none":
             ks = vs = None
         else:
-            ks = jnp.ones((num_layers, batch, capacity, num_kv_heads, 1), jnp.float32)
-            vs = jnp.ones((num_layers, batch, capacity, num_kv_heads, 1), jnp.float32)
+            ks = jnp.ones(shape[:-1] + (1,), jnp.float32)
+            vs = jnp.ones(shape[:-1] + (1,), jnp.float32)
         return cls(k, v, ks, vs, jnp.zeros((batch,), jnp.int32), mode)
 
     def append(self, layer: int, new_k: jax.Array, new_v: jax.Array) -> "KVCache":
@@ -75,23 +75,30 @@ class KVCache:
         Quantizes on append per (token, head). Does NOT advance length —
         call advance() once after all layers."""
         kq, ks, vq, vs = quantize_kv(new_k, new_v, self.mode)
-        kq = kq.astype(self.k.dtype)
-        vq = vq.astype(self.v.dtype)
-        T = new_k.shape[1]
-        batch = new_k.shape[0]
 
-        def upd(cache, new):
+        def to_bhsd(x):  # [B, T, Hk, c] -> [B, Hk, T, c]
+            return jnp.swapaxes(x, 1, 2)
+
+        kq = to_bhsd(kq).astype(self.k.dtype)
+        vq = to_bhsd(vq).astype(self.v.dtype)
+
+        def upd(cache_layer, new):
+            # cache_layer [B, Hk, S, c]; new [B, Hk, T, c]; start at length
             return jax.vmap(
-                lambda c, n, st: jax.lax.dynamic_update_slice(c, n, (st, 0, 0))
-            )(cache[layer], new, self.length)
+                lambda c, n, st: jax.lax.dynamic_update_slice(c, n, (0, st, 0))
+            )(cache_layer, new, self.length)
 
-        k = self.k.at[layer].set(upd(self.k, kq))
-        v = self.v.at[layer].set(upd(self.v, vq))
+        k = self.k.at[layer].set(upd(self.k[layer], kq))
+        v = self.v.at[layer].set(upd(self.v[layer], vq))
         if self.mode == "none":
             ks_new, vs_new = self.k_scale, self.v_scale
         else:
-            ks_new = self.k_scale.at[layer].set(upd(self.k_scale, ks))
-            vs_new = self.v_scale.at[layer].set(upd(self.v_scale, vs))
+            ks_new = self.k_scale.at[layer].set(
+                upd(self.k_scale[layer], to_bhsd(ks))
+            )
+            vs_new = self.v_scale.at[layer].set(
+                upd(self.v_scale[layer], to_bhsd(vs))
+            )
         return KVCache(k, v, ks_new, vs_new, self.length, self.mode)
 
     def advance(self, t: int | jax.Array) -> "KVCache":
@@ -100,7 +107,8 @@ class KVCache:
         )
 
     def layer(self, i: int):
-        """(k, v, k_scale, v_scale) views for layer i."""
+        """(k, v, k_scale, v_scale) BHSD views for layer i (feed to
+        flash_decode with kv_layout='bhsd')."""
         ks = None if self.k_scale is None else self.k_scale[i]
         vs = None if self.v_scale is None else self.v_scale[i]
         return self.k[i], self.v[i], ks, vs

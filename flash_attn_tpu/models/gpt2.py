@@ -170,6 +170,7 @@ def decode_step(params, token, cfg: GPT2Config, cache: KVCache, *, interpret=Non
             _split_heads(q, cfg.num_heads)[:, 0],  # [B, H, D]
             kc, vc, k_scale=ks, v_scale=vs,
             kv_length=cache.length + 1,
+            kv_layout="bhsd",
             interpret=interpret,
         )  # [B, H, D]
         x = x + _dense(attn.reshape(b, 1, cfg.hidden), blk["attn"]["proj"])

@@ -206,7 +206,7 @@ def decode_step(params, token, cfg: LlamaConfig, cache: KVCache, *, interpret=No
         kc, vc, ks, vs = cache.layer(i)
         attn = flash_decode(
             q[:, 0], kc, vc, k_scale=ks, v_scale=vs,
-            kv_length=cache.length + 1, interpret=interpret,
+            kv_length=cache.length + 1, kv_layout="bhsd", interpret=interpret,
         )
         x = x + _proj(
             attn.reshape(b, 1, cfg.num_heads * cfg.head_dim), blk["wo"], interpret

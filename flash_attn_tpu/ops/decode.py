@@ -39,13 +39,17 @@ def flash_decode(
     use_kernel: bool = True,
     block_k: int = 256,
     return_lse: bool = False,
+    kv_layout: str = "bshd",
 ):
     """Single-token decode attention over a (possibly quantized) KV cache.
 
     Args:
       q: [B, H, D] — one query token per sequence.
-      k, v: [B, S, Hk, D] KV cache; any float dtype, or int8/fp8 with
-        k_scale/v_scale for fused dequant.
+      k, v: KV cache — [B, S, Hk, D] (kv_layout='bshd', reference layout) or
+        [B, Hk, S, D] (kv_layout='bhsd', the decode-optimal layout: blocks
+        reach the MXU with no in-kernel transpose); any float dtype, or
+        int8/fp8 with k_scale/v_scale for fused dequant (scales shaped like
+        k/v with trailing dim 1).
       kv_length: [B] int32 — number of valid cache entries per sequence
         (positions >= kv_length are masked).  None = all S valid.
       num_splits: split-KV parallelism ≙ flash_attn.h:94.
@@ -56,7 +60,12 @@ def flash_decode(
     (the merge residual for sharded/distributed decode, flash_attn.h:16).
     """
     batch, num_heads, head_dim = q.shape
-    _, seqlen_k, num_heads_k, _ = k.shape
+    if kv_layout == "bhsd":
+        seqlen_k = k.shape[2]
+        num_heads_k = k.shape[1]
+    else:
+        seqlen_k = k.shape[1]
+        num_heads_k = k.shape[2]
     if scale is None:
         scale = head_dim**-0.5
     if interpret is None:
@@ -64,6 +73,16 @@ def flash_decode(
     if kv_length is None:
         kv_length = jnp.full((batch,), seqlen_k, jnp.int32)
 
+    if use_kernel and kv_layout == "bhsd":
+        return _decode_kernel_call_bhsd(
+            q, k, v, kv_length, scale=scale, k_scale=k_scale, v_scale=v_scale,
+            block_k=block_k, interpret=interpret, return_lse=return_lse,
+        )
+    if kv_layout == "bhsd":
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+        k_scale = None if k_scale is None else jnp.swapaxes(k_scale, 1, 2)
+        v_scale = None if v_scale is None else jnp.swapaxes(v_scale, 1, 2)
     if use_kernel:
         return _decode_kernel_call(
             q, k, v, kv_length, scale=scale, k_scale=k_scale, v_scale=v_scale,
@@ -259,6 +278,191 @@ def _decode_kernel_call(q, k, v, kv_length, *, scale, k_scale, v_scale,
 
     kernel = functools.partial(
         _decode_kernel,
+        block_k=block_k,
+        num_k_blocks=num_k_blocks,
+        num_heads=num_heads,
+        num_heads_k=num_heads_k,
+        scale=float(scale),
+        has_k_scale=has_ks,
+        has_v_scale=has_vs,
+        out_dtype=q.dtype,
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(batch, num_k_blocks),
+            in_specs=[
+                pl.BlockSpec((1, num_heads, head_dim), lambda b, ki, *_: (b, 0, 0)),
+                kv_spec,
+                kv_spec,
+                scale_spec(has_ks),
+                scale_spec(has_vs),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, num_heads, head_dim), lambda b, ki, *_: (b, 0, 0)),
+                pl.BlockSpec((1, num_heads, 1), lambda b, ki, *_: (b, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((num_heads, 128), jnp.float32),
+                pltpu.VMEM((num_heads, 128), jnp.float32),
+                pltpu.VMEM((num_heads, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, num_heads, head_dim), q.dtype),
+            jax.ShapeDtypeStruct((batch, num_heads, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * num_heads * seqlen_k * head_dim,
+            bytes_accessed=int(k.size * k.dtype.itemsize * 2),
+            transcendentals=batch * num_heads * seqlen_k,
+        ),
+        interpret=interpret,
+    )(kv_length.astype(jnp.int32), q, k, v, ks, vs)
+    if return_lse:
+        return out, lse[..., 0]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# BHSD-native decode: cache stored [B, Hk, S, D] so every block reaches the
+# MXU with zero in-kernel transposes (the BSHD kernel's per-step
+# [bk,Hk,D]->[Hk,bk,D] shuffle crosses the (8,128) tiling and dominates at
+# long context).  This is the layout the engine's KV cache uses.
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel_bhsd(
+    kvlen_ref,  # scalar prefetch [B]
+    q_ref,      # [1, H, D]
+    k_ref,      # [1, Hk, bk, D]
+    v_ref,      # [1, Hk, bk, D]
+    ks_ref,     # [1, Hk, 1, bk] (lane-dense scales; or dummy)
+    vs_ref,
+    o_ref,      # [1, H, D]
+    lse_ref,    # [1, H, 1]
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    block_k: int,
+    num_k_blocks: int,
+    num_heads: int,
+    num_heads_k: int,
+    scale: float,
+    has_k_scale: bool,
+    has_v_scale: bool,
+    out_dtype,
+):
+    b, ki = pl.program_id(0), pl.program_id(1)
+    group = num_heads // num_heads_k
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    kv_len = kvlen_ref[b]
+    compute_dtype = (
+        jnp.float32 if q_ref.dtype == jnp.float32 else jnp.bfloat16
+    )
+
+    @pl.when(ki * block_k < kv_len)
+    def _body():
+        q = q_ref[0].astype(compute_dtype)  # [H, D]
+        k = k_ref[0].astype(compute_dtype)  # [Hk, bk, D]
+        qg = q.reshape(num_heads_k, group, q.shape[-1])  # [Hk, g, D]
+        s = sdot(qg, k, (((2,), (2,)), ((0,), (0,))))  # [Hk, g, bk] fp32
+        if has_k_scale:
+            s = s * ks_ref[0][:, :, :].astype(jnp.float32)  # [Hk, 1, bk]
+        s = s.reshape(num_heads, block_k) * scale
+
+        col = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (num_heads, block_k), 1
+        )
+        s = jnp.where(col < kv_len, s, NEG_INF)
+
+        m_prev = m_scratch[:, :1]
+        l_prev = l_scratch[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # [H, bk]; masked cols underflow to 0
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+
+        v = v_ref[0].astype(compute_dtype)  # [Hk, bk, D]
+        pg = p.reshape(num_heads_k, group, block_k)
+        if has_v_scale:
+            pg = pg * vs_ref[0][:, :, :].astype(jnp.float32)  # [Hk, 1, bk]
+        o = sdot(pg.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))))
+        acc_scratch[...] = acc_scratch[...] * alpha + o.reshape(
+            num_heads, v.shape[-1]
+        )
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        m = m_scratch[:, :1]
+        l = l_scratch[:, :1]
+        valid = (l > 0.0) & (m > NEG_INF / 2)
+        o_ref[0] = jnp.where(
+            valid, acc_scratch[...] / jnp.where(valid, l, 1.0), 0.0
+        ).astype(out_dtype)
+        lse_ref[0] = jnp.where(
+            valid, m + jnp.log(jnp.where(valid, l, 1.0)), NEG_INF
+        ).astype(jnp.float32)
+
+
+def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
+                             block_k, interpret, return_lse=False):
+    batch, num_heads, head_dim = q.shape
+    _, num_heads_k, seqlen_k, _ = k.shape
+
+    block_k = min(block_k, max(-(-seqlen_k // 128) * 128, 128))
+    sk_p = -(-seqlen_k // block_k) * block_k
+    if sk_p != seqlen_k:
+        pads = ((0, 0), (0, 0), (0, sk_p - seqlen_k), (0, 0))
+        k = jnp.pad(k, pads)
+        v = jnp.pad(v, pads)
+    num_k_blocks = sk_p // block_k
+
+    has_ks = k_scale is not None
+    has_vs = v_scale is not None
+
+    def scales_arg(s):
+        # lane-dense layout [B, Hk, 1, S]: a [.., 1, bk] block is one dense
+        # row of lanes (a [.., bk, 1] block would burn a full (8,128) tile
+        # per scale — 128x DMA inflation that dwarfed the int8 KV savings).
+        if s is None:
+            return jnp.zeros((1, num_heads_k, 1, 1), jnp.float32)
+        s = jnp.broadcast_to(s, (batch, num_heads_k, seqlen_k, 1)).astype(jnp.float32)
+        s = jnp.swapaxes(s, 2, 3)  # [B, Hk, 1, S]
+        return jnp.pad(s, ((0, 0), (0, 0), (0, 0), (0, sk_p - seqlen_k)))
+
+    ks = scales_arg(k_scale)
+    vs = scales_arg(v_scale)
+
+    kv_spec = pl.BlockSpec(
+        (1, num_heads_k, block_k, head_dim), lambda b, ki, *_: (b, 0, ki, 0)
+    )
+
+    def scale_spec(has):
+        if has:
+            return pl.BlockSpec(
+                (1, num_heads_k, 1, block_k), lambda b, ki, *_: (b, 0, 0, ki)
+            )
+        return pl.BlockSpec(
+            (1, num_heads_k, 1, 1), lambda b, ki, *_: (0, 0, 0, 0)
+        )
+
+    kernel = functools.partial(
+        _decode_kernel_bhsd,
         block_k=block_k,
         num_k_blocks=num_k_blocks,
         num_heads=num_heads,

@@ -157,7 +157,6 @@ def _fwd_kernel(
     block_k: int,
     num_k_blocks: int,
     causal: bool,
-    scale: float,
     dropout_rate: float,
     has_bias: bool,
     has_segs: bool,
@@ -175,14 +174,10 @@ def _fwd_kernel(
     # Bottom-right-aligned causal: q row i sees k col j iff j <= i + shift.
     shift = seqlen_k - seqlen_q
 
-    def _body():
-        # Native-dtype operands straight into the MXU (bf16 x bf16 -> fp32).
-        s = sdot(q_ref[0, 0], k_ref[0, 0])  # [bq, bk] fp32
-        s = s * scale
-
-        if has_bias:
-            s = s + bias_ref[0, 0].astype(jnp.float32)
-
+    def _apply_mask(s):
+        """Set masked score entries to NEG_INF.  Fully-masked *rows* need no
+        special handling here: their running max stays exactly NEG_INF and
+        the finalize step gates on that (exp(s - m) garbage is discarded)."""
         row = qi * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0
         )
@@ -201,7 +196,20 @@ def _fwd_kernel(
             # the bottom-right alignment into q_positions (flash_attn.h:38-66
             # varlen causal semantics, in-kernel, no O(S^2) bias tensor).
             mask &= kpos_ref[0] <= qpos_ref[0]
-        s = jnp.where(mask, s, NEG_INF)
+        return jnp.where(mask, s, NEG_INF)
+
+    def _body():
+        # Native-dtype operands straight into the MXU (bf16 x bf16 -> fp32);
+        # softmax scale is pre-folded into q by the wrapper.
+        s = sdot(q_ref[0, 0], k_ref[0, 0])  # [bq, bk] fp32
+
+        if has_bias:
+            # clamp so user -inf bias entries become finite NEG_INF (keeps
+            # the fully-masked-row algebra NaN-free)
+            s = jnp.maximum(s + bias_ref[0, 0].astype(jnp.float32), NEG_INF)
+
+        if has_segs or has_pos or causal or (seqlen_k % block_k != 0):
+            s = _apply_mask(s)
 
         m_prev = m_scratch[:, :1]  # [bq, 1]
         l_prev = l_scratch[:, :1]
@@ -209,9 +217,6 @@ def _fwd_kernel(
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
         p = jnp.exp(s - m_new)  # [bq, bk]
-        # Rows where everything so far is masked: m_new == NEG_INF; exp(0)=1
-        # would pollute l. Zero those p entries explicitly.
-        p = jnp.where(mask, p, 0.0)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
 
         m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
@@ -241,7 +246,10 @@ def _fwd_kernel(
     def _finalize():
         m = m_scratch[:, :1]
         l = l_scratch[:, :1]
-        valid = l > 0.0
+        # A row is valid iff some unmasked score was ever seen: its running
+        # max left NEG_INF.  (Fully-masked rows may carry garbage l/acc from
+        # the maskless fast path — discarded here.)
+        valid = (l > 0.0) & (m > NEG_INF / 2)
         out = jnp.where(valid, acc_scratch[...] / jnp.where(valid, l, 1.0), 0.0)
         out_ref[0, 0] = out.astype(out_dtype)
         lse = jnp.where(
@@ -295,8 +303,11 @@ def flash_fwd(
     block_q = min(cfg.block_q, max(_cdiv(seqlen_q, 8) * 8, 8))
     block_k = min(cfg.block_k, max(_cdiv(seqlen_k, 128) * 128, 128))
 
+    # Pre-fold the softmax scale into q (one multiply on the small operand
+    # instead of a [bq, bk] multiply per kernel step).
+    q_scaled = (q.astype(jnp.float32) * scale).astype(q.dtype)
     # BSHD -> BHSD for clean [bq, d] blocks, pad seq dims to block multiples.
-    qt = _pad_axis(jnp.swapaxes(q, 1, 2), 2, block_q)
+    qt = _pad_axis(jnp.swapaxes(q_scaled, 1, 2), 2, block_q)
     kt = _pad_axis(jnp.swapaxes(k, 1, 2), 2, block_k)
     vt = _pad_axis(jnp.swapaxes(v, 1, 2), 2, block_k)
     sq_p, sk_p = qt.shape[2], kt.shape[2]
@@ -384,7 +395,6 @@ def flash_fwd(
         block_k=block_k,
         num_k_blocks=num_k_blocks,
         causal=causal,
-        scale=float(scale),
         dropout_rate=float(dropout_rate),
         has_bias=has_bias,
         has_segs=has_segs,

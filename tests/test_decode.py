@@ -80,3 +80,31 @@ def test_decode_quantized_kv(mode):
     # and the quantized result is close to the float result
     full = oracle(q, k, v)
     assert float(jnp.mean(jnp.abs(got - full))) < 0.05
+
+
+def test_decode_bhsd_layout_matches_bshd():
+    """BHSD-native decode == BSHD decode (same cache, transposed)."""
+    import jax.numpy as jnp
+
+    q, k, v = setup(jax.random.PRNGKey(11), 2, 384, 8, 2, 64)
+    kv_length = jnp.array([100, 384], jnp.int32)
+    want = flash_decode(q, k, v, kv_length=kv_length, interpret=True)
+    got = flash_decode(
+        q, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+        kv_length=kv_length, kv_layout="bhsd", interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+
+
+def test_decode_bhsd_quantized():
+    import jax.numpy as jnp
+
+    q, k, v = setup(jax.random.PRNGKey(12), 2, 256, 4, 4, 64)
+    kq, ks, vq, vs = quantize_kv(k, v, "int8")
+    want = flash_decode(q, kq, vq, k_scale=ks, v_scale=vs, interpret=True)
+    got = flash_decode(
+        q, jnp.swapaxes(kq, 1, 2), jnp.swapaxes(vq, 1, 2),
+        k_scale=jnp.swapaxes(ks, 1, 2), v_scale=jnp.swapaxes(vs, 1, 2),
+        kv_layout="bhsd", interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
