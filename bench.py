@@ -106,9 +106,15 @@ def bench_decode(chip_peaks, mode="int8"):
         elem = 1  # int8 / fp8
         kv_bytes = 2 * B * S * Hk * (D * elem + 4)
 
-    step = lambda q_: flash_decode(q_, kq, vq, k_scale=ks, v_scale=vs).astype(
-        jnp.bfloat16
-    )
+    # production layout: heads-major cache + lane-dense scales (see
+    # ops/decode.py BHSD kernel)
+    kq = jnp.swapaxes(kq, 1, 2)
+    vq = jnp.swapaxes(vq, 1, 2)
+    ks = None if ks is None else jnp.swapaxes(ks, 1, 2)
+    vs = None if vs is None else jnp.swapaxes(vs, 1, 2)
+    step = lambda q_: flash_decode(
+        q_, kq, vq, k_scale=ks, v_scale=vs, kv_layout="bhsd"
+    ).astype(jnp.bfloat16)
     t = chain_step_seconds(step, q, n=32)
     ideal = kv_bytes / (chip_peaks[2] * 1e9)
     return {

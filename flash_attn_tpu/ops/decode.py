@@ -37,7 +37,7 @@ def flash_decode(
     v_scale: jax.Array | None = None,
     interpret: bool | None = None,
     use_kernel: bool = True,
-    block_k: int = 256,
+    block_k: int = 512,
     return_lse: bool = False,
     kv_layout: str = "bshd",
 ):

@@ -306,19 +306,41 @@ def flash_bwd(
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
 
     # --- common specs (as functions of the two block-coord names) ---
-    def mk_specs(order):
-        # order maps kernel grid ids -> (qi, ki)
+    shift_c = seqlen_k - seqlen_q
+
+    if causal:
+        # Clamp index maps on predicated-off blocks so Pallas sees an
+        # unchanged block index and skips the DMA (see flash_fwd).
+        def clamp_ki(qi, ki):
+            last = (qi * block_q + (block_q - 1) + shift_c) // block_k
+            return jnp.minimum(ki, jnp.maximum(last, 0))
+
+        def clamp_qi(qi, ki):
+            first = -(-(ki * block_k - shift_c - (block_q - 1)) // block_q)
+            return jnp.maximum(qi, jnp.minimum(jnp.maximum(first, 0), num_q_blocks - 1))
+
+    else:
+        clamp_ki = lambda qi, ki: ki
+        clamp_qi = lambda qi, ki: qi
+
+    def mk_specs(order, *, clamp_k: bool):
+        # order maps kernel grid ids -> (qi, ki).  Only the pass's *inner*
+        # axis gets clamped (dq pass: ki; dkv pass: qi) — clamping the outer
+        # axis would remap constant blocks to varying ones and add DMAs.
+        cq = (lambda qi, ki: qi) if clamp_k else clamp_qi
+        ck = clamp_ki if clamp_k else (lambda qi, ki: ki)
+
         def qmap(b, h, x, y, *_):
             qi, ki = order(x, y)
-            return (b, h, qi, 0)
+            return (b, h, cq(qi, ki), 0)
 
         def kmap(b, h, x, y, *_, g=group):
             qi, ki = order(x, y)
-            return (b, h // g, ki, 0)
+            return (b, h // g, ck(qi, ki), 0)
 
         def rowmap(b, h, x, y, *_):
             qi, ki = order(x, y)
-            return (b, h, qi, 0)
+            return (b, h, cq(qi, ki), 0)
 
         def biasmap(b, h, x, y, *_):
             qi, ki = order(x, y)
@@ -376,7 +398,7 @@ def flash_bwd(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(batch, num_heads, num_q_blocks, num_k_blocks),
-            in_specs=mk_specs(lambda x, y: (x, y)),
+            in_specs=mk_specs(lambda x, y: (x, y), clamp_k=True),
             out_specs=pl.BlockSpec(
                 (1, 1, block_q, head_dim), lambda b, h, x, y, *_: (b, h, x, 0)
             ),
@@ -405,7 +427,7 @@ def flash_bwd(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(batch, num_heads, num_k_blocks, num_q_blocks),
-            in_specs=mk_specs(lambda x, y: (y, x)),
+            in_specs=mk_specs(lambda x, y: (y, x), clamp_k=False),
             out_specs=[
                 pl.BlockSpec(
                     (1, 1, block_k, head_dim), lambda b, h, x, y, *_: (b, h, x, 0)

@@ -387,6 +387,23 @@ def flash_fwd(
 
     grid = (batch, num_heads, num_q_blocks, num_k_blocks)
 
+    # Causal DMA skip: steps whose k-block lies strictly above the diagonal
+    # band are predicated off in the kernel; clamping their K/V index map to
+    # the last *useful* block makes Pallas see an unchanged block index and
+    # skip the DMA too — above-diagonal steps cost neither bandwidth nor
+    # compute (the TPU-native form of FlashAttention's block skipping).
+    if causal:
+        shift = seqlen_k - seqlen_q
+
+        def clamp_ki(qi, ki):
+            last_useful = (qi * block_q + (block_q - 1) + shift) // block_k
+            return jnp.minimum(ki, jnp.maximum(last_useful, 0))
+
+    else:
+
+        def clamp_ki(qi, ki):
+            return ki
+
     kernel = functools.partial(
         _fwd_kernel,
         seqlen_q=seqlen_q,
@@ -421,11 +438,11 @@ def flash_fwd(
                 pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
                 pl.BlockSpec(
                     (1, 1, block_k, head_dim),
-                    lambda b, h, qi, ki, *_, g=group: (b, h // g, ki, 0),
+                    lambda b, h, qi, ki, *_, g=group: (b, h // g, clamp_ki(qi, ki), 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, block_k, head_dim),
-                    lambda b, h, qi, ki, *_, g=group: (b, h // g, ki, 0),
+                    lambda b, h, qi, ki, *_, g=group: (b, h // g, clamp_ki(qi, ki), 0),
                 ),
                 bias_spec,
                 qseg_spec,
