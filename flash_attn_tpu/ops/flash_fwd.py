@@ -274,6 +274,7 @@ def flash_fwd(
     dropout_seed: jax.Array | int = 0,
     config: FlashConfig | None = None,
     interpret: bool | None = None,
+    causal_dma_skip: bool = True,
 ):
     """FlashAttention-2 forward. q: [B,Sq,H,D]; k,v: [B,Sk,Hk,D] (BSHD, the
     reference layout, flash_attn.h:10-12). Returns (out [B,Sq,H,D],
@@ -392,7 +393,7 @@ def flash_fwd(
     # the last *useful* block makes Pallas see an unchanged block index and
     # skip the DMA too — above-diagonal steps cost neither bandwidth nor
     # compute (the TPU-native form of FlashAttention's block skipping).
-    if causal:
+    if causal and causal_dma_skip:
         shift = seqlen_k - seqlen_q
 
         def clamp_ki(qi, ki):
