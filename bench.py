@@ -26,25 +26,27 @@ def _median_time(callable_, iters=7):
     return float(np.median(times))
 
 
-def chain_step_seconds(step_fn, init, n=32, iters=7):
+def chain_step_seconds(step_fn, init, consts=(), n=32, iters=7):
     """Per-step kernel time via paired chains: t = (T(2n) - T(n)) / n.
 
     Chains n (and 2n) data-dependent steps inside one jit with a scalar
     readback; the subtraction cancels the (large, jittery) relay round-trip
-    so the estimate is offset-free.
+    so the estimate is offset-free.  Large arrays the step uses must be in
+    ``consts`` (jit ARGUMENTS) — closed-over arrays are baked into the HLO
+    as literals and blow up the remote-compile payload.
     """
     import jax
     import jax.numpy as jnp
 
     def chained(m):
         @jax.jit
-        def f(x):
-            y = jax.lax.fori_loop(0, m, lambda i, c: step_fn(c), x)
+        def f(x, *cs):
+            y = jax.lax.fori_loop(0, m, lambda i, c: step_fn(c, *cs), x)
             return jnp.sum(y.astype(jnp.float32))
 
-        float(f(init))  # compile + warm
-        float(f(init))
-        return lambda: float(f(init))
+        float(f(init, *consts))  # compile + warm
+        float(f(init, *consts))
+        return lambda: float(f(init, *consts))
 
     run_n = chained(n)
     run_2n = chained(2 * n)
@@ -75,8 +77,8 @@ def bench_flash_fwd(chip_peaks):
     k = jax.random.normal(key, (B, S, H, D), jnp.bfloat16)
     v = jax.random.normal(key, (B, S, H, D), jnp.bfloat16)
 
-    step = lambda q_: flash_fwd(q_, k, v, causal=True)[0]
-    t = chain_step_seconds(step, q, n=8)
+    step = lambda q_, k_, v_: flash_fwd(q_, k_, v_, causal=True)[0]
+    t = chain_step_seconds(step, q, (k, v), n=8)
     flops = 4 * B * H * S * S * D / 2
     tflops = flops / t / 1e12
     return {
@@ -112,10 +114,16 @@ def bench_decode(chip_peaks, mode="int8"):
     vq = jnp.swapaxes(vq, 1, 2)
     ks = None if ks is None else jnp.swapaxes(ks, 1, 2)
     vs = None if vs is None else jnp.swapaxes(vs, 1, 2)
-    step = lambda q_: flash_decode(
-        q_, kq, vq, k_scale=ks, v_scale=vs, kv_layout="bhsd"
-    ).astype(jnp.bfloat16)
-    t = chain_step_seconds(step, q, n=32)
+    if ks is None:
+        step = lambda q_, k_, v_: flash_decode(
+            q_, k_, v_, kv_layout="bhsd"
+        ).astype(jnp.bfloat16)
+        t = chain_step_seconds(step, q, (kq, vq), n=32)
+    else:
+        step = lambda q_, k_, v_, ks_, vs_: flash_decode(
+            q_, k_, v_, k_scale=ks_, v_scale=vs_, kv_layout="bhsd"
+        ).astype(jnp.bfloat16)
+        t = chain_step_seconds(step, q, (kq, vq, ks, vs), n=32)
     ideal = kv_bytes / (chip_peaks[2] * 1e9)
     return {
         f"decode_{mode}_us": round(t * 1e6, 1),

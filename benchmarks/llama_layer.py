@@ -30,17 +30,21 @@ def med(f, iters=7):
     return float(np.median(ts))
 
 
-def chain_step(step, init, n=32):
+def chain_step(step, init, consts=(), n=32):
+    # consts are jit ARGUMENTS: closed-over arrays become HLO literals and
+    # overflow the remote-compile request (HTTP 413).
     def chained(m):
         @jax.jit
-        def f(x):
+        def f(x, *cs):
             return jnp.sum(
-                jax.lax.fori_loop(0, m, lambda i, c: step(c), x).astype(jnp.float32)
+                jax.lax.fori_loop(
+                    0, m, lambda i, c: step(c, *cs), x
+                ).astype(jnp.float32)
             )
 
-        float(f(init))
-        float(f(init))
-        return lambda: float(f(init))
+        float(f(init, *consts))
+        float(f(init, *consts))
+        return lambda: float(f(init, *consts))
 
     a = med(chained(n))
     b = med(chained(2 * n))
@@ -58,16 +62,17 @@ def bench_matmul(M, K, N, kind, key):
         scales = scale[0]
         # chain via a cheap feedback projection so shapes line up
         back = jax.random.normal(key, (N, K), jnp.bfloat16) * 0.01
-        step = lambda x_: (
-            matmul_int8(x_, vals, scales, out_dtype=jnp.bfloat16) @ back
+        step = lambda x_, v_, s_, b_: (
+            matmul_int8(x_, v_, s_, out_dtype=jnp.bfloat16) @ b_
         )
+        t = chain_step(step, x, (vals, scales, back), n=16)
     else:
         back = jax.random.normal(key, (N, K), jnp.bfloat16) * 0.01
-        step = lambda x_: (
-            jnp.dot(x_, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-            @ back
+        step = lambda x_, w_, b_: (
+            jnp.dot(x_, w_, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            @ b_
         )
-    t = chain_step(step, x, n=16)
+        t = chain_step(step, x, (w, back), n=16)
     # subtract the feedback matmul estimate? it's N*K*M flops vs K*N*M — same
     # order; report the pair time and the bytes-based roofline for w only.
     return t
@@ -90,10 +95,11 @@ def main():
     kq, vq = jnp.swapaxes(kq, 1, 2), jnp.swapaxes(vq, 1, 2)
     ks, vs = jnp.swapaxes(ks, 1, 2), jnp.swapaxes(vs, 1, 2)
     t_attn = chain_step(
-        lambda q_: flash_decode(
-            q_, kq, vq, k_scale=ks, v_scale=vs, kv_layout="bhsd"
+        lambda q_, a, b, c, d: flash_decode(
+            q_, a, b, k_scale=c, v_scale=d, kv_layout="bhsd"
         ).astype(jnp.bfloat16),
         q,
+        (kq, vq, ks, vs),
         n=32,
     )
     print(f"attn decode int8-KV: {t_attn*1e6:.1f} us", flush=True)

@@ -3,13 +3,18 @@
 BASELINE.json north star: "INT4/INT8 weight-only matmuls with on-the-fly
 dequant".  Decode-phase linear layers are HBM-bandwidth-bound: streaming
 weights at 1 byte (int8) or 0.5 bytes (int4) per element instead of 2 (bf16)
-is a 2-4x speedup at the roofline.  Dequant happens in VMEM on the block the
-MXU is about to consume — scales per output channel (int8) or per
-(k-group, output channel) (int4, group-local-halves packing from
-ops/quant.py so the unpack is a concat, not an interleave).
+is a 2-4x speedup at the roofline.
 
-Grid: (m_block, n_block, k_block), k innermost, fp32 accumulator in VMEM
-scratch — the same no-atomics accumulation pattern as the attention kernels.
+Scales are FOLDED OUT of the matmul (same trick as the decode kernel):
+integer weights cast exactly to bf16 (no scale multiply — |w| <= 127 is
+representable), the MXU runs on the narrow operands, and scales multiply the
+[bm, bn] accumulator — per k-block for grouped scales, once at finalize for
+per-column scales.  Dequant cost falls from O(K*N) fp32 multiplies to
+O(M*N), which is what makes int8 *faster* than bf16 at decode batch sizes.
+
+INT4 uses the group-local-halves packing from ops/quant.py so the unpack is
+a concat, not an interleave.  Grid: (m_block, n_block, k_block), k
+innermost, fp32 accumulator in VMEM scratch.
 """
 
 from __future__ import annotations
@@ -38,6 +43,7 @@ def _pad2(x, m0, m1):
 
 
 def _int8_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, nk, out_dtype):
+    """Per-column scales: scale the accumulator once at finalize."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -45,14 +51,12 @@ def _int8_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, nk, out_dtype):
         acc[...] = jnp.zeros_like(acc)
 
     x = x_ref[...]
-    w = (w_ref[...].astype(jnp.float32) * s_ref[...].astype(jnp.float32)).astype(
-        x.dtype
-    )
+    w = w_ref[...].astype(x.dtype)  # exact for |w| <= 127
     acc[...] += sdot(x, w, (((1,), (0,)), ((), ())))
 
     @pl.when(ki == nk - 1)
     def _():
-        o_ref[...] = acc[...].astype(out_dtype)
+        o_ref[...] = (acc[...] * s_ref[...].astype(jnp.float32)).astype(out_dtype)
 
 
 def matmul_int8(
@@ -100,23 +104,41 @@ def matmul_int8(
         s_spec = pl.BlockSpec((1, block_n), lambda mi, ni, ki: (0, ni))
         kern = functools.partial(_int8_kernel, nk=nk, out_dtype=out_dtype)
     else:
-        sp = _pad2(scales2, groups_per_block, block_n)
+        # 3D scales [nk, gpb, N] so the per-block spec (1, gpb, bn) is
+        # Mosaic-legal (a 2D (gpb, bn) block with gpb < K//g and gpb % 8 != 0
+        # violates the tiling rule).
+        sp = _pad2(scales2, groups_per_block * nk, block_n).reshape(
+            nk, groups_per_block, -1
+        )
         s_spec = pl.BlockSpec(
-            (groups_per_block, block_n), lambda mi, ni, ki: (ki, ni)
+            (1, groups_per_block, block_n), lambda mi, ni, ki: (ki, 0, ni)
         )
         g = block_k // groups_per_block
 
-        def kern(x_ref, w_ref, s_ref, o_ref, acc, *, nk=nk, out_dtype=out_dtype):
+        def kern(x_ref, w_ref, s_ref, o_ref, acc, *, nk=nk, gpb=groups_per_block,
+                 g=g, out_dtype=out_dtype):
             ki = pl.program_id(2)
 
             @pl.when(ki == 0)
             def _():
                 acc[...] = jnp.zeros_like(acc)
 
-            x_ = x_ref[...]
-            s_full = jnp.repeat(s_ref[...], g, axis=0)  # [block_k, block_n]
-            w_ = (w_ref[...].astype(jnp.float32) * s_full.astype(jnp.float32)).astype(x_.dtype)
-            acc[...] += sdot(x_, w_, (((1,), (0,)), ((), ())))
+            x_ = x_ref[...]          # [bm, block_k]
+            w_ = w_ref[...].astype(x_.dtype)  # [block_k, bn], no scale
+            bm = x_.shape[0]
+            bn = w_.shape[1]
+            # per-group partial products, scales applied to [bm, bn] each:
+            # out += sum_g (x_g @ w_g) * s_g[None, :]
+            xg = x_.reshape(bm, gpb, g)
+            wg = w_.reshape(gpb, g, bn)
+            partial = jax.lax.dot_general(
+                xg, wg, (((2,), (1,)), ((1,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT
+                if x_.dtype != jnp.float32 else jax.lax.Precision.HIGHEST,
+            )  # [gpb, bm, bn]
+            s = s_ref[0].astype(jnp.float32)  # [gpb, bn]
+            acc[...] += jnp.sum(partial * s[:, None, :], axis=0)
 
             @pl.when(ki == nk - 1)
             def _():
@@ -156,14 +178,23 @@ def _int4_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, nk, gpb, half, out_dtype):
     x = x_ref[...]
     p = w_ref[...]  # [block_k//2, block_n] uint8, group-local-halves layout
     bn = p.shape[-1]
+    bm = x.shape[0]
+    g = 2 * half
     # group-local halves: reshape to groups, unpack lo/hi, concat along k.
     pg = p.reshape(gpb, half, bn)
     lo = (pg & jnp.uint8(0x0F)).astype(jnp.int8) - 8
     hi = ((pg >> 4) & jnp.uint8(0x0F)).astype(jnp.int8) - 8
-    vals = jnp.concatenate([lo, hi], axis=1)  # [gpb, g, bn]
-    s = s_ref[...].reshape(gpb, 1, bn).astype(jnp.float32)
-    w = (vals.astype(jnp.float32) * s).reshape(gpb * 2 * half, bn).astype(x.dtype)
-    acc[...] += sdot(x, w, (((1,), (0,)), ((), ())))
+    vals = jnp.concatenate([lo, hi], axis=1).astype(x.dtype)  # [gpb, g, bn]
+    # scales fold onto the [gpb, bm, bn] partials, not the [K, bn] weights
+    xg = x.reshape(bm, gpb, g)
+    partial = jax.lax.dot_general(
+        xg, vals, (((2,), (1,)), ((1,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT
+        if x.dtype != jnp.float32 else jax.lax.Precision.HIGHEST,
+    )  # [gpb, bm, bn]
+    s = s_ref[0].astype(jnp.float32)  # [gpb, bn]
+    acc[...] += jnp.sum(partial * s[:, None, :], axis=0)
 
     @pl.when(ki == nk - 1)
     def _():
@@ -201,10 +232,10 @@ def matmul_int4(
 
     xp = _pad2(x, block_m, block_k)
     packed = _pad2(w.packed, block_k // 2, block_n)
-    sp = _pad2(w.scales, gpb, block_n)
+    nk = K // block_k
+    sp = _pad2(w.scales, gpb * nk, block_n).reshape(nk, gpb, -1)
     Mp = xp.shape[0]
     Np = packed.shape[1]
-    nk = K // block_k
 
     out = pl.pallas_call(
         functools.partial(
@@ -214,7 +245,7 @@ def matmul_int4(
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda mi, ni, ki: (mi, ki)),
             pl.BlockSpec((block_k // 2, block_n), lambda mi, ni, ki: (ki, ni)),
-            pl.BlockSpec((gpb, block_n), lambda mi, ni, ki: (ki, ni)),
+            pl.BlockSpec((1, gpb, block_n), lambda mi, ni, ki: (ki, 0, ni)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda mi, ni, ki: (mi, ni)),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
