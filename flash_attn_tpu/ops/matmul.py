@@ -65,8 +65,8 @@ def matmul_int8(
     scales: jax.Array,
     *,
     block_m: int = 128,
-    block_n: int = 256,
-    block_k: int = 512,
+    block_n: int = 1024,
+    block_k: int = 1024,
     out_dtype=None,
     interpret: bool | None = None,
 ):
@@ -206,7 +206,7 @@ def matmul_int4(
     w: Int4Weight,
     *,
     block_m: int = 128,
-    block_n: int = 256,
+    block_n: int = 1024,
     block_k: int | None = None,
     out_dtype=None,
     interpret: bool | None = None,
