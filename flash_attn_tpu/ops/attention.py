@@ -211,9 +211,10 @@ def flash_attention(
     q_positions/kv_positions: optional int32 position arrays enforcing
     kv_pos <= q_pos (per-sequence causal for packed batches)."""
     _validate(q, k, v, mask)
-    if window is not None:
-        # Local windows fold into the additive mask path for now; a windowed
-        # Pallas kernel variant is a later optimisation.
+    if window is not None and not return_lse:
+        # Differentiable path: fold the window into the additive mask (the
+        # jnp backward handles it); the inference path below uses the
+        # in-kernel window mask instead.
         wmask = reference.attention_bias(
             seqlen_q=q.shape[1], seqlen_k=k.shape[1], window=window,
         )
@@ -228,7 +229,8 @@ def flash_attention(
             q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
             q_positions=q_positions, kv_positions=kv_positions,
             causal=causal, scale=scale, dropout_rate=dropout_rate,
-            dropout_seed=dropout_seed, config=config, interpret=interpret,
+            dropout_seed=dropout_seed, window=window,
+            config=config, interpret=interpret,
         )
         return out, lse
     return _flash_attention_core(

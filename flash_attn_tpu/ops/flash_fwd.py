@@ -157,6 +157,7 @@ def _fwd_kernel(
     block_k: int,
     num_k_blocks: int,
     causal: bool,
+    window: tuple | None,
     dropout_rate: float,
     has_bias: bool,
     has_segs: bool,
@@ -187,6 +188,13 @@ def _fwd_kernel(
         mask = col < seqlen_k  # pad columns
         if causal:
             mask &= col <= row + shift
+        if window is not None:
+            # local attention (left, right), bottom-right aligned; -1 = open
+            left, right = window
+            if left >= 0:
+                mask &= col >= row + shift - left
+            if right >= 0:
+                mask &= col <= row + shift + right
         if has_segs:
             qs = qseg_ref[0]  # [bq, 1]
             ks = kseg_ref[0]  # [1, bk]
@@ -208,7 +216,8 @@ def _fwd_kernel(
             # the fully-masked-row algebra NaN-free)
             s = jnp.maximum(s + bias_ref[0, 0].astype(jnp.float32), NEG_INF)
 
-        if has_segs or has_pos or causal or (seqlen_k % block_k != 0):
+        if (has_segs or has_pos or causal or window is not None
+                or seqlen_k % block_k != 0):
             s = _apply_mask(s)
 
         m_prev = m_scratch[:, :1]  # [bq, 1]
@@ -272,6 +281,7 @@ def flash_fwd(
     scale: float | None = None,
     dropout_rate: float = 0.0,
     dropout_seed: jax.Array | int = 0,
+    window: tuple[int, int] | None = None,
     config: FlashConfig | None = None,
     interpret: bool | None = None,
     causal_dma_skip: bool = True,
@@ -413,6 +423,7 @@ def flash_fwd(
         block_k=block_k,
         num_k_blocks=num_k_blocks,
         causal=causal,
+        window=window,
         dropout_rate=float(dropout_rate),
         has_bias=has_bias,
         has_segs=has_segs,

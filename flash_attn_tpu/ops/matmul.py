@@ -129,10 +129,11 @@ def matmul_int8(
             bn = w_.shape[1]
             # per-group partial products, scales applied to [bm, bn] each:
             # out += sum_g (x_g @ w_g) * s_g[None, :]
-            xg = x_.reshape(bm, gpb, g)
+            # batch dims must sit at the same position for Mosaic
+            xg = jnp.swapaxes(x_.reshape(bm, gpb, g), 0, 1)  # [gpb, bm, g]
             wg = w_.reshape(gpb, g, bn)
             partial = jax.lax.dot_general(
-                xg, wg, (((2,), (1,)), ((1,), (0,))),
+                xg, wg, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT
                 if x_.dtype != jnp.float32 else jax.lax.Precision.HIGHEST,
@@ -186,9 +187,9 @@ def _int4_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, nk, gpb, half, out_dtype):
     hi = ((pg >> 4) & jnp.uint8(0x0F)).astype(jnp.int8) - 8
     vals = jnp.concatenate([lo, hi], axis=1).astype(x.dtype)  # [gpb, g, bn]
     # scales fold onto the [gpb, bm, bn] partials, not the [K, bn] weights
-    xg = x.reshape(bm, gpb, g)
+    xg = jnp.swapaxes(x.reshape(bm, gpb, g), 0, 1)  # [gpb, bm, g]
     partial = jax.lax.dot_general(
-        xg, vals, (((2,), (1,)), ((1,), (0,))),
+        xg, vals, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT
         if x.dtype != jnp.float32 else jax.lax.Precision.HIGHEST,

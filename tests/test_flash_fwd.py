@@ -140,3 +140,19 @@ def test_long_context_bf16_stability():
     # many k blocks -> online rescaling must stay stable
     q, k, v = make_qkv(jax.random.PRNGKey(11), 1, 128, 2048, 2, 2, 64, jnp.bfloat16)
     check(q, k, v, causal=False)
+
+
+def test_window_in_kernel():
+    """In-kernel local-attention window == oracle window mask."""
+    q, k, v = make_qkv(jax.random.PRNGKey(12), 1, 256, 256, 2, 2, 64, jnp.float32)
+    for window in [(32, 0), (16, 16), (-1, 8)]:
+        out, _ = flash_fwd(q, k, v, window=window, interpret=True)
+        ref = mha_reference(q, k, v, window=window)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4,
+            err_msg=str(window),
+        )
+    # window + causal compose
+    out, _ = flash_fwd(q, k, v, causal=True, window=(64, -1), interpret=True)
+    ref = mha_reference(q, k, v, causal=True, window=(64, -1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
