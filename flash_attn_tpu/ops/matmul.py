@@ -182,10 +182,12 @@ def _int4_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, nk, gpb, half, out_dtype):
     bm = x.shape[0]
     g = 2 * half
     # group-local halves: reshape to groups, unpack lo/hi, concat along k.
-    pg = p.reshape(gpb, half, bn)
-    lo = (pg & jnp.uint8(0x0F)).astype(jnp.int8) - 8
-    hi = ((pg >> 4) & jnp.uint8(0x0F)).astype(jnp.int8) - 8
-    vals = jnp.concatenate([lo, hi], axis=1).astype(x.dtype)  # [gpb, g, bn]
+    # Nibble math widens to int32 (Mosaic has no int8 sub) and the offset-8
+    # decode happens as a float subtract — exact for values 0..15.
+    pg = p.reshape(gpb, half, bn).astype(jnp.int32)
+    lo = (pg & 0x0F).astype(x.dtype) - jnp.asarray(8, x.dtype)
+    hi = ((pg >> 4) & 0x0F).astype(x.dtype) - jnp.asarray(8, x.dtype)
+    vals = jnp.concatenate([lo, hi], axis=1)  # [gpb, g, bn]
     # scales fold onto the [gpb, bm, bn] partials, not the [K, bn] weights
     xg = jnp.swapaxes(x.reshape(bm, gpb, g), 0, 1)  # [gpb, bm, g]
     partial = jax.lax.dot_general(
