@@ -21,15 +21,32 @@ points.
 
 from flash_attn_tpu.ops.attention import flash_attention, flash_attention_varlen
 from flash_attn_tpu.ops.decode import flash_decode
-from flash_attn_tpu.ops.lse import lse_merge
+from flash_attn_tpu.ops.flash_fwd import FlashConfig
+from flash_attn_tpu.ops.lse import lse_merge, lse_merge2
+from flash_attn_tpu.ops.matmul import matmul_int4, matmul_int8, quantized_matmul
+from flash_attn_tpu.ops.quant import (
+    quantize_fp8,
+    quantize_int4,
+    quantize_int8,
+    quantize_kv,
+)
 from flash_attn_tpu.ops.reference import mha_reference
 from flash_attn_tpu.version import __version__
 
 __all__ = [
+    "FlashConfig",
     "flash_attention",
     "flash_attention_varlen",
     "flash_decode",
     "lse_merge",
+    "lse_merge2",
+    "matmul_int4",
+    "matmul_int8",
     "mha_reference",
+    "quantize_fp8",
+    "quantize_int4",
+    "quantize_int8",
+    "quantize_kv",
+    "quantized_matmul",
     "__version__",
 ]
