@@ -25,6 +25,30 @@ from flash_attn_tpu.ops.flash_fwd import sdot
 NEG_INF = -1e30
 
 
+def _fast_cast(x, compute_dtype):
+    """Block cast into the MXU compute dtype.
+
+    fp8 e4m3 goes through a manual integer bit-decode: Mosaic's native
+    fp8->bf16 convert runs at ~5% of VPU bandwidth on v5e (measured), while
+    sign/exponent/mantissa reassembly in int32 runs at full rate.
+      bf16_bits = sign<<8 | ((exp_mant << 4) + (120 << 7))
+    (e4m3 bias 7 -> bf16 bias 127 = +120; mantissa 3 -> 7 bits = <<4).
+    Denormals (exp==0) flush to zero — KV values below 2^-6 of the block
+    absmax are attention-negligible.  e4m3 has no inf; NaN (0x7f) decodes
+    to a large finite value, which the quantizer never emits.
+    """
+    if x.dtype == jnp.float8_e4m3fn and compute_dtype == jnp.bfloat16:
+        u = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
+        sign = (u & 0x80) << 8
+        expmant = u & 0x7F
+        bits = sign | ((expmant << 4) + (120 << 7))
+        bits = jnp.where(expmant < 8, 0, bits)  # denormals/zero -> 0
+        return jax.lax.bitcast_convert_type(
+            bits.astype(jnp.uint16), jnp.bfloat16
+        )
+    return x.astype(compute_dtype)
+
+
 def flash_decode(
     q: jax.Array,
     k: jax.Array,
@@ -376,7 +400,7 @@ def _decode_kernel_bhsd(
     @pl.when(ki * block_k < kv_len)
     def _body():
         q = q_ref[0].astype(compute_dtype)  # [H, D]
-        k = k_ref[0].astype(compute_dtype)  # [Hk, bk, D]
+        k = _fast_cast(k_ref[0], compute_dtype)  # [Hk, bk, D]
         qg = q.reshape(num_heads_k, group, q.shape[-1])  # [Hk, g, D]
         s = sdot(qg, k, (((2,), (2,)), ((0,), (0,))))  # [Hk, g, bk] fp32
         if has_k_scale:
@@ -397,7 +421,7 @@ def _decode_kernel_bhsd(
         m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
         l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
 
-        v = v_ref[0].astype(compute_dtype)  # [Hk, bk, D]
+        v = _fast_cast(v_ref[0], compute_dtype)  # [Hk, bk, D]
         pg = p.reshape(num_heads_k, group, block_k)
         if has_v_scale:
             pg = pg * vs_ref[0][:, :, :].astype(jnp.float32)  # [Hk, 1, bk]

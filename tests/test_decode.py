@@ -108,3 +108,24 @@ def test_decode_bhsd_quantized():
         kv_layout="bhsd", interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+
+
+def test_fast_fp8_cast_decode_matches_oracle():
+    """Manual e4m3 bit-decode == dequantize-then-float oracle (normals)."""
+    import jax.numpy as jnp
+
+    q, k, v = setup(jax.random.PRNGKey(13), 1, 256, 4, 2, 64)
+    q = q.astype(jnp.bfloat16)
+    kq, ks, vq, vs = quantize_kv(k, v, "fp8")
+    from flash_attn_tpu.ops.quant import dequantize
+
+    got = flash_decode(
+        q, jnp.swapaxes(kq, 1, 2), jnp.swapaxes(vq, 1, 2),
+        k_scale=jnp.swapaxes(ks, 1, 2), v_scale=jnp.swapaxes(vs, 1, 2),
+        kv_layout="bhsd", interpret=True,
+    )
+    want = oracle(
+        q.astype(jnp.float32), dequantize(kq, ks), dequantize(vq, vs)
+    )
+    # bf16 compute + denormal flush: tolerance at bf16 level
+    assert float(jnp.max(jnp.abs(got.astype(jnp.float32) - want))) < 0.05
