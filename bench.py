@@ -88,6 +88,30 @@ def bench_flash_fwd(chip_peaks):
     }
 
 
+def bench_prefill_8b(chip_peaks):
+    """Llama-8B prefill shape: B=1, S=8192, H=32/Hk=8 GQA, causal."""
+    import jax
+    import jax.numpy as jnp
+
+    from flash_attn_tpu.ops.flash_fwd import FlashConfig, flash_fwd
+
+    B, S, H, Hk, D = 1, 8192, 32, 8, 128
+    key = jax.random.PRNGKey(2)
+    q = jax.random.normal(key, (B, S, H, D), jnp.bfloat16)
+    k = jax.random.normal(key, (B, S, Hk, D), jnp.bfloat16)
+    v = jax.random.normal(key, (B, S, Hk, D), jnp.bfloat16)
+    cfg = FlashConfig(block_q=512, block_k=2048)
+    step = lambda q_, k_, v_: flash_fwd(q_, k_, v_, causal=True, config=cfg)[0]
+    t = chain_step_seconds(step, q, (k, v), n=4)
+    flops = 4 * B * H * S * S * D / 2
+    tflops = flops / t / 1e12
+    return {
+        "prefill8b_ms": round(t * 1e3, 2),
+        "prefill8b_tflops": round(tflops, 1),
+        "prefill8b_frac_peak": round(tflops / chip_peaks[0], 4),
+    }
+
+
 def bench_decode(chip_peaks, mode="int8"):
     import jax
     import jax.numpy as jnp
@@ -198,6 +222,10 @@ def _run_bench():
         details.update(bench_flash_fwd(peaks))
     except Exception as e:  # pragma: no cover
         details["fwd_error"] = repr(e)[:200]
+    try:
+        details.update(bench_prefill_8b(peaks))
+    except Exception as e:  # pragma: no cover
+        details["prefill8b_error"] = repr(e)[:200]
     for mode in ("int8", "none"):
         try:
             details.update(bench_decode(peaks, mode))
