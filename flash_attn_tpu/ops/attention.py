@@ -52,6 +52,7 @@ def _flash_attention_core(
         scale=scale,
         dropout_rate=dropout_rate,
         dropout_seed=dropout_seed,
+        window=window,
         config=config,
         interpret=interpret,
     )
@@ -69,6 +70,7 @@ def _core_fwd(q, k, v, bias, segs, causal, scale, dropout_rate, dropout_seed,
         kv_positions=None if segs is None else segs[3],
         causal=causal, scale=scale,
         dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+        window=window,
         config=config, interpret=interpret,
     )
     # Residuals ≙ what the reference saves for flash_attn_bwd: q,k,v,out,lse
@@ -80,26 +82,39 @@ def _core_fwd(q, k, v, bias, segs, causal, scale, dropout_rate, dropout_seed,
 def _core_bwd(causal, scale, dropout_rate, dropout_seed, window, config,
               interpret, res, dout):
     q, k, v, bias, segs, out, lse = res
-    if dropout_rate > 0.0:
-        from flash_attn_tpu.ops.flash_bwd import flash_bwd
-        dq, dk, dv = flash_bwd(
-            q, k, v, out, lse, dout,
-            bias=bias,
-            q_segment_ids=None if segs is None else segs[0],
-            kv_segment_ids=None if segs is None else segs[1],
-            q_positions=None if segs is None else segs[2],
-            kv_positions=None if segs is None else segs[3],
-            causal=causal, scale=scale,
-            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
-            config=config, interpret=interpret,
+    if _use_jnp_bwd() and dropout_rate == 0.0:
+        # Debug-only O(S^2) reference backward (FATPU_JNP_BWD=1).
+        dq, dk, dv, dbias = _jnp_backward(
+            q, k, v, out, lse, dout, bias=bias, segs=segs, causal=causal,
+            scale=scale, window=window, want_dbias=bias is not None,
         )
-        dbias = None if bias is None else jnp.zeros_like(bias)
         return dq, dk, dv, dbias, _int_cotangent(segs)
-    dq, dk, dv, dbias = _jnp_backward(
-        q, k, v, out, lse, dout, bias=bias, segs=segs, causal=causal,
-        scale=scale, window=window, want_dbias=bias is not None,
+    from flash_attn_tpu.ops.flash_bwd import flash_bwd
+
+    grads = flash_bwd(
+        q, k, v, out, lse, dout,
+        bias=bias,
+        q_segment_ids=None if segs is None else segs[0],
+        kv_segment_ids=None if segs is None else segs[1],
+        q_positions=None if segs is None else segs[2],
+        kv_positions=None if segs is None else segs[3],
+        causal=causal, scale=scale,
+        dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+        window=window, want_dbias=bias is not None,
+        config=config, interpret=interpret,
     )
+    if bias is None:
+        dq, dk, dv = grads
+        dbias = None
+    else:
+        dq, dk, dv, dbias = grads
     return dq, dk, dv, dbias, _int_cotangent(segs)
+
+
+def _use_jnp_bwd() -> bool:
+    import os
+
+    return os.environ.get("FATPU_JNP_BWD", "0") == "1"
 
 
 def _int_cotangent(segs):
@@ -211,15 +226,6 @@ def flash_attention(
     q_positions/kv_positions: optional int32 position arrays enforcing
     kv_pos <= q_pos (per-sequence causal for packed batches)."""
     _validate(q, k, v, mask)
-    if window is not None and not return_lse:
-        # Differentiable path: fold the window into the additive mask (the
-        # jnp backward handles it); the inference path below uses the
-        # in-kernel window mask instead.
-        wmask = reference.attention_bias(
-            seqlen_q=q.shape[1], seqlen_k=k.shape[1], window=window,
-        )
-        mask = wmask if mask is None else mask + wmask
-        window = None
     segs = None
     if q_segment_ids is not None or q_positions is not None:
         segs = (q_segment_ids, kv_segment_ids, q_positions, kv_positions)

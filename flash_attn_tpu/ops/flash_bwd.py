@@ -47,8 +47,8 @@ from flash_attn_tpu.ops.flash_fwd import (
 def _recompute_p_ds(
     q, k, v, dout, lse_row, delta_row, *,
     row0, col0, block_q, block_k, seqlen_q, seqlen_k, shift,
-    causal, has_segs, qs, ks, has_pos, qp, kp, has_bias, bias, scale,
-    dropout_rate, seed_ref, b, h, qi, ki,
+    causal, window, has_segs, qs, ks, has_pos, qp, kp, has_bias, bias, scale,
+    dropout_rate, seed_ref, b, h,
 ):
     """Shared tile math: returns (p_drop, ds) fp32 [bq, bk].
 
@@ -56,9 +56,10 @@ def _recompute_p_ds(
     p_drop is the post-dropout probability tile (feeds dv);
     ds is the score gradient tile (feeds dq and dk).
     """
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    # sdot: explicit precision (DEFAULT for bf16) — a raw dot_general here
+    # inherits any global jax_default_matmul_precision and "highest" breaks
+    # Mosaic bf16 matmuls ("Bad lhs type").
+    s = sdot(q, k, (((1,), (1,)), ((), ()))) * scale
     if has_bias:
         s = s + bias
 
@@ -69,6 +70,14 @@ def _recompute_p_ds(
     mask = (col < seqlen_k) & (row < seqlen_q)
     if causal:
         mask &= col <= row + shift
+    if window is not None:
+        # local attention (left, right), bottom-right aligned; -1 = open —
+        # mirrors the forward kernel's window mask exactly.
+        left, right = window
+        if left >= 0:
+            mask &= col >= row + shift - left
+        if right >= 0:
+            mask &= col <= row + shift + right
     if has_segs:
         mask &= qs == ks  # (bq,1) == (1,bk) broadcast
     if has_pos:
@@ -79,13 +88,11 @@ def _recompute_p_ds(
     lse_safe = jnp.maximum(lse_row, NEG_INF / 2)  # [bq, 1]
     p = jnp.where(mask & (lse_row > NEG_INF / 2), jnp.exp(s - lse_safe), 0.0)
 
-    dp_drop = jax.lax.dot_general(
-        dout, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [bq, bk] = dout @ v^T
+    dp_drop = sdot(dout, v, (((1,), (1,)), ((), ())))  # [bq, bk] = dout @ v^T
 
     if dropout_rate > 0.0:
         keep = dropout_keep_mask(
-            seed_ref, b, h, qi, ki, block_q, block_k, dropout_rate
+            seed_ref, b, h, row0, col0, block_q, block_k, dropout_rate
         )
         inv_keep = 1.0 / (1.0 - dropout_rate)
         p_drop = jnp.where(keep, p * inv_keep, 0.0)
@@ -106,7 +113,7 @@ def _dq_kernel(
     dq_scratch,
     *,
     seqlen_q, seqlen_k, block_q, block_k, num_k_blocks,
-    causal, scale, dropout_rate, has_bias, has_segs, has_pos, out_dtype,
+    causal, window, scale, dropout_rate, has_bias, has_segs, has_pos, out_dtype,
 ):
     b, h, qi, ki = (pl.program_id(i) for i in range(4))
     shift = seqlen_k - seqlen_q
@@ -127,7 +134,7 @@ def _dq_kernel(
             row0=qi * block_q, col0=ki * block_k,
             block_q=block_q, block_k=block_k,
             seqlen_q=seqlen_q, seqlen_k=seqlen_k, shift=shift,
-            causal=causal, has_segs=has_segs,
+            causal=causal, window=window, has_segs=has_segs,
             qs=qseg_ref[0] if has_segs else None,
             ks=kseg_ref[0] if has_segs else None,
             has_pos=has_pos,
@@ -136,7 +143,7 @@ def _dq_kernel(
             has_bias=has_bias,
             bias=bias_ref[0, 0].astype(jnp.float32) if has_bias else None,
             scale=scale, dropout_rate=dropout_rate, seed_ref=seed_ref,
-            b=b, h=h, qi=qi, ki=ki,
+            b=b, h=h,
         )
         dq_scratch[...] += scale * sdot(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ()))
@@ -157,11 +164,12 @@ def _dkv_kernel(
     seed_ref,
     q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref, bias_ref, qseg_ref, kseg_ref,
     qpos_ref, kpos_ref,
-    dk_ref, dv_ref,
+    dk_ref, dv_ref, ds_ref,
     dk_scratch, dv_scratch,
     *,
     seqlen_q, seqlen_k, block_q, block_k, num_q_blocks,
-    causal, scale, dropout_rate, has_bias, has_segs, has_pos, out_dtype,
+    causal, window, scale, dropout_rate, has_bias, has_segs, has_pos,
+    out_dtype, want_ds,
 ):
     b, h, ki, qi = (pl.program_id(i) for i in range(4))
     shift = seqlen_k - seqlen_q
@@ -183,7 +191,7 @@ def _dkv_kernel(
             row0=qi * block_q, col0=ki * block_k,
             block_q=block_q, block_k=block_k,
             seqlen_q=seqlen_q, seqlen_k=seqlen_k, shift=shift,
-            causal=causal, has_segs=has_segs,
+            causal=causal, window=window, has_segs=has_segs,
             qs=qseg_ref[0] if has_segs else None,
             ks=kseg_ref[0] if has_segs else None,
             has_pos=has_pos,
@@ -192,7 +200,7 @@ def _dkv_kernel(
             has_bias=has_bias,
             bias=bias_ref[0, 0].astype(jnp.float32) if has_bias else None,
             scale=scale, dropout_rate=dropout_rate, seed_ref=seed_ref,
-            b=b, h=h, qi=qi, ki=ki,
+            b=b, h=h,
         )
         # dv += P_drop^T @ dout ; dk += scale * dS^T @ q
         dv_scratch[...] += sdot(
@@ -201,10 +209,22 @@ def _dkv_kernel(
         dk_scratch[...] += scale * sdot(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ()))
         )
+        if want_ds:
+            # dbias = ds (pre-scale score gradient); each (qi, ki) tile is
+            # visited exactly once in this grid, so a plain tile write is
+            # race-free.  Reduced to the broadcastable bias shape outside.
+            ds_ref[0, 0] = ds
 
     if causal:
         # Block (ki, qi) is live iff some (row, col) satisfies col <= row+shift.
-        pl.when(ki * block_k <= qi * block_q + (block_q - 1) + shift)(_body)
+        live = ki * block_k <= qi * block_q + (block_q - 1) + shift
+        pl.when(live)(_body)
+        if want_ds:
+            # Dead blocks must still define their ds output tile.
+            @pl.when(jnp.logical_not(live))
+            def _zero_ds():
+                ds_ref[0, 0] = jnp.zeros_like(ds_ref[0, 0])
+
     else:
         _body()
 
@@ -226,13 +246,22 @@ def flash_bwd(
     scale=None,
     dropout_rate=0.0,
     dropout_seed=0,
+    window=None,
+    want_dbias=False,
     config: FlashConfig | None = None,
     interpret: bool | None = None,
 ):
-    """Returns (dq, dk, dv). Layouts as flash_fwd (BSHD in/out); lse [B,H,Sq]."""
-    cfg = config or FlashConfig()
+    """Returns (dq, dk, dv), or (dq, dk, dv, dbias) when ``want_dbias``.
+    Layouts as flash_fwd (BSHD in/out); lse [B,H,Sq]."""
+    if config is None:
+        from flash_attn_tpu.utils.autotune import get_bwd_config
+
+        config = get_bwd_config(q.shape[1], k.shape[1], q.shape[3], q.dtype)
+    cfg = config
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if want_dbias and bias is None:
+        raise ValueError("want_dbias=True requires a bias")
 
     batch, seqlen_q, num_heads, head_dim = q.shape
     _, seqlen_k, num_heads_k, _ = k.shape
@@ -379,7 +408,7 @@ def flash_bwd(
     common_kwargs = dict(
         seqlen_q=seqlen_q, seqlen_k=seqlen_k,
         block_q=block_q, block_k=block_k,
-        causal=causal, scale=float(scale),
+        causal=causal, window=window, scale=float(scale),
         dropout_rate=float(dropout_rate),
         has_bias=has_bias, has_segs=has_segs, has_pos=has_pos,
     )
@@ -419,32 +448,48 @@ def flash_bwd(
     )(*args)
 
     # --- dkv pass (per query head; group-reduced below) ---
-    dk, dv = pl.pallas_call(
+    # When dbias is wanted, the pass also emits the raw ds tiles (the score
+    # gradient — dbias before broadcast-reduction); each (qi, ki) tile is
+    # written exactly once by the (ki, qi) grid.
+    want_ds = bool(want_dbias)
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, block_k, head_dim), lambda b, h, x, y, *_: (b, h, x, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, block_k, head_dim), lambda b, h, x, y, *_: (b, h, x, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, block_q, block_k),
+            (lambda b, h, x, y, *_: (b, h, y, x))
+            if want_ds
+            else (lambda b, h, x, y, *_: (0, 0, 0, 0)),
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, num_heads, sk_p, head_dim), jnp.float32),
+        jax.ShapeDtypeStruct((batch, num_heads, sk_p, head_dim), jnp.float32),
+        jax.ShapeDtypeStruct(
+            (batch, num_heads, sq_p, sk_p) if want_ds else (1, 1, block_q, block_k),
+            jnp.float32,
+        ),
+    ]
+    dk, dv, ds_full = pl.pallas_call(
         functools.partial(
             _dkv_kernel, num_q_blocks=num_q_blocks, out_dtype=jnp.float32,
-            **common_kwargs,
+            want_ds=want_ds, **common_kwargs,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(batch, num_heads, num_k_blocks, num_q_blocks),
             in_specs=mk_specs(lambda x, y: (y, x), clamp_k=False),
-            out_specs=[
-                pl.BlockSpec(
-                    (1, 1, block_k, head_dim), lambda b, h, x, y, *_: (b, h, x, 0)
-                ),
-                pl.BlockSpec(
-                    (1, 1, block_k, head_dim), lambda b, h, x, y, *_: (b, h, x, 0)
-                ),
-            ],
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((block_k, head_dim), jnp.float32),
                 pltpu.VMEM((block_k, head_dim), jnp.float32),
             ],
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((batch, num_heads, sk_p, head_dim), jnp.float32),
-            jax.ShapeDtypeStruct((batch, num_heads, sk_p, head_dim), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=cfg.vmem_limit_bytes,
@@ -462,4 +507,18 @@ def flash_bwd(
     if group > 1:
         dk = dk.reshape(batch, seqlen_k, num_heads_k, group, head_dim).sum(3)
         dv = dv.reshape(batch, seqlen_k, num_heads_k, group, head_dim).sum(3)
-    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+    dq, dk, dv = dq, dk.astype(k.dtype), dv.astype(v.dtype)
+    if not want_dbias:
+        return dq, dk, dv
+    ds = ds_full[:, :, :seqlen_q, :seqlen_k]
+    dbias = _reduce_to_shape(ds, bias.shape).astype(bias.dtype)
+    return dq, dk, dv, dbias
+
+
+def _reduce_to_shape(g, bias_shape):
+    """Sum ds [B,H,Sq,Sk] down to the (broadcastable) bias shape."""
+    pad = (1,) * (4 - len(bias_shape)) + tuple(bias_shape)
+    for axis, (bs, fs) in enumerate(zip(pad, g.shape)):
+        if bs == 1 and fs != 1:
+            g = g.sum(axis=axis, keepdims=True)
+    return g.reshape(bias_shape)

@@ -49,6 +49,8 @@ class FlashConfig:
     block_k: int = 128
     # Upper bound for VMEM the compiler may use; None = let Mosaic decide.
     vmem_limit_bytes: int | None = None
+    # Skip the causal mask on fully-live blocks via a per-block branch.
+    mask_skip: bool = True
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -82,8 +84,8 @@ def _pad_axis(x: jax.Array, axis: int, multiple: int) -> jax.Array:
     return jnp.pad(x, pads)
 
 
-def _mix_seed(seed_ref, b, h, qi, ki):
-    """Deterministic per-block PRNG seed from (user seed, block coords) —
+def _mix_seed(seed_ref, b, h):
+    """Deterministic per-(batch, head) PRNG seed from the user seed —
     counter-based like Philox seed/offset (flash_attn.h:33-34), so the
     backward pass can replay the identical dropout mask."""
     import numpy as np
@@ -91,31 +93,30 @@ def _mix_seed(seed_ref, b, h, qi, ki):
     s = seed_ref[0]
     # Cheap integer hash; all operands int32 (SMEM scalars).  Constants are
     # the usual avalanche multipliers, wrapped into int32 range.
-    c1, c2, c3, c4 = (
-        np.uint32(c).astype(np.int32)
-        for c in (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F)
+    c1, c2 = (
+        np.uint32(c).astype(np.int32) for c in (0x9E3779B1, 0x85EBCA77)
     )
     x = s ^ (b * c1)
     x = x ^ (h * c2)
-    x = x ^ (qi * c3)
-    x = x ^ (ki * c4)
     return x
 
 
-def dropout_keep_mask(seed_ref, b, h, qi, ki, block_q, block_k, rate):
+def dropout_keep_mask(seed_ref, b, h, row0, col0, block_q, block_k, rate):
     """Counter-based dropout keep-mask, [block_q, block_k] bool.
 
-    A murmur3-style integer finalizer over (seed, block coords, element
-    coords) — pure int32 VPU ops, so it runs identically under Mosaic and
-    interpret mode, and the backward pass replays it exactly from the same
-    seed (the TPU-native form of the Philox seed/offset contract,
-    flash_attn.h:33-34, 96-97).
+    A murmur3-style integer finalizer over (seed, batch, head, *absolute*
+    element coords) — pure int32 VPU ops, so it runs identically under Mosaic
+    and interpret mode.  Keying on absolute (row, col) rather than block
+    indices makes the mask independent of the kernel's block configuration,
+    so forward and backward replay identically even when they tile the
+    sequence differently (the TPU-native form of the Philox seed/offset
+    contract, flash_attn.h:33-34, 96-97).
     """
     import numpy as np
 
-    mix = _mix_seed(seed_ref, b, h, qi, ki)
-    row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    mix = _mix_seed(seed_ref, b, h)
+    row = row0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    col = col0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     m1 = np.uint32(0x9E3779B9).astype(np.int32)
     m2 = np.uint32(0x7FEB352D).astype(np.int32)
     f1 = np.uint32(0x85EBCA6B).astype(np.int32)
@@ -162,6 +163,7 @@ def _fwd_kernel(
     has_bias: bool,
     has_segs: bool,
     has_pos: bool,
+    mask_skip: bool,
     out_dtype,
 ):
     b, h, qi, ki = (pl.program_id(i) for i in range(4))
@@ -216,8 +218,24 @@ def _fwd_kernel(
             # the fully-masked-row algebra NaN-free)
             s = jnp.maximum(s + bias_ref[0, 0].astype(jnp.float32), NEG_INF)
 
-        if (has_segs or has_pos or causal or window is not None
-                or seqlen_k % block_k != 0):
+        needs_any_mask = (
+            has_segs or has_pos or causal or window is not None
+            or seqlen_k % block_k != 0
+        )
+        # Pure-causal fast path: blocks strictly below the diagonal band are
+        # fully live — skip the 6-op/element mask there (at long context most
+        # blocks are, and the VPU mask cost is what holds the kernel under
+        # peak).  Other mask kinds apply per-block as before.
+        causal_only = (
+            mask_skip
+            and causal and not (has_segs or has_pos or window is not None)
+            and seqlen_k % block_k == 0
+        )
+        if causal_only:
+            # block fully live iff its last column <= its first row + shift
+            full = (ki * block_k + block_k - 1) <= (qi * block_q + shift)
+            s = jax.lax.cond(full, lambda x: x, _apply_mask, s)
+        elif needs_any_mask:
             s = _apply_mask(s)
 
         m_prev = m_scratch[:, :1]  # [bq, 1]
@@ -233,7 +251,8 @@ def _fwd_kernel(
 
         if dropout_rate > 0.0:
             keep = dropout_keep_mask(
-                seed_ref, b, h, qi, ki, block_q, block_k, dropout_rate
+                seed_ref, b, h, qi * block_q, ki * block_k,
+                block_q, block_k, dropout_rate,
             )
             p_v = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
         else:
@@ -428,6 +447,7 @@ def flash_fwd(
         has_bias=has_bias,
         has_segs=has_segs,
         has_pos=has_pos,
+        mask_skip=cfg.mask_skip,
         out_dtype=q.dtype,
     )
 

@@ -77,6 +77,21 @@ def get_config(seqlen_q: int, seqlen_k: int, head_dim: int, dtype="bfloat16"
     return heuristic_config(seqlen_q, seqlen_k, head_dim, dtype)
 
 
+def get_bwd_config(seqlen_q: int, seqlen_k: int, head_dim: int,
+                   dtype="bfloat16") -> FlashConfig:
+    """Block config for the backward kernels.  The bwd passes hold more live
+    tiles per step (q, k, v, dout + two fp32 scratch accumulators) than fwd,
+    so blocks are smaller.  The dropout mask is keyed on absolute element
+    coords, so fwd and bwd may tile differently without breaking replay."""
+    cache = _load_cache()
+    hit = cache.get("bwd:" + _key(seqlen_q, seqlen_k, head_dim, str(dtype)))
+    if hit:
+        return FlashConfig(**hit)
+    block_k = 512 if seqlen_k >= 1024 else (256 if seqlen_k >= 256 else 128)
+    block_q = 256 if seqlen_q >= 512 and head_dim <= 128 else 128
+    return FlashConfig(block_q=block_q, block_k=block_k)
+
+
 def autotune_fwd(q, k, v, *, causal=True, candidates=None, iters=5) -> FlashConfig:
     """Measure candidate configs on the live device; cache + return the
     winner.  Uses chained-iteration timing (see bench.py methodology)."""
