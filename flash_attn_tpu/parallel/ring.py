@@ -12,7 +12,16 @@ scheduling level; an explicit Pallas RDMA ring is a later optimisation).
 
 Causal handling: global block positions decide each step's mask — earlier KV
 blocks attend fully, the diagonal block causally, later blocks are skipped
-entirely (lax.cond on the three cases keeps the skipped steps free).
+entirely (lax.switch on the three cases keeps the skipped steps free).
+
+Training (flash_attn.h:68-134 — backward is half the reference API): the
+ring is differentiable via ``jax.custom_vjp``.  The backward rotates
+(k, v, dk, dv) together around the same ring: at each step the local device
+recomputes its tile gradients from the *merged* LSE (the FA2 recompute
+trick — exp(s - lse_full) is the globally-normalized probability, so
+per-step partial gradients sum exactly), accumulates dq locally and dk/dv
+into the rotating buffers, which arrive back at their home device after a
+full loop.
 """
 
 from __future__ import annotations
@@ -23,38 +32,23 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
+from flash_attn_tpu.ops.flash_bwd import flash_bwd
 from flash_attn_tpu.ops.flash_fwd import flash_fwd
 from flash_attn_tpu.ops.lse import lse_merge2
 
 NEG_INF = float("-inf")
 
 
-def ring_attention(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    *,
-    axis_name: str,
-    causal: bool = False,
-    scale: float | None = None,
-    interpret: bool | None = None,
-):
-    """Shard-local ring attention body (call inside shard_map).
+def _ring_perm(n):
+    return [(i, (i + 1) % n) for i in range(n)]  # send KV to the next device
 
-    q, k, v: the *local* shards [B, S_loc, H, D] of a sequence sharded over
-    ``axis_name``.  Returns the local out shard [B, S_loc, H, D].
-    """
+
+def _ring_scan_fwd(q, k, v, *, axis_name, causal, scale, interpret):
+    """The forward ring scan. Returns (out [B,S_loc,H,D], lse [B,H,S_loc])."""
     n = jax.lax.axis_size(axis_name)
     my = jax.lax.axis_index(axis_name)
     batch, s_loc, num_heads, head_dim = q.shape
-
-    perm = [(i, (i + 1) % n) for i in range(n)]  # send KV to the next device
-
-    def causal_bias(kv_idx):
-        """Additive bias for the diagonal block only (block-causal)."""
-        row = jnp.arange(s_loc)[:, None]
-        col = jnp.arange(s_loc)[None, :]
-        return jnp.where(col <= row, 0.0, NEG_INF)[None, None].astype(jnp.float32)
+    perm = _ring_perm(n)
 
     def step(carry, _):
         out, lse, kc, vc, kv_idx = carry
@@ -83,7 +77,7 @@ def ring_attention(
         else:
             o_i, lse_i = attend_full(None)
 
-        # merge partials: lse layouts [B,H,S] -> align to out [B,S,H]
+        # merge partials: lse layouts [B,H,S] -> align to out [B,H,S,D]
         out_new, lse_new = lse_merge2(
             out,
             lse,
@@ -100,7 +94,107 @@ def ring_attention(
     (out, lse, _, _, _), _ = jax.lax.scan(
         step, (out0, lse0, k, v, my), None, length=n
     )
-    return jnp.swapaxes(out, 1, 2).astype(q.dtype)
+    return jnp.swapaxes(out, 1, 2).astype(q.dtype), lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _ring_core(q, k, v, axis_name, causal, scale, interpret):
+    out, _ = _ring_scan_fwd(
+        q, k, v, axis_name=axis_name, causal=causal, scale=scale,
+        interpret=interpret,
+    )
+    return out
+
+
+def _ring_core_fwd(q, k, v, axis_name, causal, scale, interpret):
+    out, lse = _ring_scan_fwd(
+        q, k, v, axis_name=axis_name, causal=causal, scale=scale,
+        interpret=interpret,
+    )
+    return out, (q, k, v, out, lse)
+
+
+def _ring_core_bwd(axis_name, causal, scale, interpret, res, dout):
+    q, k, v, out, lse = res
+    n = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+    perm = _ring_perm(n)
+    kv_shape = k.shape  # [B, S_loc, Hk, D]
+
+    def step(carry, _):
+        dq, kc, vc, dkc, dvc, kv_idx = carry
+
+        def grads_full(_):
+            g = flash_bwd(
+                q, kc, vc, out, lse, dout, causal=False, scale=scale,
+                interpret=interpret,
+            )
+            return tuple(x.astype(jnp.float32) for x in g)
+
+        def grads_diag(_):
+            g = flash_bwd(
+                q, kc, vc, out, lse, dout, causal=True, scale=scale,
+                interpret=interpret,
+            )
+            return tuple(x.astype(jnp.float32) for x in g)
+
+        def grads_skip(_):
+            return (
+                jnp.zeros(q.shape, jnp.float32),
+                jnp.zeros(kv_shape, jnp.float32),
+                jnp.zeros(kv_shape, jnp.float32),
+            )
+
+        if causal:
+            branch = jnp.where(kv_idx < my, 0, jnp.where(kv_idx == my, 1, 2))
+            dq_i, dk_i, dv_i = jax.lax.switch(
+                branch, [grads_full, grads_diag, grads_skip], None
+            )
+        else:
+            dq_i, dk_i, dv_i = grads_full(None)
+
+        dq = dq + dq_i
+        dkc = dkc + dk_i
+        dvc = dvc + dv_i
+        # rotate the KV shard together with its gradient accumulators; after
+        # a full loop each (dk, dv) is back on its home device.
+        kc = jax.lax.ppermute(kc, axis_name, perm)
+        vc = jax.lax.ppermute(vc, axis_name, perm)
+        dkc = jax.lax.ppermute(dkc, axis_name, perm)
+        dvc = jax.lax.ppermute(dvc, axis_name, perm)
+        kv_idx = (kv_idx - 1) % n
+        return (dq, kc, vc, dkc, dvc, kv_idx), None
+
+    dq0 = jnp.zeros(q.shape, jnp.float32)
+    dk0 = jnp.zeros(kv_shape, jnp.float32)
+    dv0 = jnp.zeros(kv_shape, jnp.float32)
+    (dq, _, _, dk, dv, _), _ = jax.lax.scan(
+        step, (dq0, k, v, dk0, dv0, my), None, length=n
+    )
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_ring_core.defvjp(_ring_core_fwd, _ring_core_bwd)
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    causal: bool = False,
+    scale: float | None = None,
+    interpret: bool | None = None,
+):
+    """Shard-local ring attention body (call inside shard_map).
+
+    q, k, v: the *local* shards [B, S_loc, H, D] of a sequence sharded over
+    ``axis_name``.  Returns the local out shard [B, S_loc, H, D].
+    Differentiable: jax.grad flows through the reverse ring (dk/dv rotate
+    home), ≙ flash_attn_bwd semantics (flash_attn.h:68-99) distributed.
+    """
+    return _ring_core(q, k, v, axis_name, causal, scale, interpret)
 
 
 def make_ring_attention(mesh, *, axis_name="sp", causal=False, scale=None,
