@@ -45,6 +45,10 @@ class ModelAdapter:
     num_kv_heads: int
     head_dim: int
     eos_token: int | None = None
+    # optional chunked prefill: (params, tokens [1, C], cache, slot, start)
+    # -> (logits [1, C, V], cache) — enables prefill/decode interleave on
+    # long prompts (no head-of-line blocking).
+    prefill_chunk: Callable | None = None
 
 
 class InferenceEngine:
@@ -59,6 +63,7 @@ class InferenceEngine:
         cache_dtype=jnp.bfloat16,
         sampling: SamplingParams | None = None,
         rng_seed: int = 0,
+        prefill_chunk_size: int | None = None,
     ):
         self.params = params
         self.adapter = adapter
@@ -71,8 +76,22 @@ class InferenceEngine:
         )
         self.key = jax.random.PRNGKey(rng_seed)
         self.next_token = np.zeros((max_batch,), np.int32)
+        self._prefilling: set[int] = set()
+        # Chunked prefill bounds how long a prompt can stall the decode
+        # batch; requires the adapter's prefill_chunk path.
+        self.prefill_chunk_size = (
+            prefill_chunk_size if adapter.prefill_chunk is not None else None
+        )
+        from flash_attn_tpu.utils.metrics import EngineMetrics
+
+        self.metrics = EngineMetrics(kv_capacity=max_batch * capacity)
         self._prefill_jit = jax.jit(self._prefill_one, static_argnums=())
         self._decode_jit = jax.jit(self._decode_batch)
+        self._chunk_jit = (
+            jax.jit(adapter.prefill_chunk)
+            if adapter.prefill_chunk is not None
+            else None
+        )
 
     # --- jitted bodies ---
 
@@ -111,34 +130,97 @@ class InferenceEngine:
             self._do_decode_step()
 
     def _do_prefill(self, req: Request):
-        bucket = bucket_length(len(req.prompt))
-        bucket = min(bucket, self.capacity)
-        toks = np.zeros((1, bucket), np.int32)
-        toks[0, : len(req.prompt)] = req.prompt
-        logits, self.cache = self._prefill_jit(
-            self.params, jnp.asarray(toks), self.cache,
-            jnp.int32(req.slot), jnp.int32(len(req.prompt)),
-        )
+        import time as _time
+
+        t0 = _time.perf_counter()
+        if (
+            self.prefill_chunk_size is not None
+            and len(req.prompt) > self.prefill_chunk_size
+        ):
+            logits = self._chunked_prefill(req)
+        else:
+            bucket = bucket_length(len(req.prompt))
+            bucket = min(bucket, self.capacity)
+            toks = np.zeros((1, bucket), np.int32)
+            toks[0, : len(req.prompt)] = req.prompt
+            logits, self.cache = self._prefill_jit(
+                self.params, jnp.asarray(toks), self.cache,
+                jnp.int32(req.slot), jnp.int32(len(req.prompt)),
+            )
         tok = int(sample(logits[None], self._next_key(), self.sampling)[0])
+        self.metrics.record_prefill(
+            len(req.prompt), _time.perf_counter() - t0
+        )
         # record the first generated token
         req.generated.append(tok)
         if len(req.generated) >= req.max_tokens or (
             req.eos_token is not None and tok == req.eos_token
         ):
             self.sched.complete(req)
+            self.metrics.completed_requests += 1
         else:
             self.next_token[req.slot] = tok
 
+    def _chunked_prefill(self, req: Request):
+        """Feed the prompt through prefill_chunk in bounded pieces, running a
+        decode step for the already-active slots between chunks so a long
+        prompt never blocks token generation (head-of-line fix).
+
+        Between chunks, unrelated decode steps may append one garbage token
+        at this slot's current write position; every chunk (re)writes its
+        whole [start, start+C) range, and the final set_length masks the
+        tail, so the garbage never survives.
+        """
+        C = self.prefill_chunk_size
+        prompt = req.prompt
+        slot = req.slot
+        self._prefilling.add(slot)
+        pos = 0
+        logits = None
+        while pos < len(prompt):
+            chunk = prompt[pos : pos + C]
+            toks = np.zeros((1, C), np.int32)
+            toks[0, : len(chunk)] = chunk
+            logits_all, self.cache = self._chunk_jit(
+                self.params, jnp.asarray(toks), self.cache,
+                jnp.int32(slot), jnp.int32(pos),
+            )
+            logits = logits_all[0, len(chunk) - 1]
+            # keep the device length at the chunk frontier so interleaved
+            # decode garbage lands inside the region the next chunk rewrites
+            self.cache = self.cache.set_length(slot, pos + len(chunk))
+            pos += len(chunk)
+            if pos < len(prompt):
+                self._do_decode_step()
+        self.cache = self.cache.set_length(slot, len(prompt))
+        self._prefilling.discard(slot)
+        return logits
+
     def _do_decode_step(self):
-        slots = self.sched.active_slots()
+        import time as _time
+
+        t0 = _time.perf_counter()
+        # Slots mid-chunked-prefill are in the batch but must not consume
+        # decode tokens (their KV/state is incomplete).
+        slots = [
+            s for s in self.sched.active_slots() if s not in self._prefilling
+        ]
+        if not slots:
+            return
         toks, self.cache = self._decode_jit(
             self.params, jnp.asarray(self.next_token), self.cache, self._next_key()
         )
         toks = np.asarray(toks)
+        self.metrics.record_decode(len(slots), _time.perf_counter() - t0)
+        self.metrics.kv_tokens_in_use = int(
+            np.asarray(self.cache.length).sum()
+        )
         for slot in slots:
             tok = int(toks[slot])
             if not self.sched.step_done(slot, tok):
                 self.next_token[slot] = tok
+                continue
+            self.metrics.completed_requests += 1
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)

@@ -106,6 +106,47 @@ class KVCache:
             self.k, self.v, self.k_scale, self.v_scale, self.length + t, self.mode
         )
 
+    def insert_at(self, layer: int, slot, new_k, new_v, start) -> "KVCache":
+        """Write one sequence's [T, Hk, D] entries at ``start`` of ``slot``
+        (chunked-prefill write; quantizes on insert).  Does not touch
+        ``length`` — the caller sets it when the chunk sequence is done."""
+        kq, ks, vq, vs = quantize_kv(new_k, new_v, self.mode)
+
+        def put(buf, new):
+            # new [T, Hk, c] -> [1, 1, Hk, T, c] at (layer, slot, 0, start, 0)
+            new = jnp.swapaxes(new, 0, 1)[None, None].astype(buf.dtype)
+            return jax.lax.dynamic_update_slice(
+                buf, new, (layer, slot, 0, start, 0)
+            )
+
+        k = put(self.k, kq)
+        v = put(self.v, vq)
+        ksn, vsn = self.k_scale, self.v_scale
+        if self.mode != "none":
+            ksn = put(self.k_scale, ks)
+            vsn = put(self.v_scale, vs)
+        return KVCache(k, v, ksn, vsn, self.length, self.mode)
+
+    def set_length(self, slot, value) -> "KVCache":
+        return KVCache(
+            self.k, self.v, self.k_scale, self.v_scale,
+            self.length.at[slot].set(value), self.mode,
+        )
+
+    def slot_kv_float(self, layer: int, slot, dtype=jnp.bfloat16):
+        """Dequantized [1, S_cap, Hk, D] views of one slot's cache (the
+        chunked-prefill read path; decode uses the fused-dequant kernel
+        instead)."""
+        def get(buf, scale):
+            x = jax.lax.dynamic_slice_in_dim(buf[layer], slot, 1, 0)
+            xf = x.astype(jnp.float32)
+            if scale is not None:
+                s = jax.lax.dynamic_slice_in_dim(scale[layer], slot, 1, 0)
+                xf = xf * s.astype(jnp.float32)
+            return jnp.swapaxes(xf, 1, 2).astype(dtype)  # [1, S, Hk, D]
+
+        return get(self.k, self.k_scale), get(self.v, self.v_scale)
+
     def layer(self, i: int):
         """(k, v, k_scale, v_scale) BHSD views for layer i (feed to
         flash_decode with kv_layout='bhsd')."""

@@ -1,14 +1,14 @@
 """Paged KV-cache pool + paged decode attention (B6).
 
-The pool holds fixed-size pages [num_pages, page_size, Hk, D]; each sequence
-owns a row of the block table [max_pages_per_seq] of page indices.  Pages are
-sized to the decode kernel's KV tile (>= lane-aligned (page, head_dim)
-granularity — SURVEY.md §7 hard part (d): TPU hates small gathers), so the
-decode kernel can DMA whole pages via the block table without host gathers.
-
-Round-1 implementation: the gather is a vectorised jnp take (XLA dynamic
-gather, fused) feeding the flash_decode kernel; a scalar-prefetch Pallas
-kernel that DMAs pages directly by table index is the planned upgrade.
+The pool holds fixed-size pages in the decode-optimal heads-major layout
+[num_pages, Hk, page_size, D]; each sequence owns a row of the block table
+[max_pages_per_seq] of page indices.  Pages are whole KV tiles (lane-aligned
+(page, head_dim) granularity — SURVEY.md §7 hard part (d): TPU hates small
+gathers), and decode runs the scalar-prefetch Pallas kernel
+(ops/paged_decode.py) that DMAs pages directly by block-table index — no
+materialising gather (the round-1 implementation copied the whole cache
+through HBM per step; that path survives only as ``gather_layer``, the
+correctness oracle).
 """
 
 from __future__ import annotations
@@ -18,7 +18,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from flash_attn_tpu.ops.decode import flash_decode
+from flash_attn_tpu.ops.paged_decode import paged_flash_decode
 from flash_attn_tpu.ops.quant import quantize_kv
 
 
@@ -27,9 +27,9 @@ from flash_attn_tpu.ops.quant import quantize_kv
 class PagedKVPool:
     """Per-layer paged pool. Page 0 is reserved as the null page."""
 
-    k_pages: jax.Array  # [L, num_pages, page, Hk, D]
+    k_pages: jax.Array  # [L, num_pages, Hk, page, D]
     v_pages: jax.Array
-    k_scale: jax.Array | None  # [L, num_pages, page, Hk, 1]
+    k_scale: jax.Array | None  # [L, num_pages, Hk, 1, page] (lane-dense)
     v_scale: jax.Array | None
     block_table: jax.Array  # [B, max_pages] int32 page ids (0 = unassigned)
     length: jax.Array  # [B] int32 tokens in cache
@@ -47,7 +47,7 @@ class PagedKVPool:
 
     @property
     def page_size(self):
-        return self.k_pages.shape[2]
+        return self.k_pages.shape[3]
 
     @property
     def num_pages(self):
@@ -66,14 +66,15 @@ class PagedKVPool:
             store = jnp.float8_e4m3fn
         else:
             store = dtype
-        shape = (num_layers, num_pages, page_size, num_kv_heads, head_dim)
+        shape = (num_layers, num_pages, num_kv_heads, page_size, head_dim)
         k = jnp.zeros(shape, store)
         v = jnp.zeros(shape, store)
         if mode == "none":
             ks = vs = None
         else:
-            ks = jnp.ones(shape[:-1] + (1,), jnp.float32)
-            vs = jnp.ones(shape[:-1] + (1,), jnp.float32)
+            sshape = (num_layers, num_pages, num_kv_heads, 1, page_size)
+            ks = jnp.ones(sshape, jnp.float32)
+            vs = jnp.ones(sshape, jnp.float32)
         return cls(
             k, v, ks, vs,
             jnp.zeros((batch, max_pages), jnp.int32),
@@ -89,6 +90,9 @@ class PagedKVPool:
             jnp.asarray(page_ids, jnp.int32)
         )
         return self._replace(block_table=table)
+
+    def set_lengths(self, lengths) -> "PagedKVPool":
+        return self._replace(length=jnp.asarray(lengths, jnp.int32))
 
     def _replace(self, **kw):
         d = dict(
@@ -112,16 +116,58 @@ class PagedKVPool:
         pages = jax.vmap(lambda t, i: t[i])(self.block_table, page_idx)  # [B]
 
         def scatter(buf, new):
-            # buf [num_pages, page, Hk, D(or 1)]; new [B, Hk, D]
-            return buf.at[pages, offset].set(new.astype(buf.dtype))
+            # buf [num_pages, Hk, page, D]; new [B, Hk, D]
+            return buf.at[pages, :, offset].set(new.astype(buf.dtype))
+
+        def scatter_scale(buf, new):
+            # buf [num_pages, Hk, 1, page]; new [B, Hk, 1]
+            return buf.at[pages, :, 0, offset].set(new[..., 0])
 
         k_pages = self.k_pages.at[layer].set(scatter(self.k_pages[layer], kq))
         v_pages = self.v_pages.at[layer].set(scatter(self.v_pages[layer], vq))
         out = self._replace(k_pages=k_pages, v_pages=v_pages)
         if self.mode != "none":
             out = out._replace(
-                k_scale=self.k_scale.at[layer].set(scatter(self.k_scale[layer], ks)),
-                v_scale=self.v_scale.at[layer].set(scatter(self.v_scale[layer], vs)),
+                k_scale=self.k_scale.at[layer].set(
+                    scatter_scale(self.k_scale[layer], ks)
+                ),
+                v_scale=self.v_scale.at[layer].set(
+                    scatter_scale(self.v_scale[layer], vs)
+                ),
+            )
+        return out
+
+    def append_prefill(self, layer: int, slot, new_k, new_v,
+                       start) -> "PagedKVPool":
+        """Write a whole prefill segment for one slot: new_k/new_v
+        [T, Hk, D] at positions [start, start+T) of sequence ``slot``.
+        T must be static; page-aligned chunks write fastest."""
+        kq, ks, vq, vs = quantize_kv(new_k, new_v, self.mode)
+        T = new_k.shape[0]
+        page_size = self.page_size
+        pos = start + jnp.arange(T)
+        pages = self.block_table[slot, pos // page_size]  # [T]
+        offs = pos % page_size
+
+        def scatter(buf, new):
+            # advanced indices (pages, offs) separated by the ':' slice land
+            # in front: buf[pages, :, offs] is [T, Hk, D], matching new.
+            return buf.at[pages, :, offs].set(new.astype(buf.dtype))
+
+        def scatter_scale(buf, new):
+            return buf.at[pages, :, 0, offs].set(new[..., 0])
+
+        k_pages = self.k_pages.at[layer].set(scatter(self.k_pages[layer], kq))
+        v_pages = self.v_pages.at[layer].set(scatter(self.v_pages[layer], vq))
+        out = self._replace(k_pages=k_pages, v_pages=v_pages)
+        if self.mode != "none":
+            out = out._replace(
+                k_scale=self.k_scale.at[layer].set(
+                    scatter_scale(self.k_scale[layer], ks)
+                ),
+                v_scale=self.v_scale.at[layer].set(
+                    scatter_scale(self.v_scale[layer], vs)
+                ),
             )
         return out
 
@@ -129,23 +175,38 @@ class PagedKVPool:
         return self._replace(length=self.length + t)
 
     def gather_layer(self, layer: int):
-        """Materialise contiguous [B, max_pages*page, Hk, D] views for the
-        decode kernel (XLA gather; fused with the kernel's consumption)."""
+        """Correctness oracle: materialise contiguous [B, max_pages*page,
+        Hk, D] views (the round-1 XLA-gather path — O(cache) HBM traffic,
+        do not use on the hot path)."""
         def g(buf):
-            picked = buf[layer][self.block_table]  # [B, max_pages, page, Hk, D]
-            b, mp, ps = picked.shape[:3]
-            return picked.reshape(b, mp * ps, *picked.shape[3:])
+            picked = buf[layer][self.block_table]  # [B, mp, Hk, page, D]
+            b, mp = picked.shape[:2]
+            moved = jnp.moveaxis(picked, 2, 3)  # [B, mp, page, Hk, D]
+            return moved.reshape(b, mp * moved.shape[2], *moved.shape[3:])
 
-        ks = None if self.k_scale is None else g(self.k_scale)
-        vs = None if self.v_scale is None else g(self.v_scale)
+        def gs(buf):
+            picked = buf[layer][self.block_table]  # [B, mp, Hk, 1, page]
+            b, mp = picked.shape[:2]
+            moved = jnp.moveaxis(picked[:, :, :, 0, :], 3, 2)  # [B,mp,page,Hk]
+            return moved.reshape(b, mp * moved.shape[2], moved.shape[3], 1)
+
+        ks = None if self.k_scale is None else gs(self.k_scale)
+        vs = None if self.v_scale is None else gs(self.v_scale)
         return g(self.k_pages), g(self.v_pages), ks, vs
 
 
 def paged_decode_attention(pool: PagedKVPool, layer: int, q, *, scale=None,
                            interpret=None):
-    """q [B, H, D] -> out [B, H, D] attending to the paged cache."""
-    k, v, ks, vs = pool.gather_layer(layer)
-    return flash_decode(
-        q, k, v, k_scale=ks, v_scale=vs, kv_length=pool.length,
-        scale=scale, interpret=interpret,
+    """q [B, H, D] -> out [B, H, D] attending to the paged cache via the
+    scalar-prefetch kernel (no gather)."""
+    return paged_flash_decode(
+        q,
+        pool.k_pages[layer],
+        pool.v_pages[layer],
+        pool.block_table,
+        pool.length,
+        k_scale=None if pool.k_scale is None else pool.k_scale[layer],
+        v_scale=None if pool.v_scale is None else pool.v_scale[layer],
+        scale=scale,
+        interpret=interpret,
     )

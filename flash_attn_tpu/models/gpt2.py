@@ -185,6 +185,43 @@ def decode_step(params, token, cfg: GPT2Config, cache: KVCache, *, interpret=Non
     return logits, cache
 
 
+def prefill_chunk(params, tokens, cfg: GPT2Config, cache: KVCache, slot,
+                  start, *, interpret=None):
+    """Chunked prefill: run chunk ``tokens`` [1, C] of the sequence in
+    ``slot`` whose first ``start`` positions are already cached.  Writes the
+    chunk's KV at [start, start+C) and attends over prefix + chunk via the
+    in-kernel positions mask (no O(S^2) bias).  Returns (logits [1, C, V],
+    cache).  The engine interleaves decode steps between chunks so a long
+    prompt never stalls the decode batch (head-of-line blocking fix)."""
+    b, c = tokens.shape
+    cap = cache.capacity
+    x = params["wte"][tokens] + params["wpe"][start + jnp.arange(c)][None]
+    qpos = (start + jnp.arange(c))[None]
+    kvpos = jnp.arange(cap)[None]
+    for i, blk in enumerate(params["blocks"]):
+        h = _layer_norm(x, blk["ln_1"])
+        qkv = _dense(h, blk["attn"]["qkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        cache = cache.insert_at(
+            i, slot, _split_heads(k, cfg.num_heads)[0],
+            _split_heads(v, cfg.num_heads)[0], start,
+        )
+        kc, vc = cache.slot_kv_float(i, slot, dtype=x.dtype)
+        attn = flash_attention(
+            _split_heads(q, cfg.num_heads), kc, vc,
+            q_positions=qpos, kv_positions=kvpos, interpret=interpret,
+        )
+        x = x + _dense(attn.reshape(b, c, cfg.hidden), blk["attn"]["proj"])
+        h = _layer_norm(x, blk["ln_2"])
+        m = jax.nn.gelu(_dense(h, blk["mlp"]["fc"]), approximate=True)
+        x = x + _dense(m, blk["mlp"]["proj"])
+    x = _layer_norm(x, params["ln_f"])
+    logits = jnp.einsum(
+        "bsh,vh->bsv", x.astype(jnp.float32), params["wte"].astype(jnp.float32)
+    )
+    return logits, cache
+
+
 def prefill_with_kv(params, tokens, positions, cfg: GPT2Config, *, interpret=None):
     """Engine adapter: full logits + per-layer KV without touching a cache.
     tokens/positions: [1, S]. Returns (logits [1, S, V], [(k, v), ...])."""
@@ -222,6 +259,9 @@ def make_adapter(cfg: GPT2Config, *, interpret=None, eos_token=None):
         decode_step=lambda p, tok, cache: decode_step(
             p, tok, cfg, cache, interpret=interpret
         ),
+        prefill_chunk=lambda p, t, cache, slot, start: prefill_chunk(
+            p, t, cfg, cache, slot, start, interpret=interpret
+        ),
         num_layers=cfg.num_layers,
         num_kv_heads=cfg.num_heads,
         head_dim=cfg.head_dim,
@@ -253,16 +293,26 @@ def greedy_decode(params, prompt, cfg: GPT2Config, *, steps, kv_mode="none",
 
 
 def load_hf(model_name: str = "gpt2", dtype="float32"):
-    """Convert a HuggingFace GPT-2 checkpoint to our param pytree.
-
-    HF stores conv1d-style weights with shape [in, out] — same orientation as
-    our dense, so no transpose needed.
-    """
+    """Convert a HuggingFace GPT-2 checkpoint to our param pytree."""
     from transformers import GPT2LMHeadModel
 
     model = GPT2LMHeadModel.from_pretrained(model_name)
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
     del model
+    return convert_hf_state_dict(sd, dtype=dtype)
+
+
+def convert_hf_state_dict(sd: dict, dtype="float32", num_heads=None):
+    """Map a HF GPT2LMHeadModel state dict (numpy values) to our pytree.
+
+    HF stores conv1d-style weights with shape [in, out] — same orientation as
+    our dense, so no transpose needed.  Validated token-exactly against a
+    torch GPT-2 built from config in tests/test_hf_parity.py (SURVEY.md §4.4;
+    the public checkpoint itself is unavailable in this zero-egress image).
+
+    num_heads: pass explicitly for non-standard configs — the state dict
+    doesn't record it; known GPT-2 family sizes are inferred from hidden.
+    """
     njl = jnp.dtype(dtype)
 
     def arr(name):
@@ -273,8 +323,11 @@ def load_hf(model_name: str = "gpt2", dtype="float32"):
         vocab_size=sd["transformer.wte.weight"].shape[0],
         max_position=sd["transformer.wpe.weight"].shape[0],
         num_layers=n_layer,
-        num_heads=12 if sd["transformer.wte.weight"].shape[1] == 768 else
-                  sd["transformer.wte.weight"].shape[1] // 64,
+        num_heads=num_heads
+        or {768: 12, 1024: 16, 1280: 20, 1600: 25}.get(
+            sd["transformer.wte.weight"].shape[1],
+            max(sd["transformer.wte.weight"].shape[1] // 64, 1),
+        ),
         hidden=sd["transformer.wte.weight"].shape[1],
         dtype=dtype,
     )

@@ -190,6 +190,39 @@ def prefill_with_kv(params, tokens, positions, cfg: LlamaConfig, *, interpret=No
     return _proj(x.astype(jnp.float32), head, interpret), kvs
 
 
+def prefill_chunk(params, tokens, cfg: LlamaConfig, cache: KVCache, slot,
+                  start, *, interpret=None):
+    """Chunked prefill (see models/gpt2.py prefill_chunk): chunk tokens
+    [1, C] at positions [start, start+C) of ``slot``; attends to the cached
+    prefix + chunk via the in-kernel positions mask."""
+    b, c = tokens.shape
+    cap = cache.capacity
+    x = params["tok_emb"][tokens]
+    qpos = (start + jnp.arange(c))[None]
+    kvpos = jnp.arange(cap)[None]
+    cos, sin = rope_cos_sin(qpos, cfg.head_dim, cfg.rope_theta)
+    for i, blk in enumerate(params["blocks"]):
+        h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q = _proj(h, blk["wq"], interpret).reshape(b, c, cfg.num_heads, cfg.head_dim)
+        k = _proj(h, blk["wk"], interpret).reshape(b, c, cfg.num_kv_heads, cfg.head_dim)
+        v = _proj(h, blk["wv"], interpret).reshape(b, c, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)  # cache stores post-rope K
+        cache = cache.insert_at(i, slot, k[0], v[0], start)
+        kc, vc = cache.slot_kv_float(i, slot, dtype=x.dtype)
+        attn = flash_attention(
+            q, kc, vc, q_positions=qpos, kv_positions=kvpos,
+            interpret=interpret,
+        )
+        x = x + _proj(
+            attn.reshape(b, c, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
+        )
+        x = _block_mlp(x, blk, cfg, interpret=interpret)
+    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+    return _proj(x.astype(jnp.float32), head, interpret), cache
+
+
 def decode_step(params, token, cfg: LlamaConfig, cache: KVCache, *, interpret=None):
     """One cached decode step: token [B] -> (logits [B, V], cache)."""
     b = token.shape[0]
@@ -236,6 +269,9 @@ def make_adapter(cfg: LlamaConfig, *, interpret=None, eos_token=None):
         decode_step=lambda p, tok, cache: decode_step(
             p, tok, cfg, cache, interpret=interpret
         ),
+        prefill_chunk=lambda p, t, cache, slot, start: prefill_chunk(
+            p, t, cfg, cache, slot, start, interpret=interpret
+        ),
         num_layers=cfg.num_layers,
         num_kv_heads=cfg.num_kv_heads,
         head_dim=cfg.head_dim,
@@ -256,6 +292,11 @@ def quantize_weights(params, mode: str = "int8", group_size: int = 128,
         if mode == "int8":
             vals, scale = quantize_int8(w, axes=(0,))
             return (vals, scale[0])
+        if mode == "w8a8":
+            # same stored weights as int8, but matmul runs native int8xint8
+            # MXU with per-token dynamic activation quant (ops/matmul.py)
+            vals, scale = quantize_int8(w, axes=(0,))
+            return ("w8a8", vals, scale[0])
         if mode == "int4":
             return quantize_int4(w, group_size=group_size)
         raise ValueError(mode)
@@ -280,6 +321,18 @@ def load_hf(model_name: str, dtype="bfloat16"):
     model = AutoModelForCausalLM.from_pretrained(
         model_name, torch_dtype=torch.float32, low_cpu_mem_usage=True
     )
+    return convert_hf_model(model, dtype=dtype)
+
+
+def convert_hf_model(model, dtype="bfloat16"):
+    """Map a torch LlamaForCausalLM (its config + state dict) to our pytree.
+
+    Validated logit-exactly against a torch Llama built from config in
+    tests/test_hf_parity.py (SURVEY.md §4.4; public checkpoints are
+    unavailable in this zero-egress image).
+    """
+    import torch
+
     hf = model.config
     sd = model.state_dict()
     del model

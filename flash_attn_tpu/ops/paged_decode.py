@@ -1,0 +1,234 @@
+"""Paged flash-decode: scalar-prefetch Pallas kernel over a page table.
+
+The round-1 paged path materialised the whole contiguous cache per step via
+an XLA gather (engine/paged.py round-1 note) — at 8B/8k that copies the full
+KV cache through HBM every decode step, negating paging.  Here the page
+table rides the kernel's *scalar prefetch*: the K/V BlockSpec index maps read
+``block_table[b, page_step]`` directly, so Mosaic DMAs exactly the pages a
+sequence owns, straight from the pool — zero gather, zero copy.
+
+This is the TPU-native equivalent of the reference's split-K decode
+machinery (``num_splits``, flash_attn.h:94) composed with a vLLM-style page
+table; pages are whole KV tiles ([Hk, page, D] blocks, lane-aligned), which
+is the granularity TPUs need (SURVEY.md §7 hard part (d)).
+
+Layouts (decode-optimal, heads-major like ops/decode.py's BHSD kernel):
+  k_pages, v_pages: [num_pages, Hk, page, D]    (page 0 = null page)
+  k_scale, v_scale: [num_pages, Hk, 1, page]    lane-dense per-token scales
+  block_table:      [B, max_pages] int32
+  kv_length:        [B] int32
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_tpu.ops.decode import _fast_cast
+from flash_attn_tpu.ops.flash_fwd import sdot
+
+NEG_INF = -1e30
+
+
+def _paged_decode_kernel(
+    tbl_ref,    # scalar prefetch [B, max_pages]
+    len_ref,    # scalar prefetch [B]
+    q_ref,      # [1, H, D]
+    k_ref,      # [1, Hk, page, D]   (page selected by index map via table)
+    v_ref,
+    ks_ref,     # [1, Hk, 1, page] (or dummy)
+    vs_ref,
+    o_ref,      # [1, H, D]
+    lse_ref,    # [1, H, 1]
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    page: int,
+    num_page_steps: int,
+    num_heads: int,
+    num_heads_k: int,
+    scale: float,
+    has_k_scale: bool,
+    has_v_scale: bool,
+    out_dtype,
+):
+    b, pi = pl.program_id(0), pl.program_id(1)
+    group = num_heads // num_heads_k
+
+    @pl.when(pi == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    kv_len = len_ref[b]
+    compute_dtype = (
+        jnp.float32 if q_ref.dtype == jnp.float32 else jnp.bfloat16
+    )
+
+    @pl.when(pi * page < kv_len)
+    def _body():
+        q = q_ref[0].astype(compute_dtype)  # [H, D]
+        k = _fast_cast(k_ref[0], compute_dtype)  # [Hk, page, D]
+        qg = q.reshape(num_heads_k, group, q.shape[-1])
+        s = sdot(qg, k, (((2,), (2,)), ((0,), (0,))))  # [Hk, g, page] fp32
+        if has_k_scale:
+            s = s * ks_ref[0].astype(jnp.float32)  # [Hk, 1, page]
+        s = s.reshape(num_heads, page) * scale
+
+        col = pi * page + jax.lax.broadcasted_iota(
+            jnp.int32, (num_heads, page), 1
+        )
+        s = jnp.where(col < kv_len, s, NEG_INF)
+
+        m_prev = m_scratch[:, :1]
+        l_prev = l_scratch[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+
+        v = _fast_cast(v_ref[0], compute_dtype)  # [Hk, page, D]
+        pg = p.reshape(num_heads_k, group, page)
+        if has_v_scale:
+            pg = pg * vs_ref[0].astype(jnp.float32)
+        o = sdot(pg.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))))
+        acc_scratch[...] = acc_scratch[...] * alpha + o.reshape(
+            num_heads, v.shape[-1]
+        )
+
+    @pl.when(pi == num_page_steps - 1)
+    def _finalize():
+        m = m_scratch[:, :1]
+        l = l_scratch[:, :1]
+        valid = (l > 0.0) & (m > NEG_INF / 2)
+        o_ref[0] = jnp.where(
+            valid, acc_scratch[...] / jnp.where(valid, l, 1.0), 0.0
+        ).astype(out_dtype)
+        lse_ref[0] = jnp.where(
+            valid, m + jnp.log(jnp.where(valid, l, 1.0)), NEG_INF
+        ).astype(jnp.float32)
+
+
+def paged_flash_decode(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    block_table: jax.Array,
+    kv_length: jax.Array,
+    *,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+    scale: float | None = None,
+    interpret: bool | None = None,
+    return_lse: bool = False,
+):
+    """Single-token decode attention over a paged KV pool.
+
+    q: [B, H, D]; pools/tables as module docstring. Returns out [B, H, D]
+    (+ lse [B, H] fp32 with return_lse).
+    """
+    batch, num_heads, head_dim = q.shape
+    num_pages, num_heads_k, page, _ = k_pages.shape
+    max_pages = block_table.shape[1]
+    if scale is None:
+        scale = head_dim**-0.5
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    has_ks = k_scale is not None
+    has_vs = v_scale is not None
+
+    # Dead page steps (beyond a sequence's length) clamp to the last live
+    # page so Mosaic sees an unchanged block index and skips the DMA.
+    def page_map(b, pi, tbl_ref, len_ref):
+        last_live = jnp.maximum(
+            (len_ref[b] + page - 1) // page - 1, 0
+        )
+        return (tbl_ref[b, jnp.minimum(pi, last_live)], 0, 0, 0)
+
+    kv_spec = pl.BlockSpec((1, num_heads_k, page, head_dim), page_map)
+
+    def scale_spec(has):
+        if has:
+            return pl.BlockSpec((1, num_heads_k, 1, page), page_map)
+        return pl.BlockSpec(
+            (1, num_heads_k, 1, 1), lambda b, pi, *_: (0, 0, 0, 0)
+        )
+
+    dummy = jnp.zeros((1, num_heads_k, 1, 1), jnp.float32)
+    ks = k_scale if has_ks else dummy
+    vs = v_scale if has_vs else dummy
+
+    kernel = functools.partial(
+        _paged_decode_kernel,
+        page=page,
+        num_page_steps=max_pages,
+        num_heads=num_heads,
+        num_heads_k=num_heads_k,
+        scale=float(scale),
+        has_k_scale=has_ks,
+        has_v_scale=has_vs,
+        out_dtype=q.dtype,
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(batch, max_pages),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, num_heads, head_dim), lambda b, pi, *_: (b, 0, 0)
+                ),
+                kv_spec,
+                kv_spec,
+                scale_spec(has_ks),
+                scale_spec(has_vs),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, num_heads, head_dim), lambda b, pi, *_: (b, 0, 0)
+                ),
+                pl.BlockSpec((1, num_heads, 1), lambda b, pi, *_: (b, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((num_heads, 128), jnp.float32),
+                pltpu.VMEM((num_heads, 128), jnp.float32),
+                pltpu.VMEM((num_heads, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, num_heads, head_dim), q.dtype),
+            jax.ShapeDtypeStruct((batch, num_heads, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * num_heads * max_pages * page * head_dim,
+            bytes_accessed=int(
+                2 * batch * max_pages * page * num_heads_k * head_dim
+            ),
+            transcendentals=batch * num_heads * max_pages * page,
+        ),
+        interpret=interpret,
+    )(
+        block_table.astype(jnp.int32),
+        kv_length.astype(jnp.int32),
+        q,
+        k_pages,
+        v_pages,
+        ks,
+        vs,
+    )
+    if return_lse:
+        return out, lse[..., 0]
+    return out

@@ -128,3 +128,115 @@ def test_sampler_modes():
     # temperature sampling is within support
     t = int(sample(logits, key, SamplingParams(temperature=1.0))[0])
     assert 0 <= t < 4
+
+
+def test_paged_pool_quantized_and_ragged():
+    """Scalar-prefetch paged decode with int8 pages + per-sequence ragged
+    lengths == contiguous quantized decode."""
+    from flash_attn_tpu.ops.decode import flash_decode
+
+    key = jax.random.PRNGKey(4)
+    L, B, Hk, D = 1, 2, 2, 32
+    page, npages, maxp = 8, 16, 4
+    pool = PagedKVPool.create(
+        L, npages, page, B, maxp, Hk, D, dtype=jnp.float32, mode="int8"
+    )
+    pool = pool.assign_pages(0, [1, 2, 3, 4]).assign_pages(1, [5, 6, 7, 8])
+
+    lens = [20, 13]
+    T = max(lens)
+    ks = jax.random.normal(key, (T, B, Hk, D))
+    vs = jax.random.normal(jax.random.PRNGKey(5), (T, B, Hk, D))
+    for t in range(T):
+        pool = pool.append_token(0, ks[t], vs[t])
+        pool = pool.advance(1)
+    pool = pool.set_lengths(lens)
+
+    q = jax.random.normal(jax.random.PRNGKey(6), (B, 4, D))
+    got = paged_decode_attention(pool, 0, q, interpret=True)
+
+    from flash_attn_tpu.ops.quant import quantize_kv
+
+    k_contig = jnp.swapaxes(ks, 0, 1)  # [B, T, Hk, D]
+    v_contig = jnp.swapaxes(vs, 0, 1)
+    kq, ksc, vq, vsc = quantize_kv(k_contig, v_contig, "int8")
+    want = flash_decode(
+        q, kq, vq, k_scale=ksc, v_scale=vsc,
+        kv_length=jnp.asarray(lens, jnp.int32), interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_paged_prefill_append():
+    """append_prefill writes a whole segment; decode sees the same cache as
+    per-token appends."""
+    key = jax.random.PRNGKey(7)
+    L, B, Hk, D = 1, 2, 2, 32
+    page, npages, maxp = 8, 16, 4
+    T = 16
+    ks = jax.random.normal(key, (B, T, Hk, D))
+    vs = jax.random.normal(jax.random.PRNGKey(8), (B, T, Hk, D))
+
+    pool_a = PagedKVPool.create(L, npages, page, B, maxp, Hk, D, dtype=jnp.float32)
+    pool_a = pool_a.assign_pages(0, [1, 2]).assign_pages(1, [3, 4])
+    for b in range(B):
+        pool_a = pool_a.append_prefill(0, b, ks[b], vs[b], 0)
+    pool_a = pool_a.set_lengths([T, T])
+
+    pool_b = PagedKVPool.create(L, npages, page, B, maxp, Hk, D, dtype=jnp.float32)
+    pool_b = pool_b.assign_pages(0, [1, 2]).assign_pages(1, [3, 4])
+    for t in range(T):
+        pool_b = pool_b.append_token(0, ks[:, t], vs[:, t])
+        pool_b = pool_b.advance(1)
+
+    np.testing.assert_array_equal(
+        np.asarray(pool_a.k_pages), np.asarray(pool_b.k_pages)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pool_a.v_pages), np.asarray(pool_b.v_pages)
+    )
+
+
+def test_engine_chunked_prefill_matches_greedy(tiny):
+    """Chunked prefill (with decode interleave between chunks) produces the
+    same tokens as whole-prompt prefill (round-1 Weak #8: head-of-line
+    blocking)."""
+    cfg, params = tiny
+    prompt_long = list(range(1, 21))  # 20 tokens, chunks of 8
+    prompt_short = [5, 6, 7]
+    eng = InferenceEngine(
+        params, gpt2.make_adapter(cfg, interpret=True),
+        max_batch=2, capacity=64, cache_dtype=jnp.dtype(cfg.dtype),
+        prefill_chunk_size=8,
+    )
+    r_short = eng.submit(prompt_short, max_tokens=6)
+    r_long = eng.submit(prompt_long, max_tokens=4)
+    eng.run()
+    assert r_short.done and r_long.done
+    w_long = gpt2.greedy_decode(
+        params, jnp.asarray([prompt_long]), cfg, steps=4, interpret=True
+    )
+    w_short = gpt2.greedy_decode(
+        params, jnp.asarray([prompt_short]), cfg, steps=6, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(r_long.generated), np.asarray(w_long[0]))
+    np.testing.assert_array_equal(np.asarray(r_short.generated), np.asarray(w_short[0]))
+    # metrics were actually recorded
+    snap = eng.metrics.snapshot()
+    assert snap["decode_tokens_per_s"] > 0 and snap["completed_requests"] == 2
+
+
+def test_engine_metrics_wired(tiny):
+    cfg, params = tiny
+    eng = InferenceEngine(
+        params, gpt2.make_adapter(cfg, interpret=True),
+        max_batch=2, capacity=64, cache_dtype=jnp.dtype(cfg.dtype),
+    )
+    eng.submit([1, 2, 3], max_tokens=5)
+    eng.run()
+    snap = eng.metrics.snapshot()
+    assert eng.metrics.prefill_tokens == 3
+    assert eng.metrics.decode_tokens >= 4
+    assert snap["completed_requests"] == 1

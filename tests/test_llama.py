@@ -85,3 +85,28 @@ def test_quantized_weights_forward_close(tiny, mode):
     )
     assert agree > 0.7, agree
     assert bool(jnp.all(jnp.isfinite(qlogits)))
+
+
+def test_llama_engine_chunked_prefill():
+    """Chunked prefill through the Llama adapter matches the whole-prompt
+    engine path (the BASELINE config-2 prefill path, engine-level)."""
+    from flash_attn_tpu.engine.engine import InferenceEngine
+    from flash_attn_tpu.models import llama as ll
+    import numpy as np
+
+    cfg = ll.LLAMA_TINY
+    params = ll.init_params(cfg, jax.random.PRNGKey(0))
+    prompt = list(range(1, 19))
+
+    def run(chunk):
+        eng = InferenceEngine(
+            params, ll.make_adapter(cfg, interpret=True),
+            max_batch=2, capacity=64, cache_dtype=jnp.dtype(cfg.dtype),
+            prefill_chunk_size=chunk,
+        )
+        req = eng.submit(prompt, max_tokens=4)
+        eng.run()
+        assert req.done
+        return req.generated
+
+    np.testing.assert_array_equal(np.asarray(run(8)), np.asarray(run(None)))
