@@ -26,17 +26,38 @@ def _median_time(callable_, iters=7):
     return float(np.median(times))
 
 
-def chain_step_seconds(step_fn, init, consts=(), n=32, iters=7):
-    """Per-step kernel time via paired chains: t = (T(2n) - T(n)) / n.
+_MAX_CHAIN = 4096
+# Roofline fractions slightly above 1.0 are plausible (bandwidth specs are
+# conservative); estimates implying more than this are rejected as jitter.
+_MAX_PLAUSIBLE_FRAC = 1.3
 
-    Chains n (and 2n) data-dependent steps inside one jit with a scalar
-    readback; the subtraction cancels the (large, jittery) relay round-trip
-    so the estimate is offset-free.  Large arrays the step uses must be in
-    ``consts`` (jit ARGUMENTS) — closed-over arrays are baked into the HLO
-    as literals and blow up the remote-compile payload.
+
+def chain_step_seconds(step_fn, init, consts=(), n=32, iters=5, rt=None,
+                       floor_s=None):
+    """Robust per-step kernel time through the relay.
+
+    Chains m data-dependent steps inside one jit with a scalar readback.
+    Because ``block_until_ready`` doesn't synchronize through the axon relay,
+    wall time = round-trip + m * t_step; the round-trip (~30 ms) is large and
+    jittery, so:
+
+    1. the chain is grown until its incremental time dominates the round-trip
+       (m * t >= 4 * rt), sizing m from a pilot measurement;
+    2. the estimate is the *median* of paired differences (T(2m)-T(m))/m —
+       never a min over a difference estimator, which selects jitter;
+    3. estimates below the physical floor for the shape (``floor_s`` =
+       ideal_time / 1.3) are rejected; if no paired sample survives, the
+       single-chain bound (T(m)-rt)/m (bias: slightly high) is used and
+       flagged in the returned info dict.
+
+    Returns (t_seconds, info) where info carries m, the raw samples, and an
+    ``estimator`` tag ("paired" | "single_chain").
     """
     import jax
     import jax.numpy as jnp
+
+    if rt is None:
+        rt = roundtrip_seconds()
 
     def chained(m):
         @jax.jit
@@ -48,11 +69,44 @@ def chain_step_seconds(step_fn, init, consts=(), n=32, iters=7):
         float(f(init, *consts))
         return lambda: float(f(init, *consts))
 
-    run_n = chained(n)
-    run_2n = chained(2 * n)
-    t_n = _median_time(run_n, iters)
-    t_2n = _median_time(run_2n, iters)
-    return max((t_2n - t_n) / n, 1e-9)
+    # Pilot: size the chain so m * t_step >= 4 * rt.
+    m = n
+    run_m = chained(m)
+    t_m = _median_time(run_m, iters)
+    t_step_pilot = max((t_m - rt) / m, 1e-9)
+    target = int(4.0 * rt / t_step_pilot) + 1
+    if target > m:
+        m = min(1 << (target - 1).bit_length(), _MAX_CHAIN)
+        run_m = chained(m)
+        t_m = _median_time(run_m, iters)
+    run_2m = chained(2 * m)
+
+    lo = floor_s if floor_s is not None else 0.0
+    samples = []
+    t_m_samples = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run_m()
+        t_m_samples.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run_2m()
+        samples.append(time.perf_counter() - t0)
+    paired = [(s2 - np.median(t_m_samples)) / m for s2 in samples]
+    accepted = [p for p in paired if p > lo]
+    info = {"m": m, "rt_us": round(rt * 1e6, 1)}
+    if accepted:
+        est = float(np.median(accepted))
+        info["estimator"] = "paired"
+        info["rejected"] = len(paired) - len(accepted)
+        if est > lo:
+            return est, info
+    # All paired samples physically implausible: fall back to the
+    # single-chain upper bound, which cannot go below (T - rt)/m jitter.
+    est = max((float(np.median(t_m_samples)) - rt) / m, 1e-9)
+    info["estimator"] = "single_chain"
+    if floor_s is not None and est <= lo:
+        info["error"] = "estimate_below_physical_floor"
+    return est, info
 
 
 def roundtrip_seconds():
@@ -78,13 +132,15 @@ def bench_flash_fwd(chip_peaks):
     v = jax.random.normal(key, (B, S, H, D), jnp.bfloat16)
 
     step = lambda q_, k_, v_: flash_fwd(q_, k_, v_, causal=True)[0]
-    t = min(chain_step_seconds(step, q, (k, v), n=8) for _ in range(2))
     flops = 4 * B * H * S * S * D / 2
+    floor = flops / (chip_peaks[0] * 1e12) / _MAX_PLAUSIBLE_FRAC
+    t, info = chain_step_seconds(step, q, (k, v), n=8, floor_s=floor)
     tflops = flops / t / 1e12
     return {
         "fwd_ms": round(t * 1e3, 3),
         "fwd_tflops": round(tflops, 2),
         "fwd_frac_peak": round(tflops / chip_peaks[0], 4),
+        "fwd_estimator": info["estimator"],
     }
 
 
@@ -102,13 +158,15 @@ def bench_prefill_8b(chip_peaks):
     v = jax.random.normal(key, (B, S, Hk, D), jnp.bfloat16)
     cfg = FlashConfig(block_q=512, block_k=2048)
     step = lambda q_, k_, v_: flash_fwd(q_, k_, v_, causal=True, config=cfg)[0]
-    t = min(chain_step_seconds(step, q, (k, v), n=4) for _ in range(2))
     flops = 4 * B * H * S * S * D / 2
+    floor = flops / (chip_peaks[0] * 1e12) / _MAX_PLAUSIBLE_FRAC
+    t, info = chain_step_seconds(step, q, (k, v), n=4, floor_s=floor)
     tflops = flops / t / 1e12
     return {
         "prefill8b_ms": round(t * 1e3, 2),
         "prefill8b_tflops": round(tflops, 1),
         "prefill8b_frac_peak": round(tflops / chip_peaks[0], 4),
+        "prefill8b_estimator": info["estimator"],
     }
 
 
@@ -148,14 +206,18 @@ def bench_decode(chip_peaks, mode="int8"):
             q_, k_, v_, k_scale=ks_, v_scale=vs_, kv_layout="bhsd"
         ).astype(jnp.bfloat16)
         consts = (kq, vq, ks, vs)
-    # relay jitter makes single estimates vary +-20%; take the best of 3
-    # (compile caches after the first, so repeats are cheap)
-    t = min(chain_step_seconds(step, q, consts, n=32) for _ in range(3))
     ideal = kv_bytes / (chip_peaks[2] * 1e9)
-    return {
+    t, info = chain_step_seconds(
+        step, q, consts, n=32, floor_s=ideal / _MAX_PLAUSIBLE_FRAC
+    )
+    out = {
         f"decode_{mode}_us": round(t * 1e6, 1),
         f"decode_{mode}_roofline_frac": round(ideal / t, 4),
+        f"decode_{mode}_estimator": info["estimator"],
     }
+    if "error" in info:
+        out[f"decode_{mode}_error"] = info["error"]
+    return out
 
 
 def main():
@@ -229,17 +291,18 @@ def _run_bench():
         details.update(bench_prefill_8b(peaks))
     except Exception as e:  # pragma: no cover
         details["prefill8b_error"] = repr(e)[:200]
-    for mode in ("int8", "none"):
+    for mode in ("fp8", "int8", "none"):
         try:
             details.update(bench_decode(peaks, mode))
         except Exception as e:  # pragma: no cover
             details[f"decode_{mode}_error"] = repr(e)[:200]
 
-    frac = details.get("decode_int8_roofline_frac", 0.0)
+    # Headline = BASELINE config 1: Llama-8B-shaped decode with FP8 KV.
+    frac = details.get("decode_fp8_roofline_frac", 0.0)
     print(
         json.dumps(
             {
-                "metric": "decode_attention_roofline_frac_int8kv",
+                "metric": "decode_attention_roofline_frac_fp8kv",
                 "value": frac,
                 "unit": "fraction_of_hbm_roofline",
                 "vs_baseline": round(frac / 0.90, 4),  # target: >=90% of roofline

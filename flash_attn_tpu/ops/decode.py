@@ -49,6 +49,53 @@ def _fast_cast(x, compute_dtype):
     return x.astype(compute_dtype)
 
 
+def _packed_e4m3_to_bf16(x):
+    """Packed-pair e4m3 -> bf16 decode, 2.3x the element-wise bit-decode
+    (222 vs 507 us on a v5e K-stream at the 8B decode shape).
+
+    pltpu.bitcast packs 4 consecutive sequence rows per i32 word (measured:
+    word i holds rows 4i..4i+3, little-endian).  Even and odd bytes are
+    decoded as *pairs inside the i32 lane* — two bf16 results per word per
+    path, at ~3.5 int-ops/element instead of ~10:
+
+      e4m3 (s eeee mmm, bias 7) -> bf16 (s e8 m7, bias 127):
+      u16 = ((b << 4) & 0x7F0) + ((127 - 7) << 7) | sign(b) << 15
+
+    The result rows come out EVENS-THEN-ODDS along the sequence-block axis:
+    out row r < bk/2 is source row 2r; r >= bk/2 is source row 2(r-bk/2)+1.
+    Callers must permute per-position masks/scales to match (`_perm_cols`,
+    `_permute_scale_lanes`).  Denormals (e==0) decode to ~2^-7 * scale
+    instead of ~0 — a 1.7e-5-of-absmax error, far below e4m3's 6%
+    quantization step, so no flush is spent on them.
+
+    x: [..., bk, D] fp8 -> [..., bk, D] bf16 (rows permuted as above).
+    """
+    w = pltpu.bitcast(x, jnp.int32)  # [..., bk//4, D]
+    even_t = (w & 0x00FF00FF) << 4
+    even = ((even_t & 0x07F007F0) + 0x3C003C00) | ((even_t & 0x08000800) << 4)
+    odd_t = (w >> 4) & 0x0FF00FF0
+    odd = ((odd_t & 0x07F007F0) + 0x3C003C00) | ((odd_t & 0x08000800) << 4)
+    ev = pltpu.bitcast(even, jnp.bfloat16)  # [..., bk//2, D]
+    od = pltpu.bitcast(odd, jnp.bfloat16)
+    return jnp.concatenate([ev, od], axis=-2)
+
+
+def _perm_cols(r, block_k):
+    """Source column offset for packed-decode output row r (evens-then-odds)."""
+    half = block_k // 2
+    return jnp.where(r < half, 2 * r, 2 * (r - half) + 1)
+
+
+def _permute_scale_lanes(s, block_k):
+    """Pre-permute per-position scales [..., S] to the packed-decode row
+    order within each block_k chunk: evens of the chunk, then odds."""
+    lead = s.shape[:-1]
+    S = s.shape[-1]
+    r = s.reshape(*lead, S // block_k, block_k // 2, 2)
+    r = jnp.swapaxes(r, -1, -2)
+    return r.reshape(*lead, S)
+
+
 def flash_decode(
     q: jax.Array,
     k: jax.Array,
@@ -381,6 +428,7 @@ def _decode_kernel_bhsd(
     scale: float,
     has_k_scale: bool,
     has_v_scale: bool,
+    packed_fp8: bool,
     out_dtype,
 ):
     b, ki = pl.program_id(0), pl.program_id(1)
@@ -397,19 +445,25 @@ def _decode_kernel_bhsd(
         jnp.float32 if q_ref.dtype == jnp.float32 else jnp.bfloat16
     )
 
+    def cast_kv(ref):
+        if packed_fp8:
+            return _packed_e4m3_to_bf16(ref[0])  # rows evens-then-odds
+        return _fast_cast(ref[0], compute_dtype)
+
     @pl.when(ki * block_k < kv_len)
     def _body():
         q = q_ref[0].astype(compute_dtype)  # [H, D]
-        k = _fast_cast(k_ref[0], compute_dtype)  # [Hk, bk, D]
+        k = cast_kv(k_ref)  # [Hk, bk, D]
         qg = q.reshape(num_heads_k, group, q.shape[-1])  # [Hk, g, D]
         s = sdot(qg, k, (((2,), (2,)), ((0,), (0,))))  # [Hk, g, bk] fp32
         if has_k_scale:
             s = s * ks_ref[0][:, :, :].astype(jnp.float32)  # [Hk, 1, bk]
         s = s.reshape(num_heads, block_k) * scale
 
-        col = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (num_heads, block_k), 1
-        )
+        r = jax.lax.broadcasted_iota(jnp.int32, (num_heads, block_k), 1)
+        if packed_fp8:
+            r = _perm_cols(r, block_k)  # scores follow the packed row order
+        col = ki * block_k + r
         s = jnp.where(col < kv_len, s, NEG_INF)
 
         m_prev = m_scratch[:, :1]
@@ -421,7 +475,7 @@ def _decode_kernel_bhsd(
         m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
         l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
 
-        v = _fast_cast(v_ref[0], compute_dtype)  # [Hk, bk, D]
+        v = cast_kv(v_ref)  # [Hk, bk, D] (same row order as p)
         pg = p.reshape(num_heads_k, group, block_k)
         if has_v_scale:
             pg = pg * vs_ref[0][:, :, :].astype(jnp.float32)  # [Hk, 1, bk]
@@ -458,6 +512,14 @@ def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
 
     has_ks = k_scale is not None
     has_vs = v_scale is not None
+    # Packed-pair fp8 decode (see _packed_e4m3_to_bf16): Mosaic-only
+    # (pltpu.bitcast width change has no interpret lowering).
+    packed_fp8 = (
+        k.dtype == jnp.float8_e4m3fn
+        and v.dtype == jnp.float8_e4m3fn
+        and not interpret
+        and block_k % 4 == 0
+    )
 
     def scales_arg(s):
         # lane-dense layout [B, Hk, 1, S]: a [.., 1, bk] block is one dense
@@ -467,7 +529,10 @@ def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
             return jnp.zeros((1, num_heads_k, 1, 1), jnp.float32)
         s = jnp.broadcast_to(s, (batch, num_heads_k, seqlen_k, 1)).astype(jnp.float32)
         s = jnp.swapaxes(s, 2, 3)  # [B, Hk, 1, S]
-        return jnp.pad(s, ((0, 0), (0, 0), (0, 0), (0, sk_p - seqlen_k)))
+        s = jnp.pad(s, ((0, 0), (0, 0), (0, 0), (0, sk_p - seqlen_k)))
+        if packed_fp8:
+            s = _permute_scale_lanes(s, block_k)
+        return s
 
     ks = scales_arg(k_scale)
     vs = scales_arg(v_scale)
@@ -494,6 +559,7 @@ def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
         scale=float(scale),
         has_k_scale=has_ks,
         has_v_scale=has_vs,
+        packed_fp8=packed_fp8,
         out_dtype=q.dtype,
     )
 

@@ -266,11 +266,116 @@ def matmul_int4(
     return out[:M, :N]
 
 
+def _w8a8_kernel(x_ref, sx_ref, w_ref, sw_ref, o_ref, acc, *, nk, out_dtype):
+    """Native int8 x int8 MXU with int32 accumulation; scales (per-row
+    activation x per-column weight) applied once at finalize.  Removes the
+    int8->bf16 weight cast from the hot loop that pinned large-N matmul at
+    ~0.3 of the weight-streaming roofline (round-1 Weak #7)."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    x = x_ref[...]  # [bm, bk] int8
+    w = w_ref[...]  # [bk, bn] int8
+    acc[...] += jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        sx = sx_ref[...].astype(jnp.float32)  # [bm, 1]
+        sw = sw_ref[...].astype(jnp.float32)  # [1, bn]
+        o_ref[...] = (acc[...].astype(jnp.float32) * sx * sw).astype(out_dtype)
+
+
+def quantize_activations(x: jax.Array):
+    """Per-row (token) symmetric int8 quantization: x [M, K] ->
+    (xq int8 [M, K], scale fp32 [M, 1])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return xq.astype(jnp.int8), scale
+
+
+def matmul_w8a8(
+    x: jax.Array,
+    w: jax.Array,
+    scales: jax.Array,
+    *,
+    block_m: int = 128,
+    block_n: int = 1024,
+    block_k: int = 1024,
+    out_dtype=None,
+    interpret: bool | None = None,
+):
+    """W8A8: x [M, K] float -> dynamic per-token int8, int8 w [K, N] with
+    per-column scales [N]; int8 x int8 MXU, int32 accumulation.
+
+    out ≈ (x @ dequant(w)); activation-quant error ~0.4% rms (int8 rounding)
+    — the decode-MLP trade the BASELINE int8-weight configs make.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    out_dtype = out_dtype or x.dtype
+    M, K = x.shape
+    Kw, N = w.shape
+    assert K == Kw, (x.shape, w.shape)
+    if scales.ndim != 1:
+        raise ValueError("w8a8 requires per-column weight scales [N]")
+
+    xq, sx = quantize_activations(x)
+
+    block_m = min(block_m, _cdiv(M, 32) * 32)
+    block_n = min(block_n, _cdiv(N, 128) * 128)
+    block_k = min(block_k, _cdiv(K, 128) * 128)
+
+    xp = _pad2(xq, block_m, block_k)
+    wp = _pad2(w, block_k, block_n)
+    sxp = _pad2(sx, block_m, 1)
+    swp = _pad2(scales[None, :], 1, block_n)
+    Mp, Kp = xp.shape
+    Np = wp.shape[1]
+    nk = Kp // block_k
+
+    out = pl.pallas_call(
+        functools.partial(_w8a8_kernel, nk=nk, out_dtype=out_dtype),
+        grid=(Mp // block_m, Np // block_n, nk),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda mi, ni, ki: (mi, ki)),
+            pl.BlockSpec((block_m, 1), lambda mi, ni, ki: (mi, 0)),
+            pl.BlockSpec((block_k, block_n), lambda mi, ni, ki: (ki, ni)),
+            pl.BlockSpec((1, block_n), lambda mi, ni, ki: (0, ni)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda mi, ni, ki: (mi, ni)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + K * N + M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, sxp, wp, swp)
+    return out[:M, :N]
+
+
 def quantized_matmul(x, w, *, out_dtype=None, interpret=None):
-    """Dispatch on weight type: Int4Weight, (int8, scales) tuple, or plain
-    float array (falls through to jnp.dot)."""
+    """Dispatch on weight type: Int4Weight, (int8, scales) weight-only
+    tuple, ('w8a8', int8, scales) activation+weight int8, or plain float
+    array (falls through to jnp.dot)."""
     if isinstance(w, Int4Weight):
         return matmul_int4(x, w, out_dtype=out_dtype, interpret=interpret)
+    if isinstance(w, tuple) and len(w) == 3 and w[0] == "w8a8":
+        _, vals, scales = w
+        return matmul_w8a8(x, vals, scales, out_dtype=out_dtype,
+                           interpret=interpret)
     if isinstance(w, tuple):
         vals, scales = w
         return matmul_int8(x, vals, scales, out_dtype=out_dtype, interpret=interpret)
