@@ -220,6 +220,72 @@ def bench_decode(chip_peaks, mode="int8"):
     return out
 
 
+def bench_llama8b_decode(chip_peaks):
+    """Measured (not extrapolated) Llama-8B decode tokens/s/chip.
+
+    Builds 2- and 4-layer slices with true 8B layer dims (int8 weights,
+    int8 KV, B=8, 8k ctx), times the full jitted decode_step (attention +
+    MLP + head + greedy sample) via the paired-chain estimator, and
+    composes t(32 layers) = 32 * t_layer + t_nonlayer from the two
+    measurements.  BASELINE headline: tokens/sec/chip.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from flash_attn_tpu.models import llama
+
+    B, S = 8, 8192
+
+    def step_time(num_layers):
+        cfg = llama.LlamaConfig(
+            vocab_size=32768, hidden=4096, intermediate=14336,
+            num_layers=num_layers, num_heads=32, num_kv_heads=8,
+            head_dim=128, max_position=S, rope_theta=500000.0,
+            dtype="bfloat16",
+        )
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        params = llama.quantize_weights(params, mode="int8")
+        cache = llama.make_cache(cfg, B, S, mode="int8")
+        cache = cache.advance(S - 512)  # decode near full context
+        tok0 = jnp.ones((B,), jnp.int32)
+
+        def step(carry, _):
+            tok, cache = carry
+            logits, cache = llama.decode_step(params, tok, cfg, cache)
+            return (jnp.argmax(logits, axis=-1).astype(jnp.int32), cache), None
+
+        def chained(m):
+            @jax.jit
+            def f(tok, cache):
+                (tok, cache), _ = jax.lax.scan(
+                    step, (tok, cache), None, length=m
+                )
+                return jnp.sum(tok)
+
+            float(f(tok0, cache))
+            float(f(tok0, cache))
+            return lambda: float(f(tok0, cache))
+
+        n = 16
+        run_n = chained(n)
+        run_2n = chained(2 * n)
+        t_n = _median_time(run_n, 5)
+        t_2n = _median_time(run_2n, 5)
+        return max((t_2n - t_n) / n, 1e-9)
+
+    t2 = step_time(2)
+    t4 = step_time(4)
+    t_layer = max((t4 - t2) / 2, 1e-9)
+    t_nonlayer = max(t4 - 4 * t_layer, 0.0)
+    t32 = 32 * t_layer + t_nonlayer
+    return {
+        "llama8b_step_ms_4layer": round(t4 * 1e3, 3),
+        "llama8b_layer_us": round(t_layer * 1e6, 1),
+        "llama8b_step_ms_32layer_est": round(t32 * 1e3, 2),
+        "llama8b_tokens_per_s_chip": round(B / t32, 1),
+    }
+
+
 def main():
     import os
     import subprocess
@@ -296,6 +362,10 @@ def _run_bench():
             details.update(bench_decode(peaks, mode))
         except Exception as e:  # pragma: no cover
             details[f"decode_{mode}_error"] = repr(e)[:200]
+    try:
+        details.update(bench_llama8b_decode(peaks))
+    except Exception as e:  # pragma: no cover
+        details["llama8b_error"] = repr(e)[:200]
 
     # Headline = BASELINE config 1: Llama-8B-shaped decode with FP8 KV.
     frac = details.get("decode_fp8_roofline_frac", 0.0)

@@ -53,9 +53,8 @@ def bench_fwd():
         t = paired(f1, f2, n)
         print(f"{tag}: {t*1e3:.2f} ms, {flops/t/1e12:.1f} TF/s", flush=True)
 
-    for bq, bk in [(1024, 1024), (512, 1024), (512, 2048)]:
-        run(FlashConfig(block_q=bq, block_k=bk, mask_skip=True), f"skipON  {bq}x{bk}")
-        run(FlashConfig(block_q=bq, block_k=bk, mask_skip=False), f"skipOFF {bq}x{bk}")
+    for bq, bk in [(1024, 1024), (512, 1024), (1024, 512), (2048, 1024), (768, 1024)]:
+        run(FlashConfig(block_q=bq, block_k=bk), f"1dmask {bq}x{bk}")
 
 
 def bench_fp8_decode():
@@ -115,6 +114,34 @@ def bench_fp8_decode():
             flush=True,
         )
 
+        for bk in (1024, 2048):
+            def mkb(m, bk=bk):
+                @jax.jit
+                def f(q_, k_, v_, ks_, vs_):
+                    y = jax.lax.fori_loop(
+                        0, m,
+                        lambda i, c: flash_decode(
+                            c, k_, v_, k_scale=ks_, v_scale=vs_,
+                            kv_layout="bhsd", block_k=bk,
+                        ).astype(jnp.bfloat16),
+                        q_,
+                    )
+                    return jnp.sum(y.astype(jnp.float32))
+
+                float(f(q, kqt, vqt, kst, vst)); float(f(q, kqt, vqt, kst, vst))
+                return lambda: float(f(q, kqt, vqt, kst, vst))
+
+            try:
+                f1, f2 = mkb(n), mkb(2 * n)
+                t = paired(f1, f2, n)
+                print(
+                    f"decode {mode} bk={bk}: {t*1e6:.1f} us, "
+                    f"roofline frac {ideal/t:.3f}",
+                    flush=True,
+                )
+            except Exception as e:
+                print(f"decode {mode} bk={bk}: FAIL {repr(e)[:150]}", flush=True)
+
 
 def bench_w8a8():
     import jax
@@ -170,10 +197,18 @@ def bench_w8a8():
             print(f"{name}: FAIL {repr(e)[:200]}", flush=True)
 
 
+def bench_llama():
+    from bench import bench_llama8b_decode
+    from flash_attn_tpu.utils.profiling import CHIP_PEAKS, chip_kind
+
+    out = bench_llama8b_decode(CHIP_PEAKS[chip_kind()])
+    print("llama8b:", out, flush=True)
+
+
 if __name__ == "__main__":
     import jax
 
     print("devices:", jax.devices(), flush=True)
     bench_fp8_decode()
-    bench_w8a8()
     bench_fwd()
+    bench_llama()

@@ -49,6 +49,9 @@ class ModelAdapter:
     # -> (logits [1, C, V], cache) — enables prefill/decode interleave on
     # long prompts (no head-of-line blocking).
     prefill_chunk: Callable | None = None
+    # optional paged decode: (params, token [B], pool: PagedKVPool) ->
+    # (logits [B, V], pool) — used by PagedInferenceEngine.
+    decode_step_paged: Callable | None = None
 
 
 class InferenceEngine:
@@ -248,3 +251,170 @@ def _insert_slot_kv(cache: KVCache, layer: int, slot, k, v) -> KVCache:
         ksn = put(cache.k_scale, ks)
         vsn = put(cache.v_scale, vs)
     return KVCache(knew, vnew, ksn, vsn, cache.length, cache.mode)
+
+
+class PagedInferenceEngine:
+    """Continuous batching over a paged KV pool with the NATIVE page
+    allocator (runtime/native/page_allocator.cc) gating admission.
+
+    Differences vs InferenceEngine: KV lives in PagedKVPool pages sized to
+    the decode kernel's tile; the host-side allocator (C, O(1) acquire,
+    O(pages) release) decides admission — a request is admitted only when
+    enough pages exist for prompt + max_tokens, and its pages return to the
+    free list at completion (the vLLM-style admission/eviction loop the
+    round-1 engine never exercised).
+    """
+
+    def __init__(
+        self,
+        params,
+        adapter: ModelAdapter,
+        *,
+        max_batch: int = 8,
+        capacity: int = 2048,
+        page_size: int = 128,
+        num_pages: int | None = None,
+        kv_mode: str = "none",
+        cache_dtype=jnp.bfloat16,
+        sampling: SamplingParams | None = None,
+        rng_seed: int = 0,
+    ):
+        from flash_attn_tpu.engine.paged import PagedKVPool
+        from flash_attn_tpu.runtime.abi import PagePool
+
+        if adapter.decode_step_paged is None:
+            raise ValueError("adapter has no decode_step_paged")
+        self.params = params
+        self.adapter = adapter
+        self.page_size = page_size
+        self.max_pages = -(-capacity // page_size)
+        # +1 for the reserved null page 0
+        num_pages = num_pages or (max_batch * self.max_pages + 1)
+        self.alloc = PagePool(num_pages)
+        self.pool = PagedKVPool.create(
+            adapter.num_layers, num_pages, page_size, max_batch,
+            self.max_pages, adapter.num_kv_heads, adapter.head_dim,
+            dtype=cache_dtype, mode=kv_mode,
+        )
+        self.sampling = sampling or SamplingParams()
+        self.sched = ContinuousBatchingScheduler(max_batch)
+        self.key = jax.random.PRNGKey(rng_seed)
+        self.next_token = np.zeros((max_batch,), np.int32)
+        from flash_attn_tpu.utils.metrics import EngineMetrics
+
+        self.metrics = EngineMetrics(kv_capacity=(num_pages - 1) * page_size)
+        self._pending_pages: dict[int, list[int]] = {}
+        self._decode_jit = jax.jit(self._decode_batch)
+        self._prefill_jit = jax.jit(self._prefill_one)
+
+    def _pages_needed(self, req: Request) -> int:
+        total = len(req.prompt) + req.max_tokens
+        return -(-total // self.page_size)
+
+    # --- jitted bodies ---
+
+    def _prefill_one(self, params, tokens, pool, slot, true_len):
+        positions = jnp.arange(tokens.shape[1])[None]
+        logits_all, kvs = self.adapter.prefill_with_kv(params, tokens, positions)
+        for layer, (k, v) in enumerate(kvs):
+            pool = pool.append_prefill(layer, slot, k[0], v[0], 0)
+        pool = pool.set_lengths(pool.length.at[slot].set(true_len))
+        return logits_all[0, true_len - 1], pool
+
+    def _decode_batch(self, params, tokens, pool, key):
+        logits, pool = self.adapter.decode_step_paged(params, tokens, pool)
+        toks = sample(logits, key, self.sampling)
+        return toks, pool
+
+    # --- host loop ---
+
+    def submit(self, prompt, max_tokens=64) -> Request:
+        return self.sched.submit(prompt, max_tokens, self.adapter.eos_token)
+
+    def run(self, max_steps: int = 10_000) -> None:
+        steps = 0
+        while self.sched.has_work and steps < max_steps:
+            steps += 1
+            for req in self.sched.admit(self._can_admit):
+                self._admit_pages(req)
+                self._do_prefill(req)
+            if not self.sched.active:
+                continue
+            self._do_decode_step()
+
+    def _can_admit(self, req: Request) -> bool:
+        """Resource-gated admission: acquire the pages NOW (against the slot
+        the scheduler will assign — it pops free_slots[0]) so admission of a
+        second request in the same round sees the reduced free list."""
+        if not self.sched.free_slots:
+            return False
+        slot = self.sched.free_slots[0]
+        pages = self.alloc.acquire(slot, self._pages_needed(req))
+        if pages is None:
+            return False
+        self._pending_pages[req.uid] = pages
+        return True
+
+    def _admit_pages(self, req: Request):
+        pages = self._pending_pages.pop(req.uid)
+        self.pool = self.pool.assign_pages(req.slot, pages)
+
+    def _release(self, req_slot: int):
+        self.alloc.release_slot(req_slot)
+        # zero the table row so blanket decode appends for this (now
+        # inactive) slot land on the null page, never on reacquired pages
+        self.pool = self.pool.assign_pages(
+            req_slot, [0] * self.pool.max_pages
+        )
+        self.pool = self.pool.set_lengths(
+            self.pool.length.at[req_slot].set(0)
+        )
+
+    def _do_prefill(self, req: Request):
+        import time as _time
+
+        t0 = _time.perf_counter()
+        bucket = bucket_length(len(req.prompt))
+        bucket = min(bucket, self.max_pages * self.page_size)
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, : len(req.prompt)] = req.prompt
+        logits, self.pool = self._prefill_jit(
+            self.params, jnp.asarray(toks), self.pool,
+            jnp.int32(req.slot), jnp.int32(len(req.prompt)),
+        )
+        self.metrics.record_prefill(len(req.prompt), _time.perf_counter() - t0)
+        tok = int(sample(logits[None], self._next_key(), self.sampling)[0])
+        req.generated.append(tok)
+        if len(req.generated) >= req.max_tokens or (
+            req.eos_token is not None and tok == req.eos_token
+        ):
+            slot = req.slot
+            self.sched.complete(req)
+            self._release(slot)
+            self.metrics.completed_requests += 1
+        else:
+            self.next_token[req.slot] = tok
+
+    def _do_decode_step(self):
+        import time as _time
+
+        t0 = _time.perf_counter()
+        slots = self.sched.active_slots()
+        toks, self.pool = self._decode_jit(
+            self.params, jnp.asarray(self.next_token), self.pool,
+            self._next_key(),
+        )
+        toks = np.asarray(toks)
+        self.metrics.record_decode(len(slots), _time.perf_counter() - t0)
+        self.metrics.kv_tokens_in_use = int(np.asarray(self.pool.length).sum())
+        for slot in slots:
+            tok = int(toks[slot])
+            if not self.sched.step_done(slot, tok):
+                self.next_token[slot] = tok
+            else:
+                self._release(slot)
+                self.metrics.completed_requests += 1
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub

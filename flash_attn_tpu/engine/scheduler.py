@@ -59,11 +59,17 @@ class ContinuousBatchingScheduler:
         self.waiting.append(req)
         return req
 
-    def admit(self) -> list[Request]:
+    def admit(self, can_admit=None) -> list[Request]:
         """Move waiting requests into free slots; returns newly admitted
-        requests (engine must prefill them)."""
+        requests (engine must prefill them).
+
+        can_admit: optional callback(req) -> bool for resource-gated
+        admission (e.g. the paged engine checks KV page availability);
+        admission stops at the first refusal (FIFO order preserved)."""
         admitted = []
         while self.waiting and self.free_slots:
+            if can_admit is not None and not can_admit(self.waiting[0]):
+                break
             req = self.waiting.popleft()
             req.slot = self.free_slots.pop(0)
             self.active[req.slot] = req

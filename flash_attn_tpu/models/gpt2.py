@@ -222,6 +222,39 @@ def prefill_chunk(params, tokens, cfg: GPT2Config, cache: KVCache, slot,
     return logits, cache
 
 
+def decode_step_paged(params, token, cfg: GPT2Config, pool, *, interpret=None):
+    """One decode step against a PagedKVPool: token [B] -> (logits, pool).
+    Attention runs the scalar-prefetch paged kernel (ops/paged_decode.py) —
+    pages DMA by block-table index, no gather."""
+    from flash_attn_tpu.engine.paged import paged_decode_attention
+
+    b = token.shape[0]
+    x = params["wte"][token] + params["wpe"][pool.length]
+    x = x[:, None, :]
+    for i, blk in enumerate(params["blocks"]):
+        h = _layer_norm(x, blk["ln_1"])
+        qkv = _dense(h, blk["attn"]["qkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        pool = pool.append_token(
+            i, _split_heads(k, cfg.num_heads)[:, 0],
+            _split_heads(v, cfg.num_heads)[:, 0],
+        )
+        attn = paged_decode_attention(
+            pool.advance(1), i, _split_heads(q, cfg.num_heads)[:, 0],
+            interpret=interpret,
+        )
+        x = x + _dense(attn.reshape(b, 1, cfg.hidden), blk["attn"]["proj"])
+        h = _layer_norm(x, blk["ln_2"])
+        m = jax.nn.gelu(_dense(h, blk["mlp"]["fc"]), approximate=True)
+        x = x + _dense(m, blk["mlp"]["proj"])
+    pool = pool.advance(1)
+    x = _layer_norm(x[:, 0], params["ln_f"])
+    logits = jnp.einsum(
+        "bh,vh->bv", x.astype(jnp.float32), params["wte"].astype(jnp.float32)
+    )
+    return logits, pool
+
+
 def prefill_with_kv(params, tokens, positions, cfg: GPT2Config, *, interpret=None):
     """Engine adapter: full logits + per-layer KV without touching a cache.
     tokens/positions: [1, S]. Returns (logits [1, S, V], [(k, v), ...])."""
@@ -261,6 +294,9 @@ def make_adapter(cfg: GPT2Config, *, interpret=None, eos_token=None):
         ),
         prefill_chunk=lambda p, t, cache, slot, start: prefill_chunk(
             p, t, cfg, cache, slot, start, interpret=interpret
+        ),
+        decode_step_paged=lambda p, tok, pool: decode_step_paged(
+            p, tok, cfg, pool, interpret=interpret
         ),
         num_layers=cfg.num_layers,
         num_kv_heads=cfg.num_heads,

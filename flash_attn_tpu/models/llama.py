@@ -252,6 +252,35 @@ def decode_step(params, token, cfg: LlamaConfig, cache: KVCache, *, interpret=No
     return logits, cache
 
 
+def decode_step_paged(params, token, cfg: LlamaConfig, pool, *, interpret=None):
+    """One decode step against a PagedKVPool (scalar-prefetch paged kernel)."""
+    from flash_attn_tpu.engine.paged import paged_decode_attention
+
+    b = token.shape[0]
+    x = params["tok_emb"][token][:, None, :]
+    cos, sin = rope_cos_sin(pool.length[:, None], cfg.head_dim, cfg.rope_theta)
+    for i, blk in enumerate(params["blocks"]):
+        h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q = _proj(h, blk["wq"], interpret).reshape(b, 1, cfg.num_heads, cfg.head_dim)
+        k = _proj(h, blk["wk"], interpret).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        v = _proj(h, blk["wv"], interpret).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        pool = pool.append_token(i, k[:, 0], v[:, 0])
+        attn = paged_decode_attention(
+            pool.advance(1), i, q[:, 0], interpret=interpret
+        )
+        x = x + _proj(
+            attn.reshape(b, 1, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
+        )
+        x = _block_mlp(x, blk, cfg, interpret=interpret)
+    pool = pool.advance(1)
+    x = _rms_norm(x[:, 0], params["final_norm"], cfg.rms_eps)
+    head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+    logits = _proj(x.astype(jnp.float32), head, interpret)
+    return logits, pool
+
+
 def make_cache(cfg: LlamaConfig, batch, capacity, mode="none", dtype=None):
     return KVCache.create(
         cfg.num_layers, batch, capacity, cfg.num_kv_heads, cfg.head_dim,
@@ -271,6 +300,9 @@ def make_adapter(cfg: LlamaConfig, *, interpret=None, eos_token=None):
         ),
         prefill_chunk=lambda p, t, cache, slot, start: prefill_chunk(
             p, t, cfg, cache, slot, start, interpret=interpret
+        ),
+        decode_step_paged=lambda p, tok, pool: decode_step_paged(
+            p, tok, cfg, pool, interpret=interpret
         ),
         num_layers=cfg.num_layers,
         num_kv_heads=cfg.num_kv_heads,

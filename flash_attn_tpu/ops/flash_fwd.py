@@ -49,8 +49,6 @@ class FlashConfig:
     block_k: int = 128
     # Upper bound for VMEM the compiler may use; None = let Mosaic decide.
     vmem_limit_bytes: int | None = None
-    # Skip the causal mask on fully-live blocks via a per-block branch.
-    mask_skip: bool = True
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -163,7 +161,6 @@ def _fwd_kernel(
     has_bias: bool,
     has_segs: bool,
     has_pos: bool,
-    mask_skip: bool,
     out_dtype,
 ):
     b, h, qi, ki = (pl.program_id(i) for i in range(4))
@@ -180,32 +177,47 @@ def _fwd_kernel(
     def _apply_mask(s):
         """Set masked score entries to NEG_INF.  Fully-masked *rows* need no
         special handling here: their running max stays exactly NEG_INF and
-        the finalize step gates on that (exp(s - m) garbage is discarded)."""
-        row = qi * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
-        )
-        col = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        mask = col < seqlen_k  # pad columns
+        the finalize step gates on that (exp(s - m) garbage is discarded).
+
+        Built from [bq,1] / [1,bk] 1-D components so the full-lattice VPU
+        work is one broadcasted compare (+ one select) per mask kind — not
+        two 2-D iotas plus adds (measured: the 2-D form held the causal
+        kernel ~20% under its ceiling at the 8B prefill shape).  Pad columns
+        fold into the causal compare by pushing their column id to +inf."""
+        row1 = qi * block_q + shift + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), 0
+        )  # [bq, 1] (pre-shifted)
+        col1 = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1
+        )  # [1, bk]
+        pad_cols = seqlen_k % block_k != 0
+        if pad_cols:
+            col1 = jnp.where(col1 < seqlen_k, col1, jnp.int32(2**30))
+        mask = None
         if causal:
-            mask &= col <= row + shift
+            mask = col1 <= row1  # broadcast compare; pad cols auto-fail
+        elif pad_cols:
+            mask = jnp.broadcast_to(col1 < 2**30, (block_q, block_k))
         if window is not None:
             # local attention (left, right), bottom-right aligned; -1 = open
             left, right = window
             if left >= 0:
-                mask &= col >= row + shift - left
+                m = col1 >= row1 - left
+                mask = m if mask is None else mask & m
             if right >= 0:
-                mask &= col <= row + shift + right
+                m = col1 <= row1 + right
+                mask = m if mask is None else mask & m
         if has_segs:
-            qs = qseg_ref[0]  # [bq, 1]
-            ks = kseg_ref[0]  # [1, bk]
-            mask &= qs == ks
+            m = qseg_ref[0] == kseg_ref[0]  # (bq,1) == (1,bk)
+            mask = m if mask is None else mask & m
         if has_pos:
             # per-sequence causal for packed varlen batches: caller encodes
             # the bottom-right alignment into q_positions (flash_attn.h:38-66
             # varlen causal semantics, in-kernel, no O(S^2) bias tensor).
-            mask &= kpos_ref[0] <= qpos_ref[0]
+            m = kpos_ref[0] <= qpos_ref[0]
+            mask = m if mask is None else mask & m
+        if mask is None:
+            return s
         return jnp.where(mask, s, NEG_INF)
 
     def _body():
@@ -218,24 +230,12 @@ def _fwd_kernel(
             # the fully-masked-row algebra NaN-free)
             s = jnp.maximum(s + bias_ref[0, 0].astype(jnp.float32), NEG_INF)
 
-        needs_any_mask = (
-            has_segs or has_pos or causal or window is not None
-            or seqlen_k % block_k != 0
-        )
-        # Pure-causal fast path: blocks strictly below the diagonal band are
-        # fully live — skip the 6-op/element mask there (at long context most
-        # blocks are, and the VPU mask cost is what holds the kernel under
-        # peak).  Other mask kinds apply per-block as before.
-        causal_only = (
-            mask_skip
-            and causal and not (has_segs or has_pos or window is not None)
-            and seqlen_k % block_k == 0
-        )
-        if causal_only:
-            # block fully live iff its last column <= its first row + shift
-            full = (ki * block_k + block_k - 1) <= (qi * block_q + shift)
-            s = jax.lax.cond(full, lambda x: x, _apply_mask, s)
-        elif needs_any_mask:
+        if (has_segs or has_pos or causal or window is not None
+                or seqlen_k % block_k != 0):
+            # NOTE: a per-block lax.cond skipping the mask on fully-live
+            # causal blocks was tried and is a net LOSS on Mosaic (85 vs
+            # 112 TF/s at the 8B prefill shape) — the branch overhead beats
+            # the mask it saves.  Cheap 1-D-component masks instead.
             s = _apply_mask(s)
 
         m_prev = m_scratch[:, :1]  # [bq, 1]
@@ -447,7 +447,6 @@ def flash_fwd(
         has_bias=has_bias,
         has_segs=has_segs,
         has_pos=has_pos,
-        mask_skip=cfg.mask_skip,
         out_dtype=q.dtype,
     )
 

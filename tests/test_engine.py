@@ -240,3 +240,54 @@ def test_engine_metrics_wired(tiny):
     assert eng.metrics.prefill_tokens == 3
     assert eng.metrics.decode_tokens >= 4
     assert snap["completed_requests"] == 1
+
+
+def test_paged_engine_end_to_end(tiny):
+    """PagedInferenceEngine (native allocator + scalar-prefetch kernel)
+    matches greedy decode, and pages cycle through admission/eviction:
+    more requests than the pool can hold at once."""
+    from flash_attn_tpu.engine.engine import PagedInferenceEngine
+
+    cfg, params = tiny
+    eng = PagedInferenceEngine(
+        params, gpt2.make_adapter(cfg, interpret=True),
+        max_batch=2, capacity=64, page_size=8,
+        num_pages=2 * 8 + 1,  # exactly two sequences' worth -> forces reuse
+        cache_dtype=jnp.dtype(cfg.dtype),
+    )
+    reqs = [eng.submit([i + 1, i + 2, i + 3], max_tokens=3) for i in range(4)]
+    free0 = eng.alloc.free_count
+    eng.run()
+    assert all(r.done for r in reqs)
+    # all pages returned to the free list after completion
+    assert eng.alloc.free_count == 2 * 8
+    for r in reqs:
+        w = gpt2.greedy_decode(
+            params, jnp.asarray([r.prompt]), cfg, steps=3, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(r.generated), np.asarray(w[0]))
+
+
+def test_paged_engine_admission_deferred(tiny):
+    """A request whose page demand exceeds the free pool waits until a
+    completion releases pages (native-allocator-gated admission)."""
+    from flash_attn_tpu.engine.engine import PagedInferenceEngine
+
+    cfg, params = tiny
+    eng = PagedInferenceEngine(
+        params, gpt2.make_adapter(cfg, interpret=True),
+        max_batch=2, capacity=32, page_size=8,
+        num_pages=1 * 4 + 1,  # one sequence's worth only
+        cache_dtype=jnp.dtype(cfg.dtype),
+    )
+    r1 = eng.submit(list(range(1, 11)), max_tokens=22)  # 32 tokens = 4 pages
+    r2 = eng.submit(list(range(4, 14)), max_tokens=22)
+    # first admit round: only r1 fits
+    admitted = eng.sched.admit(eng._can_admit)
+    assert [r.uid for r in admitted] == [r1.uid]
+    for req in admitted:
+        eng._admit_pages(req)
+        eng._do_prefill(req)
+    assert r2.slot is None  # deferred
+    eng.run()
+    assert r1.done and r2.done
