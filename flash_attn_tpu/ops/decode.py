@@ -70,6 +70,15 @@ def _packed_e4m3_to_bf16(x):
 
     x: [..., bk, D] fp8 -> [..., bk, D] bf16 (rows permuted as above).
     """
+    ev, od = _packed_e4m3_halves(x)
+    return jnp.concatenate([ev, od], axis=-2)
+
+
+def _packed_e4m3_halves(x):
+    """As _packed_e4m3_to_bf16 but returns the (evens, odds) half-planes
+    [..., bk//2, D] separately, so callers can run two half-GEMMs and skip
+    the [bk, D] concat copy entirely (the concat is ~30% of the decode's
+    VPU budget at the 8B shape)."""
     w = pltpu.bitcast(x, jnp.int32)  # [..., bk//4, D]
     even_t = (w & 0x00FF00FF) << 4
     even = ((even_t & 0x07F007F0) + 0x3C003C00) | ((even_t & 0x08000800) << 4)
@@ -77,7 +86,7 @@ def _packed_e4m3_to_bf16(x):
     odd = ((odd_t & 0x07F007F0) + 0x3C003C00) | ((odd_t & 0x08000800) << 4)
     ev = pltpu.bitcast(even, jnp.bfloat16)  # [..., bk//2, D]
     od = pltpu.bitcast(odd, jnp.bfloat16)
-    return jnp.concatenate([ev, od], axis=-2)
+    return ev, od
 
 
 def _perm_cols(r, block_k):
@@ -445,17 +454,21 @@ def _decode_kernel_bhsd(
         jnp.float32 if q_ref.dtype == jnp.float32 else jnp.bfloat16
     )
 
-    def cast_kv(ref):
-        if packed_fp8:
-            return _packed_e4m3_to_bf16(ref[0])  # rows evens-then-odds
-        return _fast_cast(ref[0], compute_dtype)
-
     @pl.when(ki * block_k < kv_len)
     def _body():
         q = q_ref[0].astype(compute_dtype)  # [H, D]
-        k = cast_kv(k_ref)  # [Hk, bk, D]
         qg = q.reshape(num_heads_k, group, q.shape[-1])  # [Hk, g, D]
-        s = sdot(qg, k, (((2,), (2,)), ((0,), (0,))))  # [Hk, g, bk] fp32
+        if packed_fp8:
+            # two half-GEMMs on the decoded (evens, odds) planes; scores
+            # concat along bk (16K elems) replaces the [bk, D] KV concat
+            # (512K elems) — the decode's biggest VPU saving.
+            k_ev, k_od = _packed_e4m3_halves(k_ref[0])  # [Hk, bk/2, D] x2
+            s_ev = sdot(qg, k_ev, (((2,), (2,)), ((0,), (0,))))
+            s_od = sdot(qg, k_od, (((2,), (2,)), ((0,), (0,))))
+            s = jnp.concatenate([s_ev, s_od], axis=-1)  # [Hk, g, bk]
+        else:
+            k = _fast_cast(k_ref[0], compute_dtype)  # [Hk, bk, D]
+            s = sdot(qg, k, (((2,), (2,)), ((0,), (0,))))  # [Hk, g, bk] fp32
         if has_k_scale:
             s = s * ks_ref[0][:, :, :].astype(jnp.float32)  # [Hk, 1, bk]
         s = s.reshape(num_heads, block_k) * scale
@@ -475,13 +488,22 @@ def _decode_kernel_bhsd(
         m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
         l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
 
-        v = cast_kv(v_ref)  # [Hk, bk, D] (same row order as p)
         pg = p.reshape(num_heads_k, group, block_k)
         if has_v_scale:
             pg = pg * vs_ref[0][:, :, :].astype(jnp.float32)  # [Hk, 1, bk]
-        o = sdot(pg.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))))
+        if packed_fp8:
+            v_ev, v_od = _packed_e4m3_halves(v_ref[0])  # [Hk, bk/2, D] x2
+            half = block_k // 2
+            pc = pg.astype(compute_dtype)
+            o = sdot(pc[:, :, :half], v_ev, (((2,), (1,)), ((0,), (0,))))
+            o = o + sdot(pc[:, :, half:], v_od, (((2,), (1,)), ((0,), (0,))))
+            d_out = v_ev.shape[-1]
+        else:
+            v = _fast_cast(v_ref[0], compute_dtype)  # [Hk, bk, D]
+            o = sdot(pg.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))))
+            d_out = v.shape[-1]
         acc_scratch[...] = acc_scratch[...] * alpha + o.reshape(
-            num_heads, v.shape[-1]
+            num_heads, d_out
         )
 
     @pl.when(ki == num_k_blocks - 1)

@@ -49,6 +49,9 @@ class FlashConfig:
     block_k: int = 128
     # Upper bound for VMEM the compiler may use; None = let Mosaic decide.
     vmem_limit_bytes: int | None = None
+    # Base-2 softmax: fold log2(e) into the q pre-scale and use the VPU's
+    # native 2^x for p/alpha (the FA2 trick); lse converts back at finalize.
+    exp2: bool = False
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -161,6 +164,7 @@ def _fwd_kernel(
     has_bias: bool,
     has_segs: bool,
     has_pos: bool,
+    use_exp2: bool,
     out_dtype,
 ):
     b, h, qi, ki = (pl.program_id(i) for i in range(4))
@@ -242,8 +246,14 @@ def _fwd_kernel(
         l_prev = l_scratch[:, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
-        p = jnp.exp(s - m_new)  # [bq, bk]
+        if use_exp2:
+            # s is in base-2 units (log2(e) folded into the q pre-scale by
+            # the wrapper); 2^x is the VPU-native transcendental.
+            alpha = jax.lax.exp2(m_prev - m_new)  # [bq, 1]
+            p = jax.lax.exp2(s - m_new)  # [bq, bk]
+        else:
+            alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
+            p = jnp.exp(s - m_new)  # [bq, bk]
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
 
         m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
@@ -280,8 +290,11 @@ def _fwd_kernel(
         valid = (l > 0.0) & (m > NEG_INF / 2)
         out = jnp.where(valid, acc_scratch[...] / jnp.where(valid, l, 1.0), 0.0)
         out_ref[0, 0] = out.astype(out_dtype)
+        # lse is always emitted in natural-log units; under exp2 the running
+        # max m lives in base-2 units and converts here (ln(2^m * l)).
+        m_nat = m * 0.6931471805599453 if use_exp2 else m
         lse = jnp.where(
-            valid, m + jnp.log(jnp.where(valid, l, 1.0)), NEG_INF
+            valid, m_nat + jnp.log(jnp.where(valid, l, 1.0)), NEG_INF
         )  # [bq, 1]
         lse_ref[0, 0] = lse.astype(jnp.float32)
 
@@ -335,7 +348,12 @@ def flash_fwd(
 
     # Pre-fold the softmax scale into q (one multiply on the small operand
     # instead of a [bq, bk] multiply per kernel step).
-    q_scaled = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    LOG2E = 1.4426950408889634
+    eff_scale = scale * LOG2E if cfg.exp2 else scale
+    q_scaled = (q.astype(jnp.float32) * eff_scale).astype(q.dtype)
+    if bias is not None and cfg.exp2:
+        # kernel works in base-2 score units; additive bias must match
+        bias = bias.astype(jnp.float32) * LOG2E
     # BSHD -> BHSD for clean [bq, d] blocks, pad seq dims to block multiples.
     qt = _pad_axis(jnp.swapaxes(q_scaled, 1, 2), 2, block_q)
     kt = _pad_axis(jnp.swapaxes(k, 1, 2), 2, block_k)
@@ -447,6 +465,7 @@ def flash_fwd(
         has_bias=has_bias,
         has_segs=has_segs,
         has_pos=has_pos,
+        use_exp2=cfg.exp2,
         out_dtype=q.dtype,
     )
 

@@ -28,10 +28,12 @@ def _seq_bucket(s: int) -> int:
 
 def heuristic_config(seqlen_q: int, seqlen_k: int, head_dim: int,
                      dtype) -> FlashConfig:
-    """Static defaults measured on v5e (tune rounds 1-4): large K blocks
-    win decisively (512x1024 = 57.7 TF/s vs 128x128 = 11.9 TF/s on the
-    4x2048x16x128 causal benchmark); Q blocks sized to keep q/acc/p tiles
-    inside VMEM at head_dim 128."""
+    """Static defaults measured on v5e (round-2 sweep at the 8B prefill
+    shape): 1024x1024 wins (114.9 TF/s vs 96.6 at 512x1024 and 55.9 at
+    1024x512); 2048-wide q blocks exceed VMEM at head_dim 128.  Shorter
+    sequences keep the round-1 table."""
+    if seqlen_q >= 4096 and seqlen_k >= 4096 and head_dim <= 128:
+        return FlashConfig(block_q=1024, block_k=1024)
     if seqlen_k >= 2048:
         block_k = 1024
     elif seqlen_k >= 512:
