@@ -220,6 +220,109 @@ def bench_decode(chip_peaks, mode="int8"):
     return out
 
 
+def bench_flash_bwd(chip_peaks):
+    """Pallas backward (dq + dkv passes) at the 8B prefill shape.  Bwd does
+    ~2.5x the fwd GEMM work (5 tile GEMMs vs 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flash_attn_tpu.ops.flash_bwd import flash_bwd
+    from flash_attn_tpu.ops.flash_fwd import flash_fwd
+
+    B, S, H, Hk, D = 1, 8192, 32, 8, 128
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (B, S, H, D), jnp.bfloat16)
+    k = jax.random.normal(key, (B, S, Hk, D), jnp.bfloat16)
+    v = jax.random.normal(key, (B, S, Hk, D), jnp.bfloat16)
+    dout = jax.random.normal(key, (B, S, H, D), jnp.bfloat16)
+    out, lse = jax.jit(lambda a, b, c: flash_fwd(a, b, c, causal=True))(q, k, v)
+
+    def step(dout_, q_, k_, v_, out_, lse_):
+        dq, dk, dv = flash_bwd(q_, k_, v_, out_, lse_, dout_, causal=True)
+        return dq
+
+    flops = 2.5 * 4 * B * H * S * S * D / 2
+    floor = flops / (chip_peaks[0] * 1e12) / _MAX_PLAUSIBLE_FRAC
+    t, info = chain_step_seconds(
+        step, dout, (q, k, v, out, lse), n=4, floor_s=floor
+    )
+    tflops = flops / t / 1e12
+    return {
+        "bwd_ms": round(t * 1e3, 2),
+        "bwd_tflops": round(tflops, 1),
+        "bwd_frac_peak": round(tflops / chip_peaks[0], 4),
+        "bwd_estimator": info["estimator"],
+    }
+
+
+def bench_paged_decode(chip_peaks, contiguous_us=None):
+    """Scalar-prefetch paged decode at the 8B/8k shape (int8 pages); the
+    target is parity (within ~10%) with the contiguous decode kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from flash_attn_tpu.engine.paged import PagedKVPool, paged_decode_attention
+    from flash_attn_tpu.ops.quant import quantize_kv
+
+    B, S, Hk, H, D = 8, 8192, 8, 32, 128
+    page = 512
+    per_seq = S // page
+    num_pages = B * per_seq + 1
+    pool = PagedKVPool.create(
+        1, num_pages, page, B, per_seq, Hk, D, dtype=jnp.bfloat16, mode="int8"
+    )
+    for b in range(B):
+        pool = pool.assign_pages(
+            b, list(range(1 + b * per_seq, 1 + (b + 1) * per_seq))
+        )
+    key = jax.random.PRNGKey(4)
+    k = jax.random.normal(key, (B, S, Hk, D), jnp.bfloat16)
+    v = jax.random.normal(key, (B, S, Hk, D), jnp.bfloat16)
+    kq, ks, vq, vs = quantize_kv(k, v, "int8")
+    # fill pages directly (layout [P, Hk, page, D])
+    kp = jnp.swapaxes(kq, 1, 2).reshape(B, Hk, per_seq, page, D)
+    vp = jnp.swapaxes(vq, 1, 2).reshape(B, Hk, per_seq, page, D)
+    kp = jnp.moveaxis(kp, 2, 1).reshape(B * per_seq, Hk, page, D)
+    vp = jnp.moveaxis(vp, 2, 1).reshape(B * per_seq, Hk, page, D)
+    ksl = jnp.swapaxes(ks[..., 0], 1, 2).reshape(B, Hk, per_seq, 1, page)
+    vsl = jnp.swapaxes(vs[..., 0], 1, 2).reshape(B, Hk, per_seq, 1, page)
+    ksl = jnp.moveaxis(ksl, 2, 1).reshape(B * per_seq, Hk, 1, page)
+    vsl = jnp.moveaxis(vsl, 2, 1).reshape(B * per_seq, Hk, 1, page)
+    pool = pool._replace(
+        k_pages=pool.k_pages.at[0, 1:].set(kp),
+        v_pages=pool.v_pages.at[0, 1:].set(vp),
+        k_scale=pool.k_scale.at[0, 1:].set(ksl),
+        v_scale=pool.v_scale.at[0, 1:].set(vsl),
+        length=jnp.full((B,), S, jnp.int32),
+    )
+    q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
+
+    def step(q_, kpg, vpg, kspg, vspg, tbl, lens):
+        from flash_attn_tpu.ops.paged_decode import paged_flash_decode
+
+        return paged_flash_decode(
+            q_, kpg, vpg, tbl, lens, k_scale=kspg, v_scale=vspg
+        ).astype(jnp.bfloat16)
+
+    kv_bytes = 2 * B * S * Hk * (D + 4)
+    ideal = kv_bytes / (chip_peaks[2] * 1e9)
+    consts = (
+        pool.k_pages[0], pool.v_pages[0], pool.k_scale[0], pool.v_scale[0],
+        pool.block_table, pool.length,
+    )
+    t, info = chain_step_seconds(
+        step, q, consts, n=32, floor_s=ideal / _MAX_PLAUSIBLE_FRAC
+    )
+    out = {
+        "paged_decode_us": round(t * 1e6, 1),
+        "paged_decode_roofline_frac": round(ideal / t, 4),
+        "paged_decode_estimator": info["estimator"],
+    }
+    if contiguous_us:
+        out["paged_vs_contiguous"] = round(t * 1e6 / contiguous_us, 3)
+    return out
+
+
 def bench_llama8b_decode(chip_peaks):
     """Measured (not extrapolated) Llama-8B decode tokens/s/chip.
 
@@ -250,22 +353,26 @@ def bench_llama8b_decode(chip_peaks):
         cache = cache.advance(S - 512)  # decode near full context
         tok0 = jnp.ones((B,), jnp.int32)
 
-        def step(carry, _):
-            tok, cache = carry
-            logits, cache = llama.decode_step(params, tok, cfg, cache)
-            return (jnp.argmax(logits, axis=-1).astype(jnp.int32), cache), None
-
         def chained(m):
+            # params/cache ride as jit ARGUMENTS — closing over them bakes
+            # the weights into the HLO as literals (HTTP 413 at 8B dims)
             @jax.jit
-            def f(tok, cache):
-                (tok, cache), _ = jax.lax.scan(
-                    step, (tok, cache), None, length=m
+            def f(params_, tok, cache_):
+                def step(carry, _):
+                    tok_, c = carry
+                    logits, c = llama.decode_step(params_, tok_, cfg, c)
+                    return (
+                        jnp.argmax(logits, axis=-1).astype(jnp.int32), c
+                    ), None
+
+                (tok, cache_), _ = jax.lax.scan(
+                    step, (tok, cache_), None, length=m
                 )
                 return jnp.sum(tok)
 
-            float(f(tok0, cache))
-            float(f(tok0, cache))
-            return lambda: float(f(tok0, cache))
+            float(f(params, tok0, cache))
+            float(f(params, tok0, cache))
+            return lambda: float(f(params, tok0, cache))
 
         n = 16
         run_n = chained(n)
@@ -363,6 +470,16 @@ def _run_bench():
             details.update(bench_decode(peaks, mode))
         except Exception as e:  # pragma: no cover
             details[f"decode_{mode}_error"] = repr(e)[:200]
+    try:
+        details.update(bench_flash_bwd(peaks))
+    except Exception as e:  # pragma: no cover
+        details["bwd_error"] = repr(e)[:200]
+    try:
+        details.update(
+            bench_paged_decode(peaks, details.get("decode_int8_us"))
+        )
+    except Exception as e:  # pragma: no cover
+        details["paged_error"] = repr(e)[:200]
     try:
         details.update(bench_llama8b_decode(peaks))
     except Exception as e:  # pragma: no cover

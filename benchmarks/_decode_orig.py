@@ -79,13 +79,11 @@ def _packed_e4m3_halves(x):
     [..., bk//2, D] separately, so callers can run two half-GEMMs and skip
     the [bk, D] concat copy entirely (the concat is ~30% of the decode's
     VPU budget at the 8B shape)."""
-    # Few-mask decode (~2.75 int-ops/elem vs 3.5 for the byte-select form;
-    # 206 -> 190 us at the 8B decode shape): the byte-select mask folds into
-    # the single post-shift mask, and the odd bytes' sign bits are already in
-    # their final lane positions (bits 15/31) so they or in with no shift.
     w = pltpu.bitcast(x, jnp.int32)  # [..., bk//4, D]
-    even = (((w << 4) & 0x07F007F0) + 0x3C003C00) | ((w & 0x00800080) << 8)
-    odd = (((w >> 4) & 0x07F007F0) + 0x3C003C00) | (w & -2147450880)
+    even_t = (w & 0x00FF00FF) << 4
+    even = ((even_t & 0x07F007F0) + 0x3C003C00) | ((even_t & 0x08000800) << 4)
+    odd_t = (w >> 4) & 0x0FF00FF0
+    odd = ((odd_t & 0x07F007F0) + 0x3C003C00) | ((odd_t & 0x08000800) << 4)
     ev = pltpu.bitcast(even, jnp.bfloat16)  # [..., bk//2, D]
     od = pltpu.bitcast(odd, jnp.bfloat16)
     return ev, od
@@ -159,7 +157,6 @@ def flash_decode(
         return _decode_kernel_call_bhsd(
             q, k, v, kv_length, scale=scale, k_scale=k_scale, v_scale=v_scale,
             block_k=block_k, interpret=interpret, return_lse=return_lse,
-            num_splits=num_splits,
         )
     if kv_layout == "bhsd":
         k = jnp.swapaxes(k, 1, 2)
@@ -420,50 +417,30 @@ def _decode_kernel_call(q, k, v, kv_length, *, scale, k_scale, v_scale,
 # ---------------------------------------------------------------------------
 
 
-# Ablation switches (read at trace time; benchmarks/tune_r2h.py flips them):
-# _DMA_CLAMP gates the kv_len-based dead-block DMA skip; _SPLIT_BODY gates
-# the maskless fast body for fully-valid blocks.
-_DMA_CLAMP = True
-_SPLIT_BODY = True
-
-
 def _decode_kernel_bhsd(
     kvlen_ref,  # scalar prefetch [B]
-    kvlast_ref,  # scalar prefetch [B]: last useful block index (host-side)
     q_ref,      # [1, H, D]
     k_ref,      # [1, Hk, bk, D]
     v_ref,      # [1, Hk, bk, D]
     ks_ref,     # [1, Hk, 1, bk] (lane-dense scales; or dummy)
     vs_ref,
-    o_ref,      # [1, H, D] (split: [1, 1, H, D])
-    lse_ref,    # [1, H, 1] (split: [1, 1, H, 1])
+    o_ref,      # [1, H, D]
+    lse_ref,    # [1, H, 1]
     m_scratch,
     l_scratch,
     acc_scratch,
     *,
     block_k: int,
-    blocks_per_split: int,
+    num_k_blocks: int,
     num_heads: int,
     num_heads_k: int,
     scale: float,
     has_k_scale: bool,
     has_v_scale: bool,
     packed_fp8: bool,
-    has_split_dim: bool,
     out_dtype,
 ):
-    # Default grid (batch, k_block).  With num_splits > 1 the grid grows a
-    # middle split axis ≙ the reference's num_splits (flash_attn.h:94) —
-    # each split owns a contiguous run of k blocks and emits an independent
-    # (out, lse) partial, merged outside via lse_merge.  The axis is only
-    # materialized when requested: the extra grid dim + index arithmetic
-    # costs ~15% on the hot num_splits=1 path (measured, r2h).
-    if has_split_dim:
-        b, sp, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-        ki_global = sp * blocks_per_split + ki
-    else:
-        b, ki = pl.program_id(0), pl.program_id(1)
-        ki_global = ki
+    b, ki = pl.program_id(0), pl.program_id(1)
     group = num_heads // num_heads_k
 
     @pl.when(ki == 0)
@@ -477,7 +454,8 @@ def _decode_kernel_bhsd(
         jnp.float32 if q_ref.dtype == jnp.float32 else jnp.bfloat16
     )
 
-    def _body(need_mask):
+    @pl.when(ki * block_k < kv_len)
+    def _body():
         q = q_ref[0].astype(compute_dtype)  # [H, D]
         qg = q.reshape(num_heads_k, group, q.shape[-1])  # [Hk, g, D]
         if packed_fp8:
@@ -493,18 +471,13 @@ def _decode_kernel_bhsd(
             s = sdot(qg, k, (((2,), (2,)), ((0,), (0,))))  # [Hk, g, bk] fp32
         if has_k_scale:
             s = s * ks_ref[0][:, :, :].astype(jnp.float32)  # [Hk, 1, bk]
-        # NOTE: the scalar softmax scale stays in-kernel (65K-elem multiply
-        # per step).  Folding it into k_scale/q on the host was tried and
-        # LOST ~15-40 us/call: the per-call jnp work on the [B,Hk,S] scale
-        # arrays is not hoisted out of decode loops (r2j measurement).
         s = s.reshape(num_heads, block_k) * scale
 
-        if need_mask:
-            r = jax.lax.broadcasted_iota(jnp.int32, (num_heads, block_k), 1)
-            if packed_fp8:
-                r = _perm_cols(r, block_k)  # scores follow packed row order
-            col = ki_global * block_k + r
-            s = jnp.where(col < kv_len, s, NEG_INF)
+        r = jax.lax.broadcasted_iota(jnp.int32, (num_heads, block_k), 1)
+        if packed_fp8:
+            r = _perm_cols(r, block_k)  # scores follow the packed row order
+        col = ki * block_k + r
+        s = jnp.where(col < kv_len, s, NEG_INF)
 
         m_prev = m_scratch[:, :1]
         l_prev = l_scratch[:, :1]
@@ -533,53 +506,31 @@ def _decode_kernel_bhsd(
             num_heads, d_out
         )
 
-    # Mask generation (iota + packed-row permute + compare + select over
-    # [H, bk]) is only needed on the block straddling kv_len; fully-valid
-    # blocks — the common case decoding near a full cache — take the
-    # maskless body.  Top-level pl.when regions are skipped cheaply.
-    live = ki_global * block_k < kv_len
-    if _SPLIT_BODY:
-        full = (ki_global + 1) * block_k <= kv_len
-        pl.when(live & full)(lambda: _body(False))
-        pl.when(live & ~full)(lambda: _body(True))
-    else:
-        pl.when(live)(lambda: _body(True))
-
-    @pl.when(ki == blocks_per_split - 1)
+    @pl.when(ki == num_k_blocks - 1)
     def _finalize():
         m = m_scratch[:, :1]
         l = l_scratch[:, :1]
         valid = (l > 0.0) & (m > NEG_INF / 2)
-        out = jnp.where(
+        o_ref[0] = jnp.where(
             valid, acc_scratch[...] / jnp.where(valid, l, 1.0), 0.0
         ).astype(out_dtype)
-        lse = jnp.where(
+        lse_ref[0] = jnp.where(
             valid, m + jnp.log(jnp.where(valid, l, 1.0)), NEG_INF
         ).astype(jnp.float32)
-        if has_split_dim:
-            o_ref[0, 0] = out
-            lse_ref[0, 0] = lse
-        else:
-            o_ref[0] = out
-            lse_ref[0] = lse
 
 
 def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
-                             block_k, interpret, return_lse=False,
-                             num_splits=1):
+                             block_k, interpret, return_lse=False):
     batch, num_heads, head_dim = q.shape
     _, num_heads_k, seqlen_k, _ = k.shape
 
     block_k = min(block_k, max(-(-seqlen_k // 128) * 128, 128))
-    num_splits = max(1, min(num_splits, -(-seqlen_k // block_k)))
-    # pad S so every split owns the same number of whole blocks
-    sk_p = -(-seqlen_k // (block_k * num_splits)) * block_k * num_splits
+    sk_p = -(-seqlen_k // block_k) * block_k
     if sk_p != seqlen_k:
         pads = ((0, 0), (0, 0), (0, sk_p - seqlen_k), (0, 0))
         k = jnp.pad(k, pads)
         v = jnp.pad(v, pads)
     num_k_blocks = sk_p // block_k
-    blocks_per_split = num_k_blocks // num_splits
 
     has_ks = k_scale is not None
     has_vs = v_scale is not None
@@ -608,116 +559,60 @@ def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
     ks = scales_arg(k_scale)
     vs = scales_arg(v_scale)
 
-    # Host-precomputed last useful block index per sequence (avoids a scalar
-    # divide in the index map, which runs every grid step).
-    kv_last = (jnp.maximum(kv_length.astype(jnp.int32) - 1, 0)
-               // block_k).astype(jnp.int32)
-
-    has_split_dim = num_splits > 1
-
-    def clamp_ki(ki_global, b, kvlast_ref):
-        # Clamp dead blocks (beyond this sequence's kv_len) to the last
-        # useful block index: Pallas sees an unchanged index and skips the
-        # DMA, so a partially-filled cache streams only live bytes.
-        if not _DMA_CLAMP:
-            return ki_global
-        return jnp.minimum(ki_global, kvlast_ref[b])
-
-    if has_split_dim:
-        def kv_block(b, sp, ki, kvlen_ref, kvlast_ref):
-            kg = sp * blocks_per_split + ki
-            return (b, 0, clamp_ki(kg, b, kvlast_ref), 0)
-
-        def s_block(b, sp, ki, kvlen_ref, kvlast_ref):
-            kg = sp * blocks_per_split + ki
-            return (b, 0, 0, clamp_ki(kg, b, kvlast_ref))
-
-        q_map = lambda b, sp, ki, *_: (b, 0, 0)
-        dummy_s_map = lambda b, sp, ki, *_: (0, 0, 0, 0)
-        out_specs = [
-            pl.BlockSpec(
-                (1, 1, num_heads, head_dim),
-                lambda b, sp, ki, *_: (b, sp, 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, num_heads, 1), lambda b, sp, ki, *_: (b, sp, 0, 0)
-            ),
-        ]
-        out_shape = [
-            jax.ShapeDtypeStruct(
-                (batch, num_splits, num_heads, head_dim), q.dtype
-            ),
-            jax.ShapeDtypeStruct(
-                (batch, num_splits, num_heads, 1), jnp.float32
-            ),
-        ]
-        grid = (batch, num_splits, blocks_per_split)
-        dims = ("parallel", "parallel", "arbitrary")
-    else:
-        def kv_block(b, ki, kvlen_ref, kvlast_ref):
-            return (b, 0, clamp_ki(ki, b, kvlast_ref), 0)
-
-        def s_block(b, ki, kvlen_ref, kvlast_ref):
-            return (b, 0, 0, clamp_ki(ki, b, kvlast_ref))
-
-        q_map = lambda b, ki, *_: (b, 0, 0)
-        dummy_s_map = lambda b, ki, *_: (0, 0, 0, 0)
-        out_specs = [
-            pl.BlockSpec(
-                (1, num_heads, head_dim), lambda b, ki, *_: (b, 0, 0)
-            ),
-            pl.BlockSpec((1, num_heads, 1), lambda b, ki, *_: (b, 0, 0)),
-        ]
-        out_shape = [
-            jax.ShapeDtypeStruct((batch, num_heads, head_dim), q.dtype),
-            jax.ShapeDtypeStruct((batch, num_heads, 1), jnp.float32),
-        ]
-        grid = (batch, blocks_per_split)
-        dims = ("parallel", "arbitrary")
-
-    kv_spec = pl.BlockSpec((1, num_heads_k, block_k, head_dim), kv_block)
+    kv_spec = pl.BlockSpec(
+        (1, num_heads_k, block_k, head_dim), lambda b, ki, *_: (b, 0, ki, 0)
+    )
 
     def scale_spec(has):
         if has:
-            return pl.BlockSpec((1, num_heads_k, 1, block_k), s_block)
-        return pl.BlockSpec((1, num_heads_k, 1, 1), dummy_s_map)
+            return pl.BlockSpec(
+                (1, num_heads_k, 1, block_k), lambda b, ki, *_: (b, 0, 0, ki)
+            )
+        return pl.BlockSpec(
+            (1, num_heads_k, 1, 1), lambda b, ki, *_: (0, 0, 0, 0)
+        )
 
     kernel = functools.partial(
         _decode_kernel_bhsd,
         block_k=block_k,
-        blocks_per_split=blocks_per_split,
+        num_k_blocks=num_k_blocks,
         num_heads=num_heads,
         num_heads_k=num_heads_k,
         scale=float(scale),
         has_k_scale=has_ks,
         has_v_scale=has_vs,
         packed_fp8=packed_fp8,
-        has_split_dim=has_split_dim,
         out_dtype=q.dtype,
     )
 
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=grid,
+            num_scalar_prefetch=1,
+            grid=(batch, num_k_blocks),
             in_specs=[
-                pl.BlockSpec((1, num_heads, head_dim), q_map),
+                pl.BlockSpec((1, num_heads, head_dim), lambda b, ki, *_: (b, 0, 0)),
                 kv_spec,
                 kv_spec,
                 scale_spec(has_ks),
                 scale_spec(has_vs),
             ],
-            out_specs=out_specs,
+            out_specs=[
+                pl.BlockSpec((1, num_heads, head_dim), lambda b, ki, *_: (b, 0, 0)),
+                pl.BlockSpec((1, num_heads, 1), lambda b, ki, *_: (b, 0, 0)),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((num_heads, 128), jnp.float32),
                 pltpu.VMEM((num_heads, 128), jnp.float32),
                 pltpu.VMEM((num_heads, head_dim), jnp.float32),
             ],
         ),
-        out_shape=out_shape,
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, num_heads, head_dim), q.dtype),
+            jax.ShapeDtypeStruct((batch, num_heads, 1), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=dims,
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * num_heads * seqlen_k * head_dim,
@@ -725,14 +620,7 @@ def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
             transcendentals=batch * num_heads * seqlen_k,
         ),
         interpret=interpret,
-    )(kv_length.astype(jnp.int32), kv_last, q, k, v, ks, vs)
-    if has_split_dim:
-        out, lse = lse_merge(
-            jnp.swapaxes(out, 0, 1), jnp.swapaxes(lse[..., 0], 0, 1), axis=0
-        )
-        out = out.astype(q.dtype)
-    else:
-        lse = lse[..., 0]
+    )(kv_length.astype(jnp.int32), q, k, v, ks, vs)
     if return_lse:
-        return out, lse
+        return out, lse[..., 0]
     return out

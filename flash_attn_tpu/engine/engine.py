@@ -52,6 +52,10 @@ class ModelAdapter:
     # optional paged decode: (params, token [B], pool: PagedKVPool) ->
     # (logits [B, V], pool) — used by PagedInferenceEngine.
     decode_step_paged: Callable | None = None
+    # optional packed varlen prefill: (params, tokens [1, T], positions
+    # [1, T], segment_ids [1, T]) -> (logits [1, T, V], kvs) — several
+    # prompts through one kernel launch (flash_attn.h:38-66 engine-side).
+    prefill_packed: Callable | None = None
 
 
 class InferenceEngine:
@@ -126,8 +130,18 @@ class InferenceEngine:
         steps = 0
         while self.sched.has_work and steps < max_steps:
             steps += 1
-            for req in self.sched.admit():
-                self._do_prefill(req)
+            admitted = self.sched.admit()
+            if (
+                len(admitted) >= 2
+                and self.adapter.prefill_packed is not None
+                and self.prefill_chunk_size is None
+                and sum(len(r.prompt) for r in admitted) <= self.capacity
+            ):
+                # several prompts through ONE varlen kernel launch
+                self._do_prefill_packed(admitted)
+            else:
+                for req in admitted:
+                    self._do_prefill(req)
             if not self.sched.active:
                 continue
             self._do_decode_step()
@@ -163,6 +177,92 @@ class InferenceEngine:
             self.metrics.completed_requests += 1
         else:
             self.next_token[req.slot] = tok
+
+    def _do_prefill_packed(self, reqs):
+        """Pack several admitted prompts into one varlen prefill call
+        (segment ids + per-sequence positions; ≙ flash_attn_varlen_fwd,
+        flash_attn.h:38-66, as the engine's batch-prefill path)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        total = sum(len(r.prompt) for r in reqs)
+        bucket = min(bucket_length(total), self.capacity)
+        max_b = self.cache.length.shape[0]
+        cap = self.capacity
+
+        tokens = np.zeros((1, bucket), np.int32)
+        segids = np.zeros((1, bucket), np.int32)
+        positions = np.zeros((1, bucket), np.int32)
+        slot_map = np.full((bucket,), max_b, np.int32)  # OOB -> dropped
+        pos_map = np.full((bucket,), cap, np.int32)     # OOB -> dropped
+        ends = np.zeros((max_b,), np.int32)
+        slots = np.full((max_b,), max_b, np.int32)      # OOB -> dropped
+        lens = np.zeros((max_b,), np.int32)
+        off = 0
+        for i, r in enumerate(reqs):
+            n = len(r.prompt)
+            tokens[0, off : off + n] = r.prompt
+            segids[0, off : off + n] = i + 1
+            positions[0, off : off + n] = np.arange(n)
+            slot_map[off : off + n] = r.slot
+            pos_map[off : off + n] = np.arange(n)
+            ends[i] = off + n
+            slots[i] = r.slot
+            lens[i] = n
+            off += n
+
+        if not hasattr(self, "_packed_jit"):
+            self._packed_jit = jax.jit(self._prefill_packed_body)
+        last_logits, self.cache = self._packed_jit(
+            self.params, jnp.asarray(tokens), jnp.asarray(positions),
+            jnp.asarray(segids), jnp.asarray(slot_map), jnp.asarray(pos_map),
+            self.cache, jnp.asarray(ends), jnp.asarray(slots),
+            jnp.asarray(lens),
+        )
+        self.metrics.record_prefill(total, _time.perf_counter() - t0)
+        for i, req in enumerate(reqs):
+            tok = int(
+                sample(last_logits[i][None], self._next_key(), self.sampling)[0]
+            )
+            req.generated.append(tok)
+            if len(req.generated) >= req.max_tokens or (
+                req.eos_token is not None and tok == req.eos_token
+            ):
+                self.sched.complete(req)
+                self.metrics.completed_requests += 1
+            else:
+                self.next_token[req.slot] = tok
+
+    def _prefill_packed_body(self, params, tokens, positions, segids,
+                             slot_map, pos_map, cache, ends, slots, lens):
+        from flash_attn_tpu.ops.quant import quantize_kv
+
+        logits_all, kvs = self.adapter.prefill_packed(
+            params, tokens, positions, segids
+        )
+        k_buf, v_buf = cache.k, cache.v
+        ks_buf, vs_buf = cache.k_scale, cache.v_scale
+        for layer, (k, v) in enumerate(kvs):
+            kq, ks, vq, vs = quantize_kv(k[0], v[0], cache.mode)
+            # scatter packed tokens to (slot, position); padding rows carry
+            # out-of-range indices and are dropped
+            k_buf = k_buf.at[layer, slot_map, :, pos_map].set(
+                kq.astype(k_buf.dtype), mode="drop"
+            )
+            v_buf = v_buf.at[layer, slot_map, :, pos_map].set(
+                vq.astype(v_buf.dtype), mode="drop"
+            )
+            if cache.mode != "none":
+                ks_buf = ks_buf.at[layer, slot_map, :, pos_map].set(
+                    ks, mode="drop"
+                )
+                vs_buf = vs_buf.at[layer, slot_map, :, pos_map].set(
+                    vs, mode="drop"
+                )
+        length = cache.length.at[slots].set(lens, mode="drop")
+        new_cache = KVCache(k_buf, v_buf, ks_buf, vs_buf, length, cache.mode)
+        last = logits_all[0, jnp.maximum(ends - 1, 0)]  # [max_b, V]
+        return last, new_cache
 
     def _chunked_prefill(self, req: Request):
         """Feed the prompt through prefill_chunk in bounded pieces, running a

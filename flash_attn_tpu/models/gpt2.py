@@ -281,6 +281,37 @@ def prefill_with_kv(params, tokens, positions, cfg: GPT2Config, *, interpret=Non
     return logits, kvs
 
 
+def prefill_packed(params, tokens, positions, segment_ids, cfg: GPT2Config,
+                   *, interpret=None):
+    """Packed multi-prompt prefill (see llama.prefill_packed)."""
+    b, t = tokens.shape
+    x = params["wte"][tokens] + params["wpe"][positions]
+    kvs = []
+    for blk in params["blocks"]:
+        h = _layer_norm(x, blk["ln_1"])
+        qkv = _dense(h, blk["attn"]["qkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, cfg.num_heads)
+        k = _split_heads(k, cfg.num_heads)
+        v = _split_heads(v, cfg.num_heads)
+        kvs.append((k, v))
+        attn = flash_attention(
+            q, k, v,
+            q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+            q_positions=positions, kv_positions=positions,
+            interpret=interpret,
+        )
+        x = x + _dense(attn.reshape(b, t, cfg.hidden), blk["attn"]["proj"])
+        h = _layer_norm(x, blk["ln_2"])
+        m = jax.nn.gelu(_dense(h, blk["mlp"]["fc"]), approximate=True)
+        x = x + _dense(m, blk["mlp"]["proj"])
+    x = _layer_norm(x, params["ln_f"])
+    logits = jnp.einsum(
+        "bsh,vh->bsv", x.astype(jnp.float32), params["wte"].astype(jnp.float32)
+    )
+    return logits, kvs
+
+
 def make_adapter(cfg: GPT2Config, *, interpret=None, eos_token=None):
     """Engine adapter for GPT-2 (engine/engine.py ModelAdapter)."""
     from flash_attn_tpu.engine.engine import ModelAdapter
@@ -297,6 +328,9 @@ def make_adapter(cfg: GPT2Config, *, interpret=None, eos_token=None):
         ),
         decode_step_paged=lambda p, tok, pool: decode_step_paged(
             p, tok, cfg, pool, interpret=interpret
+        ),
+        prefill_packed=lambda p, t, pos, seg: prefill_packed(
+            p, t, pos, seg, cfg, interpret=interpret
         ),
         num_layers=cfg.num_layers,
         num_kv_heads=cfg.num_heads,

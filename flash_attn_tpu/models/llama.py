@@ -223,6 +223,40 @@ def prefill_chunk(params, tokens, cfg: LlamaConfig, cache: KVCache, slot,
     return _proj(x.astype(jnp.float32), head, interpret), cache
 
 
+def prefill_packed(params, tokens, positions, segment_ids, cfg: LlamaConfig,
+                   *, interpret=None):
+    """Packed multi-prompt prefill (varlen, flash_attn.h:38-66 engine-side):
+    several prompts concatenated in one [1, T] call; per-sequence causality
+    via in-kernel segment ids + positions (positions restart at 0 per
+    segment — also exactly what rope needs).  Returns (logits [1, T, V],
+    kvs [(k, v) [1, T, Hk, D] per layer])."""
+    b, t = tokens.shape
+    x = params["tok_emb"][tokens]
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    kvs = []
+    for blk in params["blocks"]:
+        h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q = _proj(h, blk["wq"], interpret).reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = _proj(h, blk["wk"], interpret).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        v = _proj(h, blk["wv"], interpret).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kvs.append((k, v))
+        attn = flash_attention(
+            q, k, v,
+            q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+            q_positions=positions, kv_positions=positions,
+            interpret=interpret,
+        )
+        x = x + _proj(
+            attn.reshape(b, t, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
+        )
+        x = _block_mlp(x, blk, cfg, interpret=interpret)
+    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+    return _proj(x.astype(jnp.float32), head, interpret), kvs
+
+
 def decode_step(params, token, cfg: LlamaConfig, cache: KVCache, *, interpret=None):
     """One cached decode step: token [B] -> (logits [B, V], cache)."""
     b = token.shape[0]
@@ -303,6 +337,9 @@ def make_adapter(cfg: LlamaConfig, *, interpret=None, eos_token=None):
         ),
         decode_step_paged=lambda p, tok, pool: decode_step_paged(
             p, tok, cfg, pool, interpret=interpret
+        ),
+        prefill_packed=lambda p, t, pos, seg: prefill_packed(
+            p, t, pos, seg, cfg, interpret=interpret
         ),
         num_layers=cfg.num_layers,
         num_kv_heads=cfg.num_kv_heads,

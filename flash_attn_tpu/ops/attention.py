@@ -217,6 +217,7 @@ def flash_attention(
     dropout_seed: int | jax.Array = 0,
     window: tuple[int, int] | None = None,
     return_lse: bool = False,
+    return_softmax: bool = False,
     config: FlashConfig | None = None,
     interpret: bool | None = None,
 ):
@@ -224,11 +225,24 @@ def flash_attention(
     jax.grad. Replaces flash_attn_fwd/bwd (flash_attn.h:10-36,68-99).
 
     q_positions/kv_positions: optional int32 position arrays enforcing
-    kv_pos <= q_pos (per-sequence causal for packed batches)."""
+    kv_pos <= q_pos (per-sequence causal for packed batches).
+
+    return_softmax: also materialize the post-dropout probability matrix
+    through the kernel (softmax_ptr debug hook, flash_attn.h:15,30);
+    returns (out, lse, probs) and is fwd-only (not differentiable)."""
     _validate(q, k, v, mask)
     segs = None
     if q_segment_ids is not None or q_positions is not None:
         segs = (q_segment_ids, kv_segment_ids, q_positions, kv_positions)
+    if return_softmax:
+        return flash_fwd(
+            q, k, v, bias=mask,
+            q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+            q_positions=q_positions, kv_positions=kv_positions,
+            causal=causal, scale=scale, dropout_rate=dropout_rate,
+            dropout_seed=dropout_seed, window=window,
+            config=config, interpret=interpret, return_softmax=True,
+        )
     if return_lse:
         out, lse = flash_fwd(
             q, k, v, bias=mask,

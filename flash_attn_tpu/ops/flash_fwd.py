@@ -52,6 +52,11 @@ class FlashConfig:
     # Base-2 softmax: fold log2(e) into the q pre-scale and use the VPU's
     # native 2^x for p/alpha (the FA2 trick); lse converts back at finalize.
     exp2: bool = False
+    # Causal-only: route fully-live (below-diagonal) blocks through a
+    # maskless body via top-level pl.when, so the [bq, bk] compare+select
+    # runs only on diagonal-straddling blocks.  (An *inner* lax.cond around
+    # just the mask was a net loss — predicating the whole body is not.)
+    split_causal_mask: bool = True
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -145,14 +150,10 @@ def _fwd_kernel(
     kseg_ref,
     qpos_ref,
     kpos_ref,
-    # outputs
+    # outputs (+ optional probs outputs), then scratch
     out_ref,
     lse_ref,
-    # scratch
-    m_scratch,
-    l_scratch,
-    acc_scratch,
-    *,
+    *rest,
     seqlen_q: int,
     seqlen_k: int,
     block_q: int,
@@ -165,8 +166,19 @@ def _fwd_kernel(
     has_segs: bool,
     has_pos: bool,
     use_exp2: bool,
+    split_causal_mask: bool,
+    return_probs: bool,
     out_dtype,
 ):
+    if return_probs:
+        # kernel-path return_softmax (flash_attn.h:15,30): praw holds the
+        # per-step unnormalized exp(s - m_running); mblk holds that step's
+        # running max (natural-log units) so the wrapper can renormalize to
+        # true post-dropout probabilities via P = praw * exp(mblk - lse).
+        praw_ref, mblk_ref = rest[0], rest[1]
+        m_scratch, l_scratch, acc_scratch = rest[2:]
+    else:
+        m_scratch, l_scratch, acc_scratch = rest
     b, h, qi, ki = (pl.program_id(i) for i in range(4))
 
     @pl.when(ki == 0)
@@ -178,7 +190,7 @@ def _fwd_kernel(
     # Bottom-right-aligned causal: q row i sees k col j iff j <= i + shift.
     shift = seqlen_k - seqlen_q
 
-    def _apply_mask(s):
+    def _apply_mask(s, with_causal):
         """Set masked score entries to NEG_INF.  Fully-masked *rows* need no
         special handling here: their running max stays exactly NEG_INF and
         the finalize step gates on that (exp(s - m) garbage is discarded).
@@ -198,7 +210,7 @@ def _fwd_kernel(
         if pad_cols:
             col1 = jnp.where(col1 < seqlen_k, col1, jnp.int32(2**30))
         mask = None
-        if causal:
+        if with_causal:
             mask = col1 <= row1  # broadcast compare; pad cols auto-fail
         elif pad_cols:
             mask = jnp.broadcast_to(col1 < 2**30, (block_q, block_k))
@@ -224,7 +236,7 @@ def _fwd_kernel(
             return s
         return jnp.where(mask, s, NEG_INF)
 
-    def _body():
+    def _body(with_causal=causal):
         # Native-dtype operands straight into the MXU (bf16 x bf16 -> fp32);
         # softmax scale is pre-folded into q by the wrapper.
         s = sdot(q_ref[0, 0], k_ref[0, 0])  # [bq, bk] fp32
@@ -234,13 +246,14 @@ def _fwd_kernel(
             # the fully-masked-row algebra NaN-free)
             s = jnp.maximum(s + bias_ref[0, 0].astype(jnp.float32), NEG_INF)
 
-        if (has_segs or has_pos or causal or window is not None
+        if (has_segs or has_pos or with_causal or window is not None
                 or seqlen_k % block_k != 0):
-            # NOTE: a per-block lax.cond skipping the mask on fully-live
-            # causal blocks was tried and is a net LOSS on Mosaic (85 vs
-            # 112 TF/s at the 8B prefill shape) — the branch overhead beats
-            # the mask it saves.  Cheap 1-D-component masks instead.
-            s = _apply_mask(s)
+            # NOTE: a per-block *inner* lax.cond skipping just the mask on
+            # fully-live causal blocks is a net LOSS on Mosaic (85 vs
+            # 112 TF/s at the 8B prefill shape); cheap 1-D-component masks
+            # always, plus optional whole-body splitting (split_causal_mask)
+            # at the pl.when level below.
+            s = _apply_mask(s, with_causal)
 
         m_prev = m_scratch[:, :1]  # [bq, 1]
         l_prev = l_scratch[:, :1]
@@ -268,15 +281,42 @@ def _fwd_kernel(
         else:
             p_v = p
 
+        if return_probs:
+            praw_ref[0, 0] = p_v.astype(jnp.float32)
+            m_out = m_new * 0.6931471805599453 if use_exp2 else m_new
+            mblk_ref[0, 0, 0] = m_out.astype(jnp.float32)
+
         v = v_ref[0, 0]  # [bk, d]
         pv = sdot(p_v.astype(v.dtype), v, (((1,), (0,)), ((), ())))  # [bq, d]
         acc_scratch[...] = acc_scratch[...] * alpha + pv
 
-    if causal:
+    if causal and return_probs:
+        # every block must write its praw tile (0 above the diagonal), so
+        # the whole-block causal skip is disabled on this debug path
+        _body(True)
+    elif causal:
         # Whole block strictly above the diagonal band -> skip all compute.
         # (Static grid; predication is the TPU-native form of block skipping.)
         first_masked_col = qi * block_q + (block_q - 1) + shift + 1
-        pl.when(ki * block_k < first_masked_col)(_body)
+        live = ki * block_k < first_masked_col
+        can_split = (
+            split_causal_mask
+            and window is None
+            and not has_segs
+            and not has_pos
+            and seqlen_k % block_k == 0
+        )
+        if can_split:
+            # Fully-live blocks (every col <= every row's causal limit) take
+            # a maskless body; only diagonal-straddling blocks pay the
+            # [bq, bk] compare+select.  Predicating whole bodies at the
+            # pl.when level is cheap (regions are skipped like the causal
+            # block skip above), unlike the inner lax.cond.
+            fully_live = (ki + 1) * block_k <= qi * block_q + shift + 1
+            pl.when(live & fully_live)(lambda: _body(False))
+            pl.when(live & jnp.logical_not(fully_live))(lambda: _body(True))
+        else:
+            pl.when(live)(_body)
     else:
         _body()
 
@@ -317,6 +357,7 @@ def flash_fwd(
     config: FlashConfig | None = None,
     interpret: bool | None = None,
     causal_dma_skip: bool = True,
+    return_softmax: bool = False,
 ):
     """FlashAttention-2 forward. q: [B,Sq,H,D]; k,v: [B,Sk,Hk,D] (BSHD, the
     reference layout, flash_attn.h:10-12). Returns (out [B,Sq,H,D],
@@ -325,6 +366,11 @@ def flash_fwd(
     q_positions/kv_positions ([B,Sq]/[B,Sk] int32): when given, positions
     mask attention to kv_pos <= q_pos — the in-kernel form of per-sequence
     causal on packed varlen batches (compose with segment ids).
+
+    return_softmax: also materialize the post-dropout probability matrix
+    [B,H,Sq,Sk] fp32 through the kernel (the reference's softmax_ptr debug
+    hook, flash_attn.h:15,30) — O(Sq*Sk) memory, testing/debug only.
+    Returns (out, lse, probs).
     """
     batch, seqlen_q, num_heads, head_dim = q.shape
     if config is None:
@@ -466,6 +512,8 @@ def flash_fwd(
         has_segs=has_segs,
         has_pos=has_pos,
         use_exp2=cfg.exp2,
+        split_causal_mask=cfg.split_causal_mask,
+        return_probs=return_softmax,
         out_dtype=q.dtype,
     )
 
@@ -479,7 +527,7 @@ def flash_fwd(
         + qt.size * qt.dtype.itemsize
     )
 
-    out, lse = pl.pallas_call(
+    results = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -505,7 +553,13 @@ def flash_fwd(
                 # lse rides a trailing length-1 lane dim: [B, H, Sq, 1] is the
                 # Mosaic-legal layout for per-row statistics.
                 pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
-            ],
+            ] + ([
+                pl.BlockSpec((1, 1, block_q, block_k), lambda b, h, qi, ki, *_: (b, h, qi, ki)),
+                # per-(qi, ki) running max: ki rides a LEADING block dim of
+                # size 1 (Mosaic only constrains the last two dims; a
+                # trailing num_k_blocks-wide dim with block 1 is illegal)
+                pl.BlockSpec((1, 1, 1, block_q, 1), lambda b, h, qi, ki, *_: (b, h, ki, qi, 0)),
+            ] if return_softmax else []),
             scratch_shapes=[
                 pltpu.VMEM((block_q, LANES), jnp.float32),
                 pltpu.VMEM((block_q, LANES), jnp.float32),
@@ -515,7 +569,12 @@ def flash_fwd(
         out_shape=[
             jax.ShapeDtypeStruct((batch, num_heads, sq_p, head_dim), q.dtype),
             jax.ShapeDtypeStruct((batch, num_heads, sq_p, 1), jnp.float32),
-        ],
+        ] + ([
+            jax.ShapeDtypeStruct((batch, num_heads, sq_p, sk_p), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (batch, num_heads, num_k_blocks, sq_p, 1), jnp.float32
+            ),
+        ] if return_softmax else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=cfg.vmem_limit_bytes,
@@ -526,6 +585,20 @@ def flash_fwd(
         interpret=interpret,
     )(seed, qt, kt, vt, bias, qseg, kseg, qpos, kpos)
 
+    out, lse = results[0], results[1]
     out = jnp.swapaxes(out[:, :, :seqlen_q, :], 1, 2)  # BHSD -> BSHD
     lse = lse[:, :, :seqlen_q, 0]
-    return out, lse
+    if not return_softmax:
+        return out, lse
+    # Renormalize the per-step unnormalized tiles to true post-dropout
+    # probabilities: P = praw * exp(m_step - lse).  Rows with lse = -inf
+    # (fully masked) are zeroed; above-diagonal tiles zero out because their
+    # m_step is NEG_INF (or praw is 0).
+    praw, mblk = results[2], results[3]
+    lse_p = results[1][..., 0:1]  # padded [B, H, sq_p, 1] fp32
+    mblk = jnp.moveaxis(mblk[..., 0], 2, 3)  # [B, H, sq_p, num_k_blocks]
+    m_full = jnp.repeat(mblk, block_k, axis=3)  # [B, H, sq_p, sk_p]
+    probs = praw * jnp.exp(m_full - lse_p)
+    probs = jnp.where(lse_p > NEG_INF / 2, probs, 0.0)
+    probs = probs[:, :, :seqlen_q, :seqlen_k]
+    return out, lse, probs

@@ -52,14 +52,20 @@ class _EngineWorker(threading.Thread):
         with self.lock:
             self._uid += 1
             uid = self._uid
+            # register the uid immediately: a client may poll /result
+            # before the engine thread drains the queue (a submitted-but-
+            # not-yet-admitted request is "not done", not "unknown")
+            self.results[uid] = None
             self.pending.append((uid, prompt, max_tokens))
         return uid
 
     def result(self, uid):
         with self.lock:
-            req = self.results.get(uid)
+            if uid not in self.results:
+                return None
+            req = self.results[uid]
         if req is None:
-            return None
+            return {"done": False, "tokens": []}
         return {"done": req.done, "tokens": list(req.generated)}
 
     def run(self):

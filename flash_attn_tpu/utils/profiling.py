@@ -34,7 +34,25 @@ def chip_kind() -> str:
     for name in CHIP_PEAKS:
         if name in kind:
             return name
-    return "cpu" if d.platform == "cpu" else "v5e"
+    if d.platform == "cpu":
+        return "cpu"
+    # Fail loudly: silently defaulting to some chip's peaks would mis-scale
+    # every roofline fraction on unrecognized hardware.  Override with
+    # FATPU_CHIP if the table genuinely lacks your chip.
+    import os
+
+    override = os.environ.get("FATPU_CHIP")
+    if override:
+        if override not in CHIP_PEAKS:
+            raise ValueError(
+                f"FATPU_CHIP={override!r} not in CHIP_PEAKS "
+                f"({sorted(CHIP_PEAKS)})"
+            )
+        return override
+    raise ValueError(
+        f"unrecognized TPU device_kind {kind!r}; set FATPU_CHIP to one of "
+        f"{sorted(CHIP_PEAKS)} or add its peaks to CHIP_PEAKS"
+    )
 
 
 @contextlib.contextmanager

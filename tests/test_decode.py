@@ -129,3 +129,39 @@ def test_fast_fp8_cast_decode_matches_oracle():
     )
     # bf16 compute + denormal flush: tolerance at bf16 level
     assert float(jnp.max(jnp.abs(got.astype(jnp.float32) - want))) < 0.05
+
+
+@pytest.mark.parametrize("nsp", [2, 4])
+def test_decode_kernel_split_kv(nsp):
+    """Pallas-path split-KV (flash_attn.h:94): the split grid axis + outside
+    lse_merge must match the unsplit kernel and the oracle, including ragged
+    kv_length whose live region is confined to a subset of the splits."""
+    q, k, v = setup(jax.random.PRNGKey(20), 3, 512, 4, 2, 64)
+    lens = jnp.asarray([512, 100, 1], jnp.int32)
+    kt, vt = jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
+    want = oracle(q, k, v, lens)
+    got, lse = flash_decode(
+        q, kt, vt, kv_length=lens, kv_layout="bhsd", block_k=128,
+        num_splits=nsp, interpret=True, return_lse=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+    ref_lse = flash_decode(
+        q, kt, vt, kv_length=lens, kv_layout="bhsd", block_k=128,
+        interpret=True, return_lse=True,
+    )[1]
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_decode_kernel_split_kv_quantized():
+    q, k, v = setup(jax.random.PRNGKey(21), 2, 384, 4, 4, 64)
+    kq, ks, vq, vs = quantize_kv(k, v, "int8")
+    want = flash_decode(q, kq, vq, k_scale=ks, v_scale=vs, use_kernel=False)
+    got = flash_decode(
+        q, jnp.swapaxes(kq, 1, 2), jnp.swapaxes(vq, 1, 2),
+        k_scale=jnp.swapaxes(ks, 1, 2), v_scale=jnp.swapaxes(vs, 1, 2),
+        kv_layout="bhsd", block_k=128, num_splits=3, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)

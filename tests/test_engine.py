@@ -291,3 +291,24 @@ def test_paged_engine_admission_deferred(tiny):
     assert r2.slot is None  # deferred
     eng.run()
     assert r1.done and r2.done
+
+
+def test_engine_packed_prefill_matches_greedy(tiny):
+    """Two prompts admitted together go through ONE packed varlen prefill
+    (segment ids + per-sequence positions) and still match greedy."""
+    cfg, params = tiny
+    eng = InferenceEngine(
+        params, gpt2.make_adapter(cfg, interpret=True),
+        max_batch=2, capacity=64, cache_dtype=jnp.dtype(cfg.dtype),
+    )
+    p1, p2 = [1, 2, 3, 4, 5], [9, 8, 7]
+    r1 = eng.submit(p1, max_tokens=4)
+    r2 = eng.submit(p2, max_tokens=5)
+    eng.run()
+    assert r1.done and r2.done
+    w1 = gpt2.greedy_decode(params, jnp.asarray([p1]), cfg, steps=4, interpret=True)
+    w2 = gpt2.greedy_decode(params, jnp.asarray([p2]), cfg, steps=5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r1.generated), np.asarray(w1[0]))
+    np.testing.assert_array_equal(np.asarray(r2.generated), np.asarray(w2[0]))
+    # it actually took the packed path
+    assert hasattr(eng, "_packed_jit")

@@ -156,3 +156,56 @@ def test_window_in_kernel():
     out, _ = flash_fwd(q, k, v, causal=True, window=(64, -1), interpret=True)
     ref = mha_reference(q, k, v, causal=True, window=(64, -1))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+def test_return_softmax_kernel_path():
+    """Kernel-path probability materialization (softmax_ptr debug hook,
+    flash_attn.h:15,30): P from the kernel == oracle's post-softmax matrix,
+    rows sum to 1, masked/above-diagonal entries are exactly 0."""
+    q, k, v = make_qkv(jax.random.PRNGKey(30), 2, 192, 256, 4, 2, 64,
+                       jnp.float32)
+    for causal in (False, True):
+        out, lse, probs = flash_fwd(
+            q, k, v, causal=causal, interpret=True, return_softmax=True,
+            config=FlashConfig(block_q=64, block_k=128),
+        )
+        ref = mha_reference(q, k, v, causal=causal, return_softmax=True)
+        ref_probs = np.asarray(ref[-1])
+        np.testing.assert_allclose(
+            np.asarray(probs), ref_probs, atol=1e-5, rtol=1e-4
+        )
+        assert np.all(np.asarray(probs)[ref_probs == 0.0] == 0.0)
+        np.testing.assert_allclose(
+            np.asarray(probs).sum(-1), 1.0, atol=1e-4
+        )
+
+
+def test_return_softmax_dropout_recompose():
+    """With dropout, kernel P is the post-dropout matrix: out == P @ V."""
+    q, k, v = make_qkv(jax.random.PRNGKey(31), 1, 128, 128, 4, 4, 64,
+                       jnp.float32)
+    out, lse, probs = flash_fwd(
+        q, k, v, causal=True, dropout_rate=0.3, dropout_seed=7,
+        interpret=True, return_softmax=True,
+        config=FlashConfig(block_q=64, block_k=64),
+    )
+    recomp = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(recomp), atol=1e-5, rtol=1e-4
+    )
+    # dropout actually dropped something
+    zeros = (np.asarray(probs) == 0.0).mean()
+    assert zeros > 0.2
+
+
+def test_split_causal_mask_identical():
+    """split_causal_mask is a pure perf knob: bitwise-identical output."""
+    q, k, v = make_qkv(jax.random.PRNGKey(32), 1, 256, 256, 4, 2, 64,
+                       jnp.bfloat16)
+    outs = []
+    for split in (False, True):
+        cfg = FlashConfig(block_q=64, block_k=64, split_causal_mask=split)
+        out, lse = flash_fwd(q, k, v, causal=True, config=cfg, interpret=True)
+        outs.append((np.asarray(out, np.float32), np.asarray(lse)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
