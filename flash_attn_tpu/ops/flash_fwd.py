@@ -57,6 +57,25 @@ class FlashConfig:
     # runs only on diagonal-straddling blocks.  (An *inner* lax.cond around
     # just the mask was a net loss — predicating the whole body is not.)
     split_causal_mask: bool = True
+    # Causal-only: flatten the (q_block, k_block) grid plane to the live
+    # lower-triangular pairs via scalar-prefetch index maps, so dead
+    # above-diagonal steps don't exist at all (vs predicated-off bodies
+    # that still pay grid bookkeeping).
+    # NOTE(negative result): measured SLOWER than the predicated
+    # rectangular grid at the 8B prefill shape — 110.2 TF/s vs 122.4 TF/s
+    # at 1024x1024 blocks (and worse at every other block shape tried).
+    # Flattening collapses the parallel q-block dim into one "arbitrary"
+    # sequential dim, which costs Mosaic more cross-step pipelining than
+    # the dead-step bookkeeping it saves (dead steps already skip their
+    # DMAs via the clamped index maps).  Kept as an option because it is
+    # bitwise-identical and cheap to maintain; default off.
+    triangular: bool = False
+    # NOTE(negative result): a one-k-step software pipeline (stage s=QK and
+    # V into VMEM scratch, run softmax+PV of the previous step) was measured
+    # at 110.8 TF/s vs 115.2 TF/s for the plain grid at the 8B prefill
+    # shape — the extra scratch traffic costs more than the VPU/MXU overlap
+    # saves (Mosaic already overlaps across grid steps via its own double
+    # buffering).  Removed; don't re-add without new data.
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -141,6 +160,7 @@ def dropout_keep_mask(seed_ref, b, h, row0, col0, block_q, block_k, rate):
 def _fwd_kernel(
     # scalar prefetch
     seed_ref,
+    tri_ref,  # [3, L] int32 (qi, ki, is_last) when flattened; [3, 1] dummy
     # inputs
     q_ref,
     k_ref,
@@ -167,6 +187,7 @@ def _fwd_kernel(
     has_pos: bool,
     use_exp2: bool,
     split_causal_mask: bool,
+    flattened: bool,
     return_probs: bool,
     out_dtype,
 ):
@@ -179,7 +200,16 @@ def _fwd_kernel(
         m_scratch, l_scratch, acc_scratch = rest[2:]
     else:
         m_scratch, l_scratch, acc_scratch = rest
-    b, h, qi, ki = (pl.program_id(i) for i in range(4))
+    if flattened:
+        # Triangular grid: (b, h, l) where l walks only the live causal
+        # (qi, ki) pairs, qi-major; block coords come from scalar prefetch.
+        b, h, l = (pl.program_id(i) for i in range(3))
+        qi = tri_ref[0, l]
+        ki = tri_ref[1, l]
+        is_last_k = tri_ref[2, l] == 1
+    else:
+        b, h, qi, ki = (pl.program_id(i) for i in range(4))
+        is_last_k = ki == num_k_blocks - 1
 
     @pl.when(ki == 0)
     def _init():
@@ -320,7 +350,7 @@ def _fwd_kernel(
     else:
         _body()
 
-    @pl.when(ki == num_k_blocks - 1)
+    @pl.when(is_last_k)
     def _finalize():
         m = m_scratch[:, :1]
         l = l_scratch[:, :1]
@@ -392,6 +422,11 @@ def flash_fwd(
     block_q = min(cfg.block_q, max(_cdiv(seqlen_q, 8) * 8, 8))
     block_k = min(cfg.block_k, max(_cdiv(seqlen_k, 128) * 128, 128))
 
+    # Triangular flattened grid (causal only): enumerate only the live
+    # (qi, ki) pairs; dead above-diagonal steps don't exist.  Disabled for
+    # return_softmax, whose dead praw tiles must still be written as zeros.
+    use_tri = bool(causal and cfg.triangular and not return_softmax)
+
     # Pre-fold the softmax scale into q (one multiply on the small operand
     # instead of a [bq, bk] multiply per kernel step).
     LOG2E = 1.4426950408889634
@@ -408,6 +443,30 @@ def flash_fwd(
     num_q_blocks = sq_p // block_q
     num_k_blocks = sk_p // block_k
 
+    shift_br = seqlen_k - seqlen_q  # bottom-right causal alignment
+    if use_tri:
+        import numpy as np
+
+        qis, kis, lasts = [], [], []
+        for qi_ in range(num_q_blocks):
+            hi = (qi_ * block_q + block_q - 1 + shift_br) // block_k
+            hi = max(0, min(num_k_blocks - 1, hi))
+            for ki_ in range(hi + 1):
+                qis.append(qi_)
+                kis.append(ki_)
+                lasts.append(1 if ki_ == hi else 0)
+        tri = jnp.asarray(np.array([qis, kis, lasts], np.int32))
+
+        def M(f):
+            # index maps read block coords from the prefetched pair list
+            return lambda b, h, l, seed, tr: f(b, h, tr[0, l], tr[1, l])
+
+    else:
+        tri = jnp.zeros((3, 1), jnp.int32)
+
+        def M(f):
+            return lambda b, h, qi, ki, *_: f(b, h, qi, ki)
+
     has_bias = bias is not None
     has_segs = q_segment_ids is not None
     if has_segs and kv_segment_ids is None:
@@ -419,12 +478,12 @@ def flash_fwd(
         )
         bias = _pad_axis(_pad_axis(bias, 2, block_q), 3, block_k)
         bias_spec = pl.BlockSpec(
-            (1, 1, block_q, block_k), lambda b, h, qi, ki, *_: (b, h, qi, ki)
+            (1, 1, block_q, block_k), M(lambda b, h, qi, ki: (b, h, qi, ki))
         )
     else:
         bias = jnp.zeros((1, 1, block_q, block_k), jnp.float32)
         bias_spec = pl.BlockSpec(
-            (1, 1, block_q, block_k), lambda b, h, qi, ki, *_: (0, 0, 0, 0)
+            (1, 1, block_q, block_k), M(lambda b, h, qi, ki: (0, 0, 0, 0))
         )
 
     # TPU-legal seg layouts: qseg [B, Sq, 1] (column), kseg [B, 1, Sk] (row);
@@ -443,11 +502,13 @@ def flash_fwd(
         kseg = jnp.zeros((batch, 1, block_k), jnp.int32)
     qseg_spec = pl.BlockSpec(
         (1, block_q, 1),
-        (lambda b, h, qi, ki, *_: (b, qi, 0)) if has_segs else (lambda b, h, qi, ki, *_: (0, 0, 0)),
+        M(lambda b, h, qi, ki: (b, qi, 0)) if has_segs
+        else M(lambda b, h, qi, ki: (0, 0, 0)),
     )
     kseg_spec = pl.BlockSpec(
         (1, 1, block_k),
-        (lambda b, h, qi, ki, *_: (b, 0, ki)) if has_segs else (lambda b, h, qi, ki, *_: (0, 0, 0)),
+        M(lambda b, h, qi, ki: (b, 0, ki)) if has_segs
+        else M(lambda b, h, qi, ki: (0, 0, 0)),
     )
 
     has_pos = q_positions is not None
@@ -470,27 +531,35 @@ def flash_fwd(
         kpos = jnp.zeros((batch, 1, block_k), jnp.int32)
     qpos_spec = pl.BlockSpec(
         (1, block_q, 1),
-        (lambda b, h, qi, ki, *_: (b, qi, 0)) if has_pos else (lambda b, h, qi, ki, *_: (0, 0, 0)),
+        M(lambda b, h, qi, ki: (b, qi, 0)) if has_pos
+        else M(lambda b, h, qi, ki: (0, 0, 0)),
     )
     kpos_spec = pl.BlockSpec(
         (1, 1, block_k),
-        (lambda b, h, qi, ki, *_: (b, 0, ki)) if has_pos else (lambda b, h, qi, ki, *_: (0, 0, 0)),
+        M(lambda b, h, qi, ki: (b, 0, ki)) if has_pos
+        else M(lambda b, h, qi, ki: (0, 0, 0)),
     )
 
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
 
-    grid = (batch, num_heads, num_q_blocks, num_k_blocks)
+    if use_tri:
+        grid = (batch, num_heads, int(tri.shape[1]))
+        dim_sems = ("parallel", "parallel", "arbitrary")
+    else:
+        grid = (batch, num_heads, num_q_blocks, num_k_blocks)
+        dim_sems = ("parallel", "parallel", "parallel", "arbitrary")
 
     # Causal DMA skip: steps whose k-block lies strictly above the diagonal
     # band are predicated off in the kernel; clamping their K/V index map to
     # the last *useful* block makes Pallas see an unchanged block index and
     # skip the DMA too — above-diagonal steps cost neither bandwidth nor
     # compute (the TPU-native form of FlashAttention's block skipping).
-    if causal and causal_dma_skip:
-        shift = seqlen_k - seqlen_q
-
+    if causal and causal_dma_skip and not use_tri:
+        # (With use_tri dead steps are never enumerated, so no clamp needed.)
         def clamp_ki(qi, ki):
-            last_useful = (qi * block_q + (block_q - 1) + shift) // block_k
+            last_useful = (
+                qi * block_q + (block_q - 1) + shift_br
+            ) // block_k
             return jnp.minimum(ki, jnp.maximum(last_useful, 0))
 
     else:
@@ -513,6 +582,7 @@ def flash_fwd(
         has_pos=has_pos,
         use_exp2=cfg.exp2,
         split_causal_mask=cfg.split_causal_mask,
+        flattened=use_tri,
         return_probs=return_softmax,
         out_dtype=q.dtype,
     )
@@ -530,17 +600,17 @@ def flash_fwd(
     results = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_q, head_dim), M(lambda b, h, qi, ki: (b, h, qi, 0))),
                 pl.BlockSpec(
                     (1, 1, block_k, head_dim),
-                    lambda b, h, qi, ki, *_, g=group: (b, h // g, clamp_ki(qi, ki), 0),
+                    M(lambda b, h, qi, ki, g=group: (b, h // g, clamp_ki(qi, ki), 0)),
                 ),
                 pl.BlockSpec(
                     (1, 1, block_k, head_dim),
-                    lambda b, h, qi, ki, *_, g=group: (b, h // g, clamp_ki(qi, ki), 0),
+                    M(lambda b, h, qi, ki, g=group: (b, h // g, clamp_ki(qi, ki), 0)),
                 ),
                 bias_spec,
                 qseg_spec,
@@ -549,16 +619,16 @@ def flash_fwd(
                 kpos_spec,
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_q, head_dim), M(lambda b, h, qi, ki: (b, h, qi, 0))),
                 # lse rides a trailing length-1 lane dim: [B, H, Sq, 1] is the
                 # Mosaic-legal layout for per-row statistics.
-                pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_q, 1), M(lambda b, h, qi, ki: (b, h, qi, 0))),
             ] + ([
-                pl.BlockSpec((1, 1, block_q, block_k), lambda b, h, qi, ki, *_: (b, h, qi, ki)),
+                pl.BlockSpec((1, 1, block_q, block_k), M(lambda b, h, qi, ki: (b, h, qi, ki))),
                 # per-(qi, ki) running max: ki rides a LEADING block dim of
                 # size 1 (Mosaic only constrains the last two dims; a
                 # trailing num_k_blocks-wide dim with block 1 is illegal)
-                pl.BlockSpec((1, 1, 1, block_q, 1), lambda b, h, qi, ki, *_: (b, h, ki, qi, 0)),
+                pl.BlockSpec((1, 1, 1, block_q, 1), M(lambda b, h, qi, ki: (b, h, ki, qi, 0))),
             ] if return_softmax else []),
             scratch_shapes=[
                 pltpu.VMEM((block_q, LANES), jnp.float32),
@@ -576,14 +646,14 @@ def flash_fwd(
             ),
         ] if return_softmax else []),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=dim_sems,
             vmem_limit_bytes=cfg.vmem_limit_bytes,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=batch * num_heads * seqlen_q * seqlen_k
         ),
         interpret=interpret,
-    )(seed, qt, kt, vt, bias, qseg, kseg, qpos, kpos)
+    )(seed, tri, qt, kt, vt, bias, qseg, kseg, qpos, kpos)
 
     out, lse = results[0], results[1]
     out = jnp.swapaxes(out[:, :, :seqlen_q, :], 1, 2)  # BHSD -> BSHD
