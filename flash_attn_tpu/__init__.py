@@ -20,7 +20,7 @@ points.
 """
 
 from flash_attn_tpu.ops.attention import flash_attention, flash_attention_varlen
-from flash_attn_tpu.ops.decode import flash_decode
+from flash_attn_tpu.ops.decode import flash_decode, flash_decode_chunk
 from flash_attn_tpu.ops.flash_fwd import FlashConfig
 from flash_attn_tpu.ops.lse import lse_merge, lse_merge2
 from flash_attn_tpu.ops.matmul import matmul_int4, matmul_int8, quantized_matmul
@@ -38,6 +38,7 @@ __all__ = [
     "flash_attention",
     "flash_attention_varlen",
     "flash_decode",
+    "flash_decode_chunk",
     "lse_merge",
     "lse_merge2",
     "matmul_int4",

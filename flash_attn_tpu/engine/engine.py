@@ -33,6 +33,40 @@ from flash_attn_tpu.engine.scheduler import (
 
 
 @dataclass
+class SpecConfig:
+    """Speculative decoding via prompt-lookup ("n-gram") drafting.
+
+    Host-side drafting: the last ``ngram`` tokens of a request's history
+    (prompt + generated) are searched for a prior occurrence; the tokens
+    that followed it are proposed as ``num_draft`` drafts.  Verification
+    is ONE decode_multi call scoring [current token, drafts] against the
+    KV cache in a single sweep (ops/decode.py flash_decode_chunk); the
+    longest draft prefix agreeing with greedy argmax is accepted plus the
+    model's own correction token, so greedy output is preserved EXACTLY —
+    speculation is a pure latency optimization.  Used only when
+    sampling.temperature == 0 (greedy); stochastic sampling falls back to
+    regular decode.
+    """
+
+    num_draft: int = 4
+    ngram: int = 2
+
+
+def _ngram_draft(history: list[int], n: int, k: int) -> list[int]:
+    """Prompt-lookup draft: continue the most recent prior occurrence of
+    the trailing n-gram; degenerate fallback repeats the last token (a
+    wrong draft only costs its share of the single verify sweep)."""
+    if len(history) > n:
+        pat = history[-n:]
+        for j in range(len(history) - n - 1, -1, -1):
+            if history[j : j + n] == pat:
+                cont = history[j + n : j + n + k]
+                if cont:
+                    return (cont + [cont[-1]] * k)[:k]
+    return [history[-1]] * k
+
+
+@dataclass
 class ModelAdapter:
     """What the engine needs from a model family."""
 
@@ -56,6 +90,10 @@ class ModelAdapter:
     # [1, T], segment_ids [1, T]) -> (logits [1, T, V], kvs) — several
     # prompts through one kernel launch (flash_attn.h:38-66 engine-side).
     prefill_packed: Callable | None = None
+    # optional multi-token decode: (params, tokens [B, T], cache) ->
+    # (logits [B, T, V], cache) — the speculative-decoding verify step
+    # (appends all T tokens' KV, scores every position in one cache sweep).
+    decode_multi: Callable | None = None
 
 
 class InferenceEngine:
@@ -71,11 +109,15 @@ class InferenceEngine:
         sampling: SamplingParams | None = None,
         rng_seed: int = 0,
         prefill_chunk_size: int | None = None,
+        spec: SpecConfig | None = None,
     ):
         self.params = params
         self.adapter = adapter
         self.capacity = capacity
         self.sampling = sampling or SamplingParams()
+        if spec is not None and adapter.decode_multi is None:
+            raise ValueError("spec decoding needs adapter.decode_multi")
+        self.spec = spec
         self.sched = ContinuousBatchingScheduler(max_batch)
         self.cache = KVCache.create(
             adapter.num_layers, max_batch, capacity, adapter.num_kv_heads,
@@ -310,6 +352,17 @@ class InferenceEngine:
         ]
         if not slots:
             return
+        if self.spec is not None and self.sampling.temperature == 0.0:
+            # verify appends K+1 KV entries before acceptance is known —
+            # fall back to plain decode when any slot lacks the headroom
+            # (dynamic_update_slice would clamp and corrupt live context)
+            lens = np.asarray(self.cache.length)
+            if all(
+                int(lens[s]) + self.spec.num_draft + 1 <= self.capacity
+                for s in slots
+            ):
+                self._do_spec_decode_step(slots, t0)
+                return
         toks, self.cache = self._decode_jit(
             self.params, jnp.asarray(self.next_token), self.cache, self._next_key()
         )
@@ -324,6 +377,62 @@ class InferenceEngine:
                 self.next_token[slot] = tok
                 continue
             self.metrics.completed_requests += 1
+
+    def _do_spec_decode_step(self, slots, t0):
+        """One speculative decode round: draft K tokens per slot on the
+        host, verify [current, drafts] in ONE decode_multi sweep, emit the
+        accepted prefix + the model's correction token (greedy-exact)."""
+        import time as _time
+
+        K = self.spec.num_draft
+        max_b = self.next_token.shape[0]
+        tok_in = np.zeros((max_b, K + 1), np.int32)
+        tok_in[:, 0] = self.next_token
+        drafts = np.zeros((max_b, K), np.int32)
+        for s in slots:
+            req = self.sched.active[s]
+            drafts[s] = _ngram_draft(
+                req.prompt + req.generated, self.spec.ngram, K
+            )
+        tok_in[:, 1:] = drafts
+        lens_before = np.asarray(self.cache.length).copy()
+
+        if not hasattr(self, "_verify_jit"):
+            self._verify_jit = jax.jit(self.adapter.decode_multi)
+        logits, self.cache = self._verify_jit(
+            self.params, jnp.asarray(tok_in), self.cache
+        )
+        greedy = np.asarray(jnp.argmax(logits, axis=-1))  # [B, K+1]
+        self.metrics.record_decode(len(slots), _time.perf_counter() - t0)
+        self.metrics.kv_tokens_in_use = int(
+            np.asarray(self.cache.length).sum()
+        )
+
+        # decode_multi advanced every slot by K+1; active slots roll back
+        # to their true consumed context below (the over-appended KV is
+        # overwritten by the next append, the chunked-prefill trick).
+        new_len = np.asarray(self.cache.length).copy()
+        for s in slots:
+            n_acc = 0
+            while n_acc < K and drafts[s, n_acc] == greedy[s, n_acc]:
+                n_acc += 1
+            emitted = [int(t) for t in drafts[s, :n_acc]]
+            emitted.append(int(greedy[s, n_acc]))
+            self.metrics.record_spec(len(emitted), K)
+            done = False
+            for tok in emitted:
+                if self.sched.step_done(s, tok):
+                    done = True
+                    self.metrics.completed_requests += 1
+                    break
+            # cache holds context for everything but the newest token
+            new_len[s] = lens_before[s] + n_acc + 1
+            if not done:
+                self.next_token[s] = emitted[-1]
+        self.cache = KVCache(
+            self.cache.k, self.cache.v, self.cache.k_scale,
+            self.cache.v_scale, jnp.asarray(new_len), self.cache.mode,
+        )
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)

@@ -21,7 +21,7 @@ import numpy as np
 
 from flash_attn_tpu.engine.kv_cache import KVCache
 from flash_attn_tpu.ops.attention import flash_attention
-from flash_attn_tpu.ops.decode import flash_decode
+from flash_attn_tpu.ops.decode import flash_decode, flash_decode_chunk
 from flash_attn_tpu.ops.matmul import quantized_matmul
 
 
@@ -286,6 +286,41 @@ def decode_step(params, token, cfg: LlamaConfig, cache: KVCache, *, interpret=No
     return logits, cache
 
 
+def decode_multi(params, tokens, cfg: LlamaConfig, cache: KVCache, *,
+                 interpret=None):
+    """T cached decode tokens per sequence in ONE pass: tokens [B, T] ->
+    (logits [B, T, V], cache).  The speculative-decoding verify step — the
+    chunk's KV is appended first, then all T positions are scored against
+    the cache through flash_decode_chunk (one cache sweep for T tokens,
+    causal within the chunk)."""
+    b, t = tokens.shape
+    x = params["tok_emb"][tokens]  # [B, T, hidden]
+    pos = cache.length[:, None] + jnp.arange(t)[None]  # [B, T]
+    cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
+    for i, blk in enumerate(params["blocks"]):
+        h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q = _proj(h, blk["wq"], interpret).reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = _proj(h, blk["wk"], interpret).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        v = _proj(h, blk["wv"], interpret).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        cache = cache.append(i, k, v)
+        kc, vc, ks, vs = cache.layer(i)
+        attn = flash_decode_chunk(
+            q, kc, vc, k_scale=ks, v_scale=vs, kv_length=cache.length + t,
+            kv_layout="bhsd", interpret=interpret,
+        )
+        x = x + _proj(
+            attn.reshape(b, t, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
+        )
+        x = _block_mlp(x, blk, cfg, interpret=interpret)
+    cache = cache.advance(t)
+    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+    logits = _proj(x.astype(jnp.float32), head, interpret)
+    return logits, cache
+
+
 def decode_step_paged(params, token, cfg: LlamaConfig, pool, *, interpret=None):
     """One decode step against a PagedKVPool (scalar-prefetch paged kernel)."""
     from flash_attn_tpu.engine.paged import paged_decode_attention
@@ -331,6 +366,9 @@ def make_adapter(cfg: LlamaConfig, *, interpret=None, eos_token=None):
         ),
         decode_step=lambda p, tok, cache: decode_step(
             p, tok, cfg, cache, interpret=interpret
+        ),
+        decode_multi=lambda p, toks, cache: decode_multi(
+            p, toks, cfg, cache, interpret=interpret
         ),
         prefill_chunk=lambda p, t, cache, slot, start: prefill_chunk(
             p, t, cfg, cache, slot, start, interpret=interpret

@@ -64,28 +64,43 @@ def _packed_e4m3_to_bf16(x):
     The result rows come out EVENS-THEN-ODDS along the sequence-block axis:
     out row r < bk/2 is source row 2r; r >= bk/2 is source row 2(r-bk/2)+1.
     Callers must permute per-position masks/scales to match (`_perm_cols`,
-    `_permute_scale_lanes`).  Denormals (e==0) decode to ~2^-7 * scale
-    instead of ~0 — a 1.7e-5-of-absmax error, far below e4m3's 6%
-    quantization step, so no flush is spent on them.
+    `_permute_scale_lanes`).
 
     x: [..., bk, D] fp8 -> [..., bk, D] bf16 (rows permuted as above).
     """
     ev, od = _packed_e4m3_halves(x)
-    return jnp.concatenate([ev, od], axis=-2)
+    return jnp.concatenate([ev, od], axis=-2) * E4M3_FIX
+
+
+# The packed decode below skips the exponent-rebias add (+120 << 7 per
+# 16-bit lane): the raw bit pattern, read as bf16, is the true value times
+# 2^-120 exactly (e4m3 bias 7 vs bf16 bias 127), and the 2^120 correction
+# folds into multiplies the kernel performs anyway — the scalar softmax
+# scale on the QK^T side and the accumulator update on the PV side — so
+# the add's 2 VPU ops per i32 word vanish from the hot loop.
+E4M3_FIX = 2.0 ** 120
+# V-side rebias half: p is inflated by 2^60 inside the exp (see
+# _decode_kernel_bhsd) so PV products sit 2^-60 below true scale — above
+# the fp32 denormal flush — and _finalize repays the full 2^120.
+P_SHIFT_LN2 = 60.0 * 0.6931471805599453
 
 
 def _packed_e4m3_halves(x):
     """As _packed_e4m3_to_bf16 but returns the (evens, odds) half-planes
     [..., bk//2, D] separately, so callers can run two half-GEMMs and skip
     the [bk, D] concat copy entirely (the concat is ~30% of the decode's
-    VPU budget at the 8B shape)."""
-    # Few-mask decode (~2.75 int-ops/elem vs 3.5 for the byte-select form;
-    # 206 -> 190 us at the 8B decode shape): the byte-select mask folds into
-    # the single post-shift mask, and the odd bytes' sign bits are already in
-    # their final lane positions (bits 15/31) so they or in with no shift.
+    VPU budget at the 8B shape).
+
+    Returned values are the true values times 2^-120 (see E4M3_FIX): the
+    caller owns the rebias.  At ~2.25 int-ops/element (9 ops per i32 word:
+    even = shift, mask, or + sign mask+shift; odd = shift, mask, or + sign
+    mask — odd sign bits are already in their final lane positions).
+    Denormals (e==0) land in the bf16 denormal range and flush to exact 0
+    in the MXU — better than the previous biased decode's ~2^-7 artifact.
+    """
     w = pltpu.bitcast(x, jnp.int32)  # [..., bk//4, D]
-    even = (((w << 4) & 0x07F007F0) + 0x3C003C00) | ((w & 0x00800080) << 8)
-    odd = (((w >> 4) & 0x07F007F0) + 0x3C003C00) | (w & -2147450880)
+    even = ((w << 4) & 0x07F007F0) | ((w & 0x00800080) << 8)
+    odd = ((w >> 4) & 0x07F007F0) | (w & -2147450880)
     ev = pltpu.bitcast(even, jnp.bfloat16)  # [..., bk//2, D]
     od = pltpu.bitcast(odd, jnp.bfloat16)
     return ev, od
@@ -175,6 +190,125 @@ def flash_decode(
         q, k, v, kv_length, scale=scale, num_splits=num_splits,
         k_scale=k_scale, v_scale=v_scale, return_lse=return_lse,
     )
+
+
+def flash_decode_chunk(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    kv_length: jax.Array,
+    scale: float | None = None,
+    num_splits: int = 1,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+    interpret: bool | None = None,
+    use_kernel: bool = True,
+    block_k: int = 512,
+    return_lse: bool = False,
+    kv_layout: str = "bhsd",
+):
+    """Multi-token ("chunk") decode: T new tokens per sequence against a
+    (possibly quantized) KV cache, causal within the chunk.  This is the
+    speculative-decoding verify step and the medusa/jacobi multi-query
+    decode primitive.
+
+    Args:
+      q: [B, T, H, D] — T new query tokens per sequence.  The cache must
+        already hold the chunk's own KV at positions kv_length-T ..
+        kv_length-1 (append first, then score — the decode_step
+        convention).
+      kv_length: [B] int32, INCLUDING the chunk's T tokens; chunk token t
+        attends to positions < kv_length - T + 1 + t.
+
+    TPU-native design: the T*H query rows ride the decode kernel's head
+    axis as "virtual heads" (a host-side [B,T,Hk,g,D] -> [B, Hk*(T*g), D]
+    reorder keeps the GQA block mapping intact), plus a per-row causal
+    column limit in place of the scalar one.  The whole verify step reads
+    the cache ONCE — K drafts cost one cache sweep instead of K — and the
+    fused int8/fp8 dequant path is identical to single-token decode.
+
+    Returns out [B, T, H, D] (q.dtype); with return_lse also lse [B, T, H].
+    """
+    batch, chunk, num_heads, head_dim = q.shape
+    if kv_layout == "bhsd":
+        num_heads_k = k.shape[1]
+    else:
+        num_heads_k = k.shape[2]
+    group = num_heads // num_heads_k
+    if scale is None:
+        scale = head_dim**-0.5
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    if use_kernel and kv_layout == "bhsd":
+        # (hk, t, g)-major virtual-head order so each kv head's rows stay
+        # contiguous: the kernel's [Hk, group', D] reshape then needs no
+        # in-kernel transpose.
+        q2 = (
+            q.reshape(batch, chunk, num_heads_k, group, head_dim)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(batch, num_heads_k * chunk * group, head_dim)
+        )
+        res = _decode_kernel_call_bhsd(
+            q2, k, v, jnp.asarray(kv_length, jnp.int32), scale=scale,
+            k_scale=k_scale, v_scale=v_scale, block_k=block_k,
+            interpret=interpret, return_lse=return_lse,
+            num_splits=num_splits, chunk=chunk,
+        )
+        out = res[0] if return_lse else res
+
+        def unshuffle(x):
+            rest = x.shape[2:]
+            return (
+                x.reshape(batch, num_heads_k, chunk, group, *rest)
+                .transpose(0, 2, 1, 3, *range(4, 4 + len(rest)))
+                .reshape(batch, chunk, num_heads, *rest)
+            )
+
+        out = unshuffle(out)
+        if return_lse:
+            return out, unshuffle(res[1])
+        return out
+
+    if kv_layout == "bhsd":
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+        k_scale = None if k_scale is None else jnp.swapaxes(k_scale, 1, 2)
+        v_scale = None if v_scale is None else jnp.swapaxes(v_scale, 1, 2)
+    return _decode_chunk_jnp(
+        q, k, v, jnp.asarray(kv_length, jnp.int32), scale=scale,
+        k_scale=k_scale, v_scale=v_scale, return_lse=return_lse,
+    )
+
+
+def _decode_chunk_jnp(q, k, v, kv_length, *, scale, k_scale, v_scale,
+                      return_lse=False):
+    """jnp oracle for chunk decode: correctness spec for the kernel."""
+    batch, chunk, num_heads, head_dim = q.shape
+    seqlen_k = k.shape[1]
+    group = num_heads // k.shape[2]
+    kf = jnp.repeat(_dequant(k, k_scale), group, axis=2)
+    vf = jnp.repeat(_dequant(v, v_scale), group, axis=2)
+    s = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), kf) * scale
+    pos = jnp.arange(seqlen_k)
+    limit = kv_length[:, None] - chunk + 1 + jnp.arange(chunk)[None]  # [B,T]
+    valid = pos[None, None, :] < limit[:, :, None]  # [B, T, S]
+    s = jnp.where(valid[:, None], s, float("-inf"))
+    m = jnp.max(s, axis=-1, keepdims=True)
+    safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
+    p = jnp.where(jnp.isfinite(s), jnp.exp(s - safe_m), 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhts,bshd->bthd", p, vf)
+    o = o / jnp.maximum(jnp.swapaxes(l, 1, 2), 1e-37)
+    if return_lse:
+        lse = jnp.where(
+            l[..., 0] > 0,
+            safe_m[..., 0] + jnp.log(jnp.maximum(l[..., 0], 1e-37)),
+            float("-inf"),
+        )
+        return o.astype(q.dtype), jnp.swapaxes(lse, 1, 2)
+    return o.astype(q.dtype)
 
 
 def _dequant(x, x_scale):
@@ -450,6 +584,7 @@ def _decode_kernel_bhsd(
     has_v_scale: bool,
     packed_fp8: bool,
     has_split_dim: bool,
+    chunk: int,
     out_dtype,
 ):
     # Default grid (batch, k_block).  With num_splits > 1 the grid grows a
@@ -479,6 +614,16 @@ def _decode_kernel_bhsd(
 
     def _body(need_mask):
         q = q_ref[0].astype(compute_dtype)  # [H, D]
+        # Fold the scalar softmax scale into q here, in-kernel: a [H, D]
+        # (4K-elem) multiply per step instead of the [H, bk] (65K-elem)
+        # multiply on the scores.  (Folding it on the HOST lost 15-40
+        # us/call — the per-call jnp work on [B,Hk,S] scale arrays is not
+        # hoisted out of decode loops; r2j measurement.  In-kernel q-side
+        # folding has neither cost.)  With packed fp8, K's 2^120 rebias
+        # (see E4M3_FIX) rides the same multiply for free.
+        q = q * jnp.asarray(
+            scale * (E4M3_FIX if packed_fp8 else 1.0), compute_dtype
+        )
         qg = q.reshape(num_heads_k, group, q.shape[-1])  # [Hk, g, D]
         if packed_fp8:
             # two half-GEMMs on the decoded (evens, odds) planes; scores
@@ -493,24 +638,43 @@ def _decode_kernel_bhsd(
             s = sdot(qg, k, (((2,), (2,)), ((0,), (0,))))  # [Hk, g, bk] fp32
         if has_k_scale:
             s = s * ks_ref[0][:, :, :].astype(jnp.float32)  # [Hk, 1, bk]
-        # NOTE: the scalar softmax scale stays in-kernel (65K-elem multiply
-        # per step).  Folding it into k_scale/q on the host was tried and
-        # LOST ~15-40 us/call: the per-call jnp work on the [B,Hk,S] scale
-        # arrays is not hoisted out of decode loops (r2j measurement).
-        s = s.reshape(num_heads, block_k) * scale
+        s = s.reshape(num_heads, block_k)
 
         if need_mask:
             r = jax.lax.broadcasted_iota(jnp.int32, (num_heads, block_k), 1)
             if packed_fp8:
                 r = _perm_cols(r, block_k)  # scores follow packed row order
             col = ki_global * block_k + r
-            s = jnp.where(col < kv_len, s, NEG_INF)
+            if chunk > 1:
+                # Chunk decode (flash_decode_chunk): rows are virtual heads
+                # in (hk, t, g) order; chunk token t attends to positions
+                # < kv_len - chunk + 1 + t.  One [rows, 1] iota replaces
+                # the scalar limit — same per-element compare count.
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, (num_heads, 1), 0
+                )
+                t = (row % group) // (group // chunk)
+                limit = kv_len - (chunk - 1) + t
+            else:
+                limit = kv_len
+            s = jnp.where(col < limit, s, NEG_INF)
 
         m_prev = m_scratch[:, :1]
         l_prev = l_scratch[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # [H, bk]; masked cols underflow to 0
+        if packed_fp8:
+            # V's 2^120 rebias (E4M3_FIX), half 1: inflate p by 2^60 by
+            # folding 60*ln2 into the max-shift (a [H, 1] op — free).  The
+            # PV products are then p_true*v_true*2^-60, far above the fp32
+            # denormal flush (a plain post-GEMM 2^120 multiply would flush
+            # every product with p*|v| < 2^-6 — catastrophic for diffuse
+            # attention).  l inflates by 2^60 consistently across steps;
+            # _finalize pays it back.  p stays <= 2^60 and l <= bk*2^60,
+            # both comfortably inside fp32.
+            p = jnp.exp(s - (m_new - P_SHIFT_LN2))
+        else:
+            p = jnp.exp(s - m_new)  # [H, bk]; masked cols underflow to 0
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
         l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
@@ -539,7 +703,9 @@ def _decode_kernel_bhsd(
     # maskless body.  Top-level pl.when regions are skipped cheaply.
     live = ki_global * block_k < kv_len
     if _SPLIT_BODY:
-        full = (ki_global + 1) * block_k <= kv_len
+        # A block is maskless only if valid for the STRICTEST chunk row
+        # (t=0, limit kv_len - chunk + 1); rows up to kv_len keep it live.
+        full = (ki_global + 1) * block_k <= kv_len - (chunk - 1)
         pl.when(live & full)(lambda: _body(False))
         pl.when(live & ~full)(lambda: _body(True))
     else:
@@ -550,12 +716,20 @@ def _decode_kernel_bhsd(
         m = m_scratch[:, :1]
         l = l_scratch[:, :1]
         valid = (l > 0.0) & (m > NEG_INF / 2)
+        acc = acc_scratch[...]
+        if packed_fp8:
+            # Pay back V's rebias: acc holds out_true * l_true * 2^-60 and
+            # l holds l_true * 2^60, so acc/l is out_true * 2^-120 — which
+            # would flush small outputs to fp32 denormals.  Re-inflate acc
+            # FIRST (acc stays < 2^90 for any e4m3 input), then divide.
+            acc = acc * E4M3_FIX
         out = jnp.where(
-            valid, acc_scratch[...] / jnp.where(valid, l, 1.0), 0.0
+            valid, acc / jnp.where(valid, l, 1.0), 0.0
         ).astype(out_dtype)
-        lse = jnp.where(
-            valid, m + jnp.log(jnp.where(valid, l, 1.0)), NEG_INF
-        ).astype(jnp.float32)
+        lse_raw = m + jnp.log(jnp.where(valid, l, 1.0))
+        if packed_fp8:
+            lse_raw = lse_raw - P_SHIFT_LN2  # log of the 2^60 p inflation
+        lse = jnp.where(valid, lse_raw, NEG_INF).astype(jnp.float32)
         if has_split_dim:
             o_ref[0, 0] = out
             lse_ref[0, 0] = lse
@@ -566,7 +740,7 @@ def _decode_kernel_bhsd(
 
 def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
                              block_k, interpret, return_lse=False,
-                             num_splits=1):
+                             num_splits=1, chunk=1):
     batch, num_heads, head_dim = q.shape
     _, num_heads_k, seqlen_k, _ = k.shape
 
@@ -693,6 +867,7 @@ def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
         has_v_scale=has_vs,
         packed_fp8=packed_fp8,
         has_split_dim=has_split_dim,
+        chunk=chunk,
         out_dtype=q.dtype,
     )
 
@@ -718,6 +893,15 @@ def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=dims,
+            # Default Mosaic cap rejects block_k >= 4096 at head_dim 128
+            # (double-buffered K+V tiles alone are 16 MB) — raise it ONLY
+            # there: raising it unconditionally cost fp8 bk=2048 a measured
+            # 193.7 -> 287 us (Mosaic allocates deeper buffering it can't
+            # use), and bk=4096 itself measured 0.578 of roofline — an
+            # escape hatch, not a default.
+            vmem_limit_bytes=(
+                100 * 1024 * 1024 if block_k >= 4096 else None
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * num_heads * seqlen_k * head_dim,

@@ -70,6 +70,16 @@ class FlashConfig:
     # DMAs via the clamped index maps).  Kept as an option because it is
     # bitwise-identical and cheap to maintain; default off.
     triangular: bool = False
+    # Softmax compute dtype: "f32" (default) or "bf16".  The forward's gap
+    # to peak is softmax VPU passes, not MXU (probe: stats-free kernel hits
+    # 0.92 of peak vs 0.61 for the f32-softmax baseline at the 8B prefill
+    # shape); running mask/max/exp/sum on bf16 halves those passes.  bf16
+    # exp adds ~|s|*2^-9 argument rounding (p relative error ~1%, which
+    # mostly cancels in the p·V / l ratio); running m/l stats stay f32.
+    # Opt-in: inference prefill is the intended user; keep f32 for
+    # training (bwd recomputes p from lse in f32 — mixed precisions
+    # between fwd residuals and bwd recompute add avoidable grad noise).
+    softmax_dtype: str = "f32"
     # NOTE(negative result): a one-k-step software pipeline (stage s=QK and
     # V into VMEM scratch, run softmax+PV of the previous step) was measured
     # at 110.8 TF/s vs 115.2 TF/s for the plain grid at the 8B prefill
@@ -188,6 +198,7 @@ def _fwd_kernel(
     use_exp2: bool,
     split_causal_mask: bool,
     flattened: bool,
+    soft_bf16: bool,
     return_probs: bool,
     out_dtype,
 ):
@@ -276,6 +287,13 @@ def _fwd_kernel(
             # the fully-masked-row algebra NaN-free)
             s = jnp.maximum(s + bias_ref[0, 0].astype(jnp.float32), NEG_INF)
 
+        if soft_bf16:
+            # softmax in bf16: one cast here, then every [bq, bk]-wide VPU
+            # pass below (mask select, max, exp, sum read, p_v select) runs
+            # at half register width.  bf16 spans f32's exponent range, so
+            # NEG_INF masking algebra is unchanged.
+            s = s.astype(jnp.bfloat16)
+
         if (has_segs or has_pos or with_causal or window is not None
                 or seqlen_k % block_k != 0):
             # NOTE: a per-block *inner* lax.cond skipping just the mask on
@@ -287,20 +305,30 @@ def _fwd_kernel(
 
         m_prev = m_scratch[:, :1]  # [bq, 1]
         l_prev = l_scratch[:, :1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
-        m_new = jnp.maximum(m_prev, m_cur)
+        m_cur = jnp.max(s, axis=1, keepdims=True).astype(jnp.float32)
+        m_new = jnp.maximum(m_prev, m_cur)  # [bq, 1] f32 running stats
+        m_sub = m_new.astype(s.dtype)
         if use_exp2:
             # s is in base-2 units (log2(e) folded into the q pre-scale by
             # the wrapper); 2^x is the VPU-native transcendental.
             alpha = jax.lax.exp2(m_prev - m_new)  # [bq, 1]
-            p = jax.lax.exp2(s - m_new)  # [bq, bk]
+            p = jax.lax.exp2(s - m_sub)  # [bq, bk], s.dtype
         else:
             alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
-            p = jnp.exp(s - m_new)  # [bq, bk]
-        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            p = jnp.exp(s - m_sub)  # [bq, bk], s.dtype
+        # bf16 path: reduce in bf16 and upcast the [bq,1] result — a
+        # dtype=f32 sum lowers to a full-width bf16->f32 convert pass that
+        # erases the savings (measured: 104.9 vs 113.6 TF/s, WORSE than
+        # f32 softmax); the bf16 tree-reduce costs ~log2(bk) roundings on
+        # l (~0.4%), which the accuracy gate below the oracle confirms is
+        # inside FA2-style tolerance.
+        l_blk = jnp.sum(p, axis=1, keepdims=True).astype(jnp.float32)
+        l_new = l_prev * alpha + l_blk
 
-        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
-        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+        # Narrow [bq, 1] stat writes: broadcasting to the full 128-lane
+        # scratch costs two 128-wide f32 store passes per step.
+        m_scratch[:, :1] = m_new
+        l_scratch[:, :1] = l_new
 
         if dropout_rate > 0.0:
             keep = dropout_keep_mask(
@@ -583,6 +611,7 @@ def flash_fwd(
         use_exp2=cfg.exp2,
         split_causal_mask=cfg.split_causal_mask,
         flattened=use_tri,
+        soft_bf16=cfg.softmax_dtype == "bf16",
         return_probs=return_softmax,
         out_dtype=q.dtype,
     )

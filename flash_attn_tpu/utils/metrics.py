@@ -24,6 +24,11 @@ class EngineMetrics:
     kv_tokens_in_use: int = 0
     kv_capacity: int = 0
     completed_requests: int = 0
+    # speculative decoding: emitted = accepted drafts + the correction
+    # token per verify step; proposed = drafts offered
+    spec_emitted: int = 0
+    spec_proposed: int = 0
+    spec_steps: int = 0
 
     def record_prefill(self, tokens: int, seconds: float):
         self.prefill_tokens += tokens
@@ -34,6 +39,11 @@ class EngineMetrics:
         self.decode_seconds += seconds
         self.steps += 1
 
+    def record_spec(self, emitted: int, proposed: int):
+        self.spec_emitted += emitted
+        self.spec_proposed += proposed
+        self.spec_steps += 1
+
     def snapshot(self) -> dict:
         elapsed = time.perf_counter() - self.window_start
         return {
@@ -43,6 +53,14 @@ class EngineMetrics:
             "decode_step_ms": round(1e3 * self.decode_seconds / max(self.steps, 1), 3),
             "kv_occupancy": round(self.kv_tokens_in_use / max(self.kv_capacity, 1), 4),
             "completed_requests": self.completed_requests,
+            "spec_tokens_per_step": round(
+                self.spec_emitted / max(self.spec_steps, 1), 3
+            ),
+            "spec_draft_acceptance": round(
+                max(self.spec_emitted - self.spec_steps, 0)
+                / max(self.spec_proposed, 1),
+                4,
+            ),
         }
 
     def log(self):

@@ -165,3 +165,76 @@ def test_decode_kernel_split_kv_quantized():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=2e-4)
+
+
+def chunk_oracle(q, k, v, kv_length):
+    """Chunk decode == per-token flash_decode over growing prefixes: chunk
+    token t of sequence b attends to positions < kv_length[b] - T + 1 + t."""
+    B, T, H, D = q.shape
+    outs = []
+    for t in range(T):
+        lens_t = kv_length - (T - 1 - t)
+        outs.append(oracle(q[:, t], k, v, lens_t))
+    return jnp.stack(outs, axis=1)  # [B, T, H, D]
+
+
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_decode_chunk_matches_oracle(use_kernel):
+    from flash_attn_tpu.ops.decode import flash_decode_chunk
+
+    B, S, T, H, Hk, D = 2, 384, 4, 8, 2, 64
+    key = jax.random.PRNGKey(30)
+    q = jax.random.normal(key, (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(31), (B, S, Hk, D))
+    v = jax.random.normal(jax.random.PRNGKey(32), (B, S, Hk, D))
+    lens = jnp.asarray([384, 100], jnp.int32)
+    want = chunk_oracle(q, k, v, lens)
+    kwargs = dict(kv_length=lens, interpret=True, use_kernel=use_kernel)
+    if use_kernel:
+        got = flash_decode_chunk(
+            q, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+            kv_layout="bhsd", block_k=128, **kwargs,
+        )
+    else:
+        got = flash_decode_chunk(q, k, v, kv_layout="bshd", **kwargs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_decode_chunk_quantized_and_lse():
+    from flash_attn_tpu.ops.decode import flash_decode_chunk
+
+    B, S, T, H, Hk, D = 2, 256, 3, 4, 4, 64
+    q = jax.random.normal(jax.random.PRNGKey(33), (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(34), (B, S, Hk, D))
+    v = jax.random.normal(jax.random.PRNGKey(35), (B, S, Hk, D))
+    lens = jnp.asarray([256, 131], jnp.int32)
+    kq, ks, vq, vs = quantize_kv(k, v, "int8")
+    want, want_lse = flash_decode_chunk(
+        q, kq, vq, k_scale=ks, v_scale=vs, kv_length=lens, kv_layout="bshd",
+        use_kernel=False, return_lse=True, interpret=True,
+    )
+    got, lse = flash_decode_chunk(
+        q, jnp.swapaxes(kq, 1, 2), jnp.swapaxes(vq, 1, 2),
+        k_scale=jnp.swapaxes(ks, 1, 2), v_scale=jnp.swapaxes(vs, 1, 2),
+        kv_length=lens, kv_layout="bhsd", block_k=128, interpret=True,
+        return_lse=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_decode_chunk_t1_matches_flash_decode():
+    from flash_attn_tpu.ops.decode import flash_decode_chunk
+
+    q, k, v = setup(jax.random.PRNGKey(36), 2, 256, 4, 2, 64)
+    lens = jnp.asarray([256, 77], jnp.int32)
+    kt, vt = jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
+    want = flash_decode(q, kt, vt, kv_length=lens, kv_layout="bhsd",
+                        block_k=128, interpret=True)
+    got = flash_decode_chunk(q[:, None], kt, vt, kv_length=lens,
+                             kv_layout="bhsd", block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got[:, 0]), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)

@@ -312,3 +312,37 @@ def test_engine_packed_prefill_matches_greedy(tiny):
     np.testing.assert_array_equal(np.asarray(r2.generated), np.asarray(w2[0]))
     # it actually took the packed path
     assert hasattr(eng, "_packed_jit")
+
+
+def test_engine_speculative_decode_matches_greedy():
+    """Speculative (ngram-draft + decode_multi verify) greedy output is
+    token-exact vs plain greedy decode, and a repetitive prompt yields
+    multi-token verify steps (acceptance > 0)."""
+    from flash_attn_tpu.engine.engine import SpecConfig
+    from flash_attn_tpu.models import llama
+
+    cfg = llama.LLAMA_TINY
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    # repetitive prompt so n-gram lookup has something to exploit
+    prompt = [5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6]
+
+    outs = {}
+    for spec in (None, SpecConfig(num_draft=3, ngram=2)):
+        eng = InferenceEngine(
+            params, llama.make_adapter(cfg, interpret=True),
+            max_batch=2, capacity=64, cache_dtype=jnp.float32, spec=spec,
+        )
+        r1 = eng.submit(prompt, max_tokens=8)
+        r2 = eng.submit([9, 10, 11], max_tokens=6)
+        eng.run()
+        assert r1.done and r2.done
+        outs["spec" if spec else "plain"] = (
+            list(r1.generated), list(r2.generated), eng.metrics,
+        )
+
+    assert outs["spec"][0] == outs["plain"][0]
+    assert outs["spec"][1] == outs["plain"][1]
+    m = outs["spec"][2]
+    assert m.spec_steps > 0
+    # every verify step emits at least the correction token
+    assert m.spec_emitted >= m.spec_steps

@@ -249,3 +249,21 @@ def test_triangular_grid_dropout_grad_replay():
     g0 = jax.grad(loss)(q, k, v, False)
     g1 = jax.grad(loss)(q, k, v, True)
     np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+
+def test_bf16_softmax_accuracy_bounded():
+    """softmax_dtype='bf16' (halved VPU passes) stays within a small
+    multiple of the f32-softmax kernel's own bf16 error vs the fp32
+    oracle — FA2-style tolerance."""
+    q, k, v = make_qkv(jax.random.PRNGKey(40), 2, 512, 512, 8, 2, 64,
+                       jnp.bfloat16)
+    ref = mha_reference(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        causal=True,
+    )
+    errs = {}
+    for sd in ("f32", "bf16"):
+        cfg = FlashConfig(block_q=64, block_k=128, softmax_dtype=sd)
+        out, _ = flash_fwd(q, k, v, causal=True, config=cfg, interpret=True)
+        errs[sd] = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
+    assert errs["bf16"] < max(3.0 * errs["f32"], 3e-2), errs

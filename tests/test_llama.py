@@ -110,3 +110,40 @@ def test_llama_engine_chunked_prefill():
         return req.generated
 
     np.testing.assert_array_equal(np.asarray(run(8)), np.asarray(run(None)))
+
+
+def test_decode_multi_matches_sequential_steps(tiny):
+    """decode_multi (the speculative verify step) produces the same logits
+    and cache state as T sequential decode_steps."""
+    cfg, params = tiny
+    B, T = 2, 3
+    prompt = jax.random.randint(jax.random.PRNGKey(9), (B, 8), 0, cfg.vocab_size)
+    toks = jax.random.randint(jax.random.PRNGKey(10), (B, T), 0, cfg.vocab_size)
+
+    def prefill(cache):
+        pos = jnp.arange(prompt.shape[1])[None]
+        _, kvs = llama.prefill_with_kv(params, prompt[:1] * 0 + prompt, pos,
+                                       cfg, interpret=True)
+        for i, (k, v) in enumerate(kvs):
+            cache = cache.append(i, k, v)
+        return cache.advance(prompt.shape[1])
+
+    cache_a = prefill(llama.make_cache(cfg, B, 64))
+    cache_b = prefill(llama.make_cache(cfg, B, 64))
+
+    logits_multi, cache_a = llama.decode_multi(params, toks, cfg, cache_a,
+                                               interpret=True)
+    seq_logits = []
+    for t in range(T):
+        lg, cache_b = llama.decode_step(params, toks[:, t], cfg, cache_b,
+                                        interpret=True)
+        seq_logits.append(lg)
+    logits_seq = jnp.stack(seq_logits, axis=1)
+
+    np.testing.assert_allclose(np.asarray(logits_multi),
+                               np.asarray(logits_seq), atol=2e-4, rtol=2e-4)
+    np.testing.assert_array_equal(np.asarray(cache_a.length),
+                                  np.asarray(cache_b.length))
+    np.testing.assert_allclose(np.asarray(cache_a.k, np.float32),
+                               np.asarray(cache_b.k, np.float32),
+                               atol=1e-5, rtol=1e-5)
