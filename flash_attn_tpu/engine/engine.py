@@ -110,6 +110,8 @@ class InferenceEngine:
         rng_seed: int = 0,
         prefill_chunk_size: int | None = None,
         spec: SpecConfig | None = None,
+        mesh=None,
+        kv_shard_axis: str = "sp",
     ):
         self.params = params
         self.adapter = adapter
@@ -118,11 +120,37 @@ class InferenceEngine:
         if spec is not None and adapter.decode_multi is None:
             raise ValueError("spec decoding needs adapter.decode_multi")
         self.spec = spec
+        self.mesh = mesh
+        self.kv_shard_axis = kv_shard_axis
         self.sched = ContinuousBatchingScheduler(max_batch)
         self.cache = KVCache.create(
             adapter.num_layers, max_batch, capacity, adapter.num_kv_heads,
             adapter.head_dim, dtype=cache_dtype, mode=kv_mode,
         )
+        if mesh is not None:
+            # Sequence-sharded KV (BASELINE configs 3-4): the capacity axis
+            # of every cache buffer lives split across the mesh; decode
+            # merges per-shard partials via the adapter's sharded decode
+            # path (models pass the same mesh to make_adapter).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if capacity % mesh.shape[kv_shard_axis] != 0:
+                raise ValueError(
+                    f"capacity {capacity} not divisible by mesh axis "
+                    f"{kv_shard_axis}={mesh.shape[kv_shard_axis]}"
+                )
+            kv_s = NamedSharding(mesh, P(None, None, None, kv_shard_axis, None))
+            rep = NamedSharding(mesh, P())
+            self.cache = KVCache(
+                jax.device_put(self.cache.k, kv_s),
+                jax.device_put(self.cache.v, kv_s),
+                None if self.cache.k_scale is None
+                else jax.device_put(self.cache.k_scale, kv_s),
+                None if self.cache.v_scale is None
+                else jax.device_put(self.cache.v_scale, kv_s),
+                jax.device_put(self.cache.length, rep),
+                self.cache.mode,
+            )
         self.key = jax.random.PRNGKey(rng_seed)
         self.next_token = np.zeros((max_batch,), np.int32)
         self._prefilling: set[int] = set()

@@ -321,6 +321,55 @@ def decode_multi(params, tokens, cfg: LlamaConfig, cache: KVCache, *,
     return logits, cache
 
 
+def decode_step_sharded(params, token, cfg: LlamaConfig, cache: KVCache,
+                        mesh, *, axis_name="sp", interpret=None):
+    """One cached decode step with the KV cache SEQUENCE-SHARDED over the
+    mesh (BASELINE configs 3-4: long-context decode with the cache split
+    across chips/hosts).  Per layer: each device runs flash_decode on its
+    local [B, Hk, S_loc, D] shard, partials merge with one psum round
+    (parallel/sharded_decode.py lse merge); params/activations are
+    replicated here — compose with TP sharding of params for 2-D meshes."""
+    from flash_attn_tpu.parallel.sharded_decode import (
+        make_sharded_decode, shard_lengths,
+    )
+
+    n_shards = mesh.shape[axis_name]
+    cap = cache.capacity
+    assert cap % n_shards == 0, (cap, n_shards)
+    quantized = cache.mode != "none"
+    dec = make_sharded_decode(
+        mesh, axis_name=axis_name, interpret=interpret,
+        quantized=quantized, kv_layout="bhsd",
+    )
+
+    b = token.shape[0]
+    x = params["tok_emb"][token][:, None, :]  # [B, 1, H]
+    cos, sin = rope_cos_sin(cache.length[:, None], cfg.head_dim, cfg.rope_theta)
+    for i, blk in enumerate(params["blocks"]):
+        h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q = _proj(h, blk["wq"], interpret).reshape(b, 1, cfg.num_heads, cfg.head_dim)
+        k = _proj(h, blk["wk"], interpret).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        v = _proj(h, blk["wv"], interpret).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        cache = cache.append(i, k, v)
+        kc, vc, ks, vs = cache.layer(i)
+        lens = shard_lengths(cache.length + 1, n_shards, cap // n_shards)
+        if quantized:
+            attn = dec(q[:, 0], kc, vc, ks, vs, lens)
+        else:
+            attn = dec(q[:, 0], kc, vc, lens)
+        x = x + _proj(
+            attn.reshape(b, 1, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
+        )
+        x = _block_mlp(x, blk, cfg, interpret=interpret)
+    cache = cache.advance(1)
+    x = _rms_norm(x[:, 0], params["final_norm"], cfg.rms_eps)
+    head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+    logits = _proj(x.astype(jnp.float32), head, interpret)
+    return logits, cache
+
+
 def decode_step_paged(params, token, cfg: LlamaConfig, pool, *, interpret=None):
     """One decode step against a PagedKVPool (scalar-prefetch paged kernel)."""
     from flash_attn_tpu.engine.paged import paged_decode_attention
@@ -357,16 +406,28 @@ def make_cache(cfg: LlamaConfig, batch, capacity, mode="none", dtype=None):
     )
 
 
-def make_adapter(cfg: LlamaConfig, *, interpret=None, eos_token=None):
+def make_adapter(cfg: LlamaConfig, *, interpret=None, eos_token=None,
+                 mesh=None, kv_shard_axis="sp"):
+    """Engine adapter.  With ``mesh``, decode runs the sequence-sharded
+    path (decode_step_sharded) — pass the same mesh to InferenceEngine so
+    the cache is placed with its capacity axis sharded."""
     from flash_attn_tpu.engine.engine import ModelAdapter
+
+    if mesh is not None:
+        dec = lambda p, tok, cache: decode_step_sharded(  # noqa: E731
+            p, tok, cfg, cache, mesh, axis_name=kv_shard_axis,
+            interpret=interpret,
+        )
+    else:
+        dec = lambda p, tok, cache: decode_step(  # noqa: E731
+            p, tok, cfg, cache, interpret=interpret
+        )
 
     return ModelAdapter(
         prefill_with_kv=lambda p, t, pos: prefill_with_kv(
             p, t, pos, cfg, interpret=interpret
         ),
-        decode_step=lambda p, tok, cache: decode_step(
-            p, tok, cfg, cache, interpret=interpret
-        ),
+        decode_step=dec,
         decode_multi=lambda p, toks, cache: decode_multi(
             p, toks, cfg, cache, interpret=interpret
         ),

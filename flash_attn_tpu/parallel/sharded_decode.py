@@ -33,13 +33,15 @@ def sharded_decode(
     v_scale: jax.Array | None = None,
     scale: float | None = None,
     interpret: bool | None = None,
+    kv_layout: str = "bshd",
 ):
     """Shard-local body (inside shard_map).
 
-    q: [B, H, D] replicated; k_shard/v_shard: [B, S_loc, Hk, D] this
-    device's slice of the cache; shard_kv_length: [B] valid entries in THIS
-    shard (a shard that holds none of a sequence's history passes 0 and
-    contributes nothing — lse = -inf).
+    q: [B, H, D] replicated; k_shard/v_shard: this device's slice of the
+    cache — [B, S_loc, Hk, D] (kv_layout='bshd') or [B, Hk, S_loc, D]
+    ('bhsd', the engine cache layout); shard_kv_length: [B] valid entries
+    in THIS shard (a shard that holds none of a sequence's history passes
+    0 and contributes nothing — lse = -inf).
 
     Returns out [B, H, D] replicated (identical on every device).
     """
@@ -48,6 +50,7 @@ def sharded_decode(
         kv_length=shard_kv_length,
         k_scale=k_scale, v_scale=v_scale,
         scale=scale, interpret=interpret, return_lse=True,
+        kv_layout=kv_layout,
     )  # out [B,H,D], lse [B,H]
 
     # softmax-style exact merge across shards: two psums + a pmax.
@@ -60,14 +63,26 @@ def sharded_decode(
     return out.astype(q.dtype)
 
 
+def shard_lengths(length: jax.Array, n_shards: int, shard_size: int):
+    """Global per-sequence lengths [B] -> per-shard valid counts
+    [n_shards, B] for a capacity axis split into equal contiguous shards."""
+    i = jnp.arange(n_shards, dtype=length.dtype)[:, None]
+    return jnp.clip(length[None] - i * shard_size, 0, shard_size)
+
+
 def make_sharded_decode(mesh, *, axis_name="sp", scale=None, interpret=None,
-                        quantized=False):
-    """shard_map wrapper: global k/v [B, S, Hk, D] sharded on S over
-    ``axis_name``; kv_length_per_shard [n_shards, B]."""
+                        quantized=False, kv_layout="bshd"):
+    """shard_map wrapper: global k/v [B, S, Hk, D] ('bshd') or
+    [B, Hk, S, D] ('bhsd') sharded on S over ``axis_name``;
+    kv_length_per_shard [n_shards, B] (see shard_lengths)."""
     body = functools.partial(
-        sharded_decode, axis_name=axis_name, scale=scale, interpret=interpret
+        sharded_decode, axis_name=axis_name, scale=scale,
+        interpret=interpret, kv_layout=kv_layout,
     )
-    kv_spec = P(None, axis_name, None, None)
+    if kv_layout == "bhsd":
+        kv_spec = P(None, None, axis_name, None)
+    else:
+        kv_spec = P(None, axis_name, None, None)
     len_spec = P(axis_name, None)
 
     if quantized:

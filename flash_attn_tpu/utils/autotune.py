@@ -89,6 +89,12 @@ def get_bwd_config(seqlen_q: int, seqlen_k: int, head_dim: int,
     hit = cache.get("bwd:" + _key(seqlen_q, seqlen_k, head_dim, str(dtype)))
     if hit:
         return FlashConfig(**hit)
+    # r2q sweep at the 8B prefill shape (S=8192, D=128): 1024x512 wins at
+    # 166.6 TF/s = 0.846 of peak (vs 143.6 at the old 256x512 default);
+    # wide-q beats wide-k for bwd because the dkv pass re-reads q/dout per
+    # k block and its 5-GEMM body amortizes better over tall tiles.
+    if seqlen_q >= 2048 and seqlen_k >= 1024 and head_dim <= 128:
+        return FlashConfig(block_q=1024, block_k=512)
     block_k = 512 if seqlen_k >= 1024 else (256 if seqlen_k >= 256 else 128)
     block_q = 256 if seqlen_q >= 512 and head_dim <= 128 else 128
     return FlashConfig(block_q=block_q, block_k=block_k)

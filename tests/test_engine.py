@@ -346,3 +346,32 @@ def test_engine_speculative_decode_matches_greedy():
     assert m.spec_steps > 0
     # every verify step emits at least the correction token
     assert m.spec_emitted >= m.spec_steps
+
+
+def test_engine_sharded_kv_matches_unsharded():
+    """Sequence-sharded KV engine (BASELINE configs 3-4 glue): cache
+    capacity axis sharded over a 4-device mesh, decode via per-shard
+    flash_decode + one-psum LSE merge — token-exact vs the single-device
+    engine."""
+    from jax.sharding import Mesh
+    from flash_attn_tpu.models import llama
+
+    cfg = llama.LLAMA_TINY
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[1, 2, 3, 4, 5], [7, 8, 9]]
+
+    def run(mesh):
+        eng = InferenceEngine(
+            params,
+            llama.make_adapter(cfg, interpret=True, mesh=mesh),
+            max_batch=2, capacity=64, cache_dtype=jnp.float32, mesh=mesh,
+        )
+        reqs = [eng.submit(p, max_tokens=6) for p in prompts]
+        eng.run()
+        assert all(r.done for r in reqs)
+        return [list(r.generated) for r in reqs]
+
+    plain = run(None)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    sharded = run(mesh)
+    assert sharded == plain
