@@ -185,6 +185,44 @@ def decode_step(params, token, cfg: GPT2Config, cache: KVCache, *, interpret=Non
     return logits, cache
 
 
+def decode_multi(params, tokens, cfg: GPT2Config, cache: KVCache, *,
+                 interpret=None):
+    """T cached decode tokens per sequence in ONE pass (the speculative
+    verify step; see models/llama.py decode_multi): tokens [B, T] ->
+    (logits [B, T, V], cache) via flash_decode_chunk — one cache sweep
+    scores all T positions, causal within the chunk."""
+    from flash_attn_tpu.ops.decode import flash_decode_chunk
+
+    b, t = tokens.shape
+    pos = cache.length[:, None] + jnp.arange(t)[None]  # [B, T]
+    x = params["wte"][tokens] + params["wpe"][pos]  # [B, T, H]
+    for i, blk in enumerate(params["blocks"]):
+        h = _layer_norm(x, blk["ln_1"])
+        qkv = _dense(h, blk["attn"]["qkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        cache = cache.append(
+            i, _split_heads(k, cfg.num_heads), _split_heads(v, cfg.num_heads)
+        )
+        kc, vc, ks, vs = cache.layer(i)
+        attn = flash_decode_chunk(
+            _split_heads(q, cfg.num_heads),  # [B, T, H, D]
+            kc, vc, k_scale=ks, v_scale=vs,
+            kv_length=cache.length + t,
+            kv_layout="bhsd",
+            interpret=interpret,
+        )  # [B, T, H, D]
+        x = x + _dense(attn.reshape(b, t, cfg.hidden), blk["attn"]["proj"])
+        h = _layer_norm(x, blk["ln_2"])
+        m = jax.nn.gelu(_dense(h, blk["mlp"]["fc"]), approximate=True)
+        x = x + _dense(m, blk["mlp"]["proj"])
+    cache = cache.advance(t)
+    x = _layer_norm(x, params["ln_f"])
+    logits = jnp.einsum(
+        "bth,vh->btv", x.astype(jnp.float32), params["wte"].astype(jnp.float32)
+    )
+    return logits, cache
+
+
 def prefill_chunk(params, tokens, cfg: GPT2Config, cache: KVCache, slot,
                   start, *, interpret=None):
     """Chunked prefill: run chunk ``tokens`` [1, C] of the sequence in
@@ -322,6 +360,9 @@ def make_adapter(cfg: GPT2Config, *, interpret=None, eos_token=None):
         ),
         decode_step=lambda p, tok, cache: decode_step(
             p, tok, cfg, cache, interpret=interpret
+        ),
+        decode_multi=lambda p, toks, cache: decode_multi(
+            p, toks, cfg, cache, interpret=interpret
         ),
         prefill_chunk=lambda p, t, cache, slot, start: prefill_chunk(
             p, t, cfg, cache, slot, start, interpret=interpret

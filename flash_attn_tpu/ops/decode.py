@@ -122,6 +122,13 @@ def _permute_scale_lanes(s, block_k):
     return r.reshape(*lead, S)
 
 
+def _default_block_k(kv_dtype) -> int:
+    """Measured per-mode defaults (v5e, 8B decode shape): packed fp8 wants
+    wide 2048 blocks (fewer grid steps amortize the bit-decode; 193.7 us vs
+    232.5 at 512), int8/bf16 peak at 512."""
+    return 2048 if kv_dtype == jnp.float8_e4m3fn else 512
+
+
 def flash_decode(
     q: jax.Array,
     k: jax.Array,
@@ -134,7 +141,7 @@ def flash_decode(
     v_scale: jax.Array | None = None,
     interpret: bool | None = None,
     use_kernel: bool = True,
-    block_k: int = 512,
+    block_k: int | None = None,
     return_lse: bool = False,
     kv_layout: str = "bshd",
 ):
@@ -167,6 +174,8 @@ def flash_decode(
         scale = head_dim**-0.5
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if block_k is None:
+        block_k = _default_block_k(k.dtype)
     if kv_length is None:
         kv_length = jnp.full((batch,), seqlen_k, jnp.int32)
 
@@ -204,7 +213,7 @@ def flash_decode_chunk(
     v_scale: jax.Array | None = None,
     interpret: bool | None = None,
     use_kernel: bool = True,
-    block_k: int = 512,
+    block_k: int | None = None,
     return_lse: bool = False,
     kv_layout: str = "bhsd",
 ):
@@ -240,6 +249,8 @@ def flash_decode_chunk(
         scale = head_dim**-0.5
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if block_k is None:
+        block_k = _default_block_k(k.dtype)
 
     if use_kernel and kv_layout == "bhsd":
         # (hk, t, g)-major virtual-head order so each kv head's rows stay

@@ -75,3 +75,61 @@ def test_prefill_then_decode_logit_consistency(tiny):
     np.testing.assert_allclose(
         np.asarray(logits_d), np.asarray(full2[:, -1]), atol=2e-3, rtol=2e-3
     )
+
+
+def test_decode_multi_matches_sequential_steps():
+    """GPT-2 decode_multi (speculative verify step) == T sequential
+    decode_steps."""
+    from flash_attn_tpu.engine.kv_cache import KVCache
+
+    cfg = gpt2.GPT2_TINY
+    params = gpt2.init_params(cfg, jax.random.PRNGKey(0))
+    B, T = 2, 3
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (B, 6), 0, cfg.vocab_size)
+    toks = jax.random.randint(jax.random.PRNGKey(2), (B, T), 0, cfg.vocab_size)
+
+    def make():
+        cache = KVCache.create(
+            cfg.num_layers, B, 64, cfg.num_heads,
+            cfg.hidden // cfg.num_heads, dtype=jnp.float32,
+        )
+        pos = jnp.arange(prompt.shape[1])[None]
+        _, kvs = gpt2.prefill_with_kv(params, prompt, pos, cfg, interpret=True)
+        for i, (k, v) in enumerate(kvs):
+            cache = cache.append(i, k, v)
+        return cache.advance(prompt.shape[1])
+
+    cache_a, cache_b = make(), make()
+    logits_multi, cache_a = gpt2.decode_multi(params, toks, cfg, cache_a,
+                                              interpret=True)
+    seq = []
+    for t in range(T):
+        lg, cache_b = gpt2.decode_step(params, toks[:, t], cfg, cache_b,
+                                       interpret=True)
+        seq.append(lg)
+    np.testing.assert_allclose(np.asarray(logits_multi),
+                               np.asarray(jnp.stack(seq, axis=1)),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_array_equal(np.asarray(cache_a.length),
+                                  np.asarray(cache_b.length))
+
+
+def test_engine_speculative_gpt2_matches_greedy():
+    """Spec decoding with the GPT-2 adapter is greedy-exact too."""
+    from flash_attn_tpu.engine.engine import InferenceEngine, SpecConfig
+
+    cfg = gpt2.GPT2_TINY
+    params = gpt2.init_params(cfg, jax.random.PRNGKey(0))
+    prompt = [3, 4, 5, 3, 4, 5, 3, 4]
+    outs = []
+    for spec in (None, SpecConfig(num_draft=3, ngram=2)):
+        eng = InferenceEngine(
+            params, gpt2.make_adapter(cfg, interpret=True),
+            max_batch=1, capacity=64, cache_dtype=jnp.dtype(cfg.dtype),
+            spec=spec,
+        )
+        r = eng.submit(prompt, max_tokens=6)
+        eng.run()
+        assert r.done
+        outs.append(list(r.generated))
+    assert outs[0] == outs[1]
