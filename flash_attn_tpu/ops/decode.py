@@ -123,10 +123,12 @@ def _permute_scale_lanes(s, block_k):
 
 
 def _default_block_k(kv_dtype) -> int:
-    """Measured per-mode defaults (v5e, 8B decode shape): packed fp8 wants
-    wide 2048 blocks (fewer grid steps amortize the bit-decode; 193.7 us vs
-    232.5 at 512), int8/bf16 peak at 512."""
-    return 2048 if kv_dtype == jnp.float8_e4m3fn else 512
+    """Measured per-mode defaults (v5e, 8B decode shape, same-session sweep):
+    1-byte KV wants wide 2048 blocks — fewer grid steps amortize per-block
+    work (fp8 0.88 vs 0.83 roofline at 1024; int8 0.95 vs 0.84 at 512) —
+    while 2-byte KV peaks at 512 (0.95; a 2048 bf16 block pair blows the
+    16 MB VMEM scoped limit and 1024 measures 0.86)."""
+    return 2048 if kv_dtype.itemsize == 1 else 512
 
 
 def flash_decode(
@@ -445,8 +447,10 @@ def _decode_kernel(
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.where(mask, jnp.exp(s - m_new), 0.0)  # [H, bk] fp32
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
-        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+        # Narrow [:, :1] stat writes, not 128-lane broadcasts (same finding
+        # as the fwd kernel: ~+4% — the broadcast is a full-tile store).
+        m_scratch[:, :1] = m_new
+        l_scratch[:, :1] = l_new
 
         v = v_ref[0].astype(compute_dtype)  # [bk, Hk, D] (no scale applied)
         pg = p.reshape(num_heads_k, group, block_k)
@@ -687,8 +691,10 @@ def _decode_kernel_bhsd(
         else:
             p = jnp.exp(s - m_new)  # [H, bk]; masked cols underflow to 0
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
-        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+        # Narrow [:, :1] stat writes, not 128-lane broadcasts (same finding
+        # as the fwd kernel: ~+4% — the broadcast is a full-tile store).
+        m_scratch[:, :1] = m_new
+        l_scratch[:, :1] = l_new
 
         pg = p.reshape(num_heads_k, group, block_k)
         if has_v_scale:
@@ -904,14 +910,16 @@ def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=dims,
-            # Default Mosaic cap rejects block_k >= 4096 at head_dim 128
-            # (double-buffered K+V tiles alone are 16 MB) — raise it ONLY
-            # there: raising it unconditionally cost fp8 bk=2048 a measured
-            # 193.7 -> 287 us (Mosaic allocates deeper buffering it can't
-            # use), and bk=4096 itself measured 0.578 of roofline — an
-            # escape hatch, not a default.
+            # Default Mosaic cap rejects >=4 KB/row KV blocks at head_dim
+            # 128 (double-buffered K+V tiles alone are 16 MB) — e.g. fp8
+            # bk=4096 or bf16 bk=2048.  Raise it ONLY there: raising it
+            # unconditionally cost fp8 bk=2048 a measured 193.7 -> 287 us
+            # (Mosaic allocates deeper buffering it can't use), and fp8
+            # bk=4096 itself measured 0.578 of roofline — an escape hatch,
+            # not a default.
             vmem_limit_bytes=(
-                100 * 1024 * 1024 if block_k >= 4096 else None
+                100 * 1024 * 1024
+                if block_k * k.dtype.itemsize >= 4096 else None
             ),
         ),
         cost_estimate=pl.CostEstimate(
