@@ -36,6 +36,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30  # large-negative instead of -inf inside kernels (avoids NaNs)
+# Clamped-softmax score ceiling, base-2 units (FlashConfig.softmax_mode):
+# p <= 2^80, so l < 2^93 at 8k context and p·v accumulation stays far from
+# the fp32 ceiling; natural-units logits up to 80/log2(e) = 55 pass through
+# unclamped.
+CLAMP2 = 80.0
 
 LANES = 128
 
@@ -80,6 +85,22 @@ class FlashConfig:
     # training (bwd recomputes p from lse in f32 — mixed precisions
     # between fwd residuals and bwd recompute add avoidable grad noise).
     softmax_dtype: str = "f32"
+    # Softmax statistics mode: "online" (default; FA2 running max/rescale)
+    # or "clamped" (no running max at all: p = 2^min(s, 80) in base-2 score
+    # units, accumulate raw, normalize by l at finalize).  Drops the
+    # [bq, bk] max-reduce pass, the per-element m-subtract (a clamp min
+    # replaces it), the alpha accumulator rescale, and the m scratch
+    # traffic — the probe-measured stats cost is ~0.3 of peak at the 8B
+    # prefill shape.  EXACT (same fp error class as online) whenever no
+    # score reaches the clamp: p/l is scale-free, and fp32 spans the
+    # un-subtracted range (2^min(s) .. 2^80, sums < 2^98 for |v|<2^5).
+    # Contract: base-2 scores must lie in (-126, 80] — natural-units
+    # logits in (-87, 55] — i.e. any sane model; scores above 80 clamp
+    # (graceful, tie toward uniform), rows with all scores < -126
+    # underflow to an invalid row (out=0, lse=-inf).  Use f32
+    # softmax_dtype with this mode: bf16's 8-bit mantissa on
+    # *unsubtracted* arguments costs |s|*2^-9 relative error on p.
+    softmax_mode: str = "online"
     # NOTE(negative result): a one-k-step software pipeline (stage s=QK and
     # V into VMEM scratch, run softmax+PV of the previous step) was measured
     # at 110.8 TF/s vs 115.2 TF/s for the plain grid at the 8B prefill
@@ -196,6 +217,7 @@ def _fwd_kernel(
     has_segs: bool,
     has_pos: bool,
     use_exp2: bool,
+    clamped: bool,
     split_causal_mask: bool,
     flattened: bool,
     soft_bf16: bool,
@@ -224,7 +246,8 @@ def _fwd_kernel(
 
     @pl.when(ki == 0)
     def _init():
-        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
+        if not clamped:  # m never read in clamped mode
+            m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
@@ -303,32 +326,45 @@ def _fwd_kernel(
             # at the pl.when level below.
             s = _apply_mask(s, with_causal)
 
-        m_prev = m_scratch[:, :1]  # [bq, 1]
         l_prev = l_scratch[:, :1]
-        m_cur = jnp.max(s, axis=1, keepdims=True).astype(jnp.float32)
-        m_new = jnp.maximum(m_prev, m_cur)  # [bq, 1] f32 running stats
-        m_sub = m_new.astype(s.dtype)
-        if use_exp2:
-            # s is in base-2 units (log2(e) folded into the q pre-scale by
-            # the wrapper); 2^x is the VPU-native transcendental.
-            alpha = jax.lax.exp2(m_prev - m_new)  # [bq, 1]
-            p = jax.lax.exp2(s - m_sub)  # [bq, bk], s.dtype
+        if clamped:
+            # No running max (FlashConfig.softmax_mode="clamped"): scores
+            # arrive in base-2 units, a clamp min replaces the m-subtract,
+            # and the accumulator needs no alpha rescale.  Masked NEG_INF
+            # entries exp2 to exactly 0.
+            p = jax.lax.exp2(jnp.minimum(s, s.dtype.type(CLAMP2)))
+            l_new = l_prev + jnp.sum(
+                p, axis=1, keepdims=True
+            ).astype(jnp.float32)
+            l_scratch[:, :1] = l_new
+            alpha = None
+            m_new = None
         else:
-            alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
-            p = jnp.exp(s - m_sub)  # [bq, bk], s.dtype
-        # bf16 path: reduce in bf16 and upcast the [bq,1] result — a
-        # dtype=f32 sum lowers to a full-width bf16->f32 convert pass that
-        # erases the savings (measured: 104.9 vs 113.6 TF/s, WORSE than
-        # f32 softmax); the bf16 tree-reduce costs ~log2(bk) roundings on
-        # l (~0.4%), which the accuracy gate below the oracle confirms is
-        # inside FA2-style tolerance.
-        l_blk = jnp.sum(p, axis=1, keepdims=True).astype(jnp.float32)
-        l_new = l_prev * alpha + l_blk
+            m_prev = m_scratch[:, :1]  # [bq, 1]
+            m_cur = jnp.max(s, axis=1, keepdims=True).astype(jnp.float32)
+            m_new = jnp.maximum(m_prev, m_cur)  # [bq, 1] f32 running stats
+            m_sub = m_new.astype(s.dtype)
+            if use_exp2:
+                # s is in base-2 units (log2(e) folded into the q pre-scale
+                # by the wrapper); 2^x is the VPU-native transcendental.
+                alpha = jax.lax.exp2(m_prev - m_new)  # [bq, 1]
+                p = jax.lax.exp2(s - m_sub)  # [bq, bk], s.dtype
+            else:
+                alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
+                p = jnp.exp(s - m_sub)  # [bq, bk], s.dtype
+            # bf16 path: reduce in bf16 and upcast the [bq,1] result — a
+            # dtype=f32 sum lowers to a full-width bf16->f32 convert pass
+            # that erases the savings (measured: 104.9 vs 113.6 TF/s, WORSE
+            # than f32 softmax); the bf16 tree-reduce costs ~log2(bk)
+            # roundings on l (~0.4%), which the accuracy gate below the
+            # oracle confirms is inside FA2-style tolerance.
+            l_blk = jnp.sum(p, axis=1, keepdims=True).astype(jnp.float32)
+            l_new = l_prev * alpha + l_blk
 
-        # Narrow [bq, 1] stat writes: broadcasting to the full 128-lane
-        # scratch costs two 128-wide f32 store passes per step.
-        m_scratch[:, :1] = m_new
-        l_scratch[:, :1] = l_new
+            # Narrow [bq, 1] stat writes: broadcasting to the full 128-lane
+            # scratch costs two 128-wide f32 store passes per step.
+            m_scratch[:, :1] = m_new
+            l_scratch[:, :1] = l_new
 
         if dropout_rate > 0.0:
             keep = dropout_keep_mask(
@@ -341,12 +377,19 @@ def _fwd_kernel(
 
         if return_probs:
             praw_ref[0, 0] = p_v.astype(jnp.float32)
-            m_out = m_new * 0.6931471805599453 if use_exp2 else m_new
+            if clamped:
+                # praw is already e^{s_nat}; P = praw * exp(0 - lse).
+                m_out = jnp.zeros((block_q, 1), jnp.float32)
+            else:
+                m_out = m_new * 0.6931471805599453 if use_exp2 else m_new
             mblk_ref[0, 0, 0] = m_out.astype(jnp.float32)
 
         v = v_ref[0, 0]  # [bk, d]
         pv = sdot(p_v.astype(v.dtype), v, (((1,), (0,)), ((), ())))  # [bq, d]
-        acc_scratch[...] = acc_scratch[...] * alpha + pv
+        if clamped:
+            acc_scratch[...] = acc_scratch[...] + pv
+        else:
+            acc_scratch[...] = acc_scratch[...] * alpha + pv
 
     if causal and return_probs:
         # every block must write its praw tile (0 above the diagonal), so
@@ -380,20 +423,29 @@ def _fwd_kernel(
 
     @pl.when(is_last_k)
     def _finalize():
-        m = m_scratch[:, :1]
         l = l_scratch[:, :1]
-        # A row is valid iff some unmasked score was ever seen: its running
-        # max left NEG_INF.  (Fully-masked rows may carry garbage l/acc from
-        # the maskless fast path — discarded here.)
-        valid = (l > 0.0) & (m > NEG_INF / 2)
+        if clamped:
+            # l = sum 2^{s_base2} = sum e^{s_nat} directly; a row is valid
+            # iff any unmasked score survived underflow.
+            valid = l > 0.0
+            lse = jnp.where(
+                valid, jnp.log(jnp.where(valid, l, 1.0)), NEG_INF
+            )  # [bq, 1] natural-log units
+        else:
+            m = m_scratch[:, :1]
+            # A row is valid iff some unmasked score was ever seen: its
+            # running max left NEG_INF.  (Fully-masked rows may carry
+            # garbage l/acc from the maskless fast path — discarded here.)
+            valid = (l > 0.0) & (m > NEG_INF / 2)
+            # lse is always emitted in natural-log units; under exp2 the
+            # running max m lives in base-2 units and converts here
+            # (ln(2^m * l)).
+            m_nat = m * 0.6931471805599453 if use_exp2 else m
+            lse = jnp.where(
+                valid, m_nat + jnp.log(jnp.where(valid, l, 1.0)), NEG_INF
+            )  # [bq, 1]
         out = jnp.where(valid, acc_scratch[...] / jnp.where(valid, l, 1.0), 0.0)
         out_ref[0, 0] = out.astype(out_dtype)
-        # lse is always emitted in natural-log units; under exp2 the running
-        # max m lives in base-2 units and converts here (ln(2^m * l)).
-        m_nat = m * 0.6931471805599453 if use_exp2 else m
-        lse = jnp.where(
-            valid, m_nat + jnp.log(jnp.where(valid, l, 1.0)), NEG_INF
-        )  # [bq, 1]
         lse_ref[0, 0] = lse.astype(jnp.float32)
 
 
@@ -458,9 +510,13 @@ def flash_fwd(
     # Pre-fold the softmax scale into q (one multiply on the small operand
     # instead of a [bq, bk] multiply per kernel step).
     LOG2E = 1.4426950408889634
-    eff_scale = scale * LOG2E if cfg.exp2 else scale
+    clamped = cfg.softmax_mode == "clamped"
+    if cfg.softmax_mode not in ("online", "clamped"):
+        raise ValueError(f"unknown softmax_mode {cfg.softmax_mode!r}")
+    base2 = cfg.exp2 or clamped  # clamped mode always works in base-2 units
+    eff_scale = scale * LOG2E if base2 else scale
     q_scaled = (q.astype(jnp.float32) * eff_scale).astype(q.dtype)
-    if bias is not None and cfg.exp2:
+    if bias is not None and base2:
         # kernel works in base-2 score units; additive bias must match
         bias = bias.astype(jnp.float32) * LOG2E
     # BSHD -> BHSD for clean [bq, d] blocks, pad seq dims to block multiples.
@@ -608,7 +664,8 @@ def flash_fwd(
         has_bias=has_bias,
         has_segs=has_segs,
         has_pos=has_pos,
-        use_exp2=cfg.exp2,
+        use_exp2=base2,
+        clamped=clamped,
         split_causal_mask=cfg.split_causal_mask,
         flattened=use_tri,
         soft_bf16=cfg.softmax_dtype == "bf16",

@@ -267,3 +267,80 @@ def test_bf16_softmax_accuracy_bounded():
         out, _ = flash_fwd(q, k, v, causal=True, config=cfg, interpret=True)
         errs[sd] = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
     assert errs["bf16"] < max(3.0 * errs["f32"], 3e-2), errs
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("causal", [False, True])
+def test_clamped_softmax_matches_oracle(dtype, causal):
+    """softmax_mode='clamped' (no running max; p = 2^min(s, 80)) is exact
+    whenever no score reaches the clamp — same tolerance class as the
+    online-softmax kernel vs the fp32 oracle."""
+    q, k, v = make_qkv(jax.random.PRNGKey(50), 2, 320, 320, 4, 2, 64, dtype)
+    cfg = FlashConfig(block_q=64, block_k=128, softmax_mode="clamped")
+    out, lse = flash_fwd(q, k, v, causal=causal, config=cfg, interpret=True)
+    ref_out, ref_lse = mha_reference(q, k, v, causal=causal, return_lse=True)
+    tol = TOL[q.dtype.type]
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref_out, np.float32),
+        atol=tol * 10, rtol=tol * 10)
+    # bf16 scores feed exp2 unsubtracted in clamped mode, so lse carries
+    # |s|*2^-9 argument rounding that the online kernel's m-subtract avoids.
+    ltol = 1e-3 if dtype == jnp.float32 else 1e-2
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                               rtol=ltol, atol=ltol)
+
+
+def test_clamped_softmax_segments_window_bias():
+    """Clamped mode composes with every masking feature: masked entries
+    exp2(NEG_INF) to exactly zero without running-max bookkeeping."""
+    q, k, v = make_qkv(jax.random.PRNGKey(51), 2, 256, 256, 4, 4, 64,
+                       jnp.float32)
+    cfg = FlashConfig(block_q=64, block_k=128, softmax_mode="clamped")
+    segs = jnp.concatenate(
+        [jnp.zeros((2, 128), jnp.int32), jnp.ones((2, 128), jnp.int32)], axis=1
+    )
+    for kw in (
+        dict(causal=True, q_segment_ids=segs, kv_segment_ids=segs),
+        dict(causal=True, window=(32, 0)),
+        dict(causal=False, bias=jax.random.normal(
+            jax.random.PRNGKey(52), (2, 4, 256, 256), jnp.float32)),
+    ):
+        out, _ = flash_fwd(q, k, v, config=cfg, interpret=True, **kw)
+        if "bias" in kw:
+            kw["mask"] = kw.pop("bias")
+        ref = mha_reference(q, k, v, **kw)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=2e-4, rtol=2e-4)
+
+
+def test_clamped_softmax_dropout_grad_matches_online():
+    """Dropout masks key on absolute coords, so clamped and online modes
+    replay identically; grads agree to fp32 reassociation tolerance."""
+    from flash_attn_tpu.ops.attention import flash_attention
+
+    q, k, v = make_qkv(jax.random.PRNGKey(53), 1, 256, 256, 2, 2, 64,
+                       jnp.float32)
+
+    def loss(q_, k_, v_, mode):
+        cfg = FlashConfig(block_q=64, block_k=128, softmax_mode=mode)
+        o = flash_attention(q_, k_, v_, causal=True, dropout_rate=0.2,
+                            dropout_seed=7, config=cfg, interpret=True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g0 = jax.grad(loss)(q, k, v, "online")
+    g1 = jax.grad(loss)(q, k, v, "clamped")
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_clamped_softmax_large_scores_graceful():
+    """Scores beyond the clamp (base-2 80) degrade gracefully — no NaN/inf,
+    output stays a convex combination of V rows."""
+    q, k, v = make_qkv(jax.random.PRNGKey(54), 1, 128, 128, 2, 2, 64,
+                       jnp.float32)
+    cfg = FlashConfig(block_q=64, block_k=128, softmax_mode="clamped")
+    out, lse = flash_fwd(q * 100.0, k * 100.0, v, causal=False, config=cfg,
+                         interpret=True)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert float(jnp.max(jnp.abs(out))) <= float(jnp.max(jnp.abs(v))) + 1e-3

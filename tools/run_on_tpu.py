@@ -29,6 +29,8 @@ HOLDER_CODE = (
 
 
 def start_holder(env, timeout=150):
+    import selectors
+
     p = subprocess.Popen(
         [sys.executable, "-c", HOLDER_CODE],
         env=env,
@@ -36,16 +38,24 @@ def start_holder(env, timeout=150):
         stderr=subprocess.DEVNULL,
         text=True,
     )
+    # Poll stdout with a deadline: a plain readline() blocks forever on a
+    # registration-hung holder, which defeats the timeout and wedges the
+    # whole retry loop (observed: one hung holder stalled the launcher for
+    # 50+ minutes while the relay had long since recovered).
+    sel = selectors.DefaultSelector()
+    sel.register(p.stdout, selectors.EVENT_READ)
     deadline = time.time() + timeout
-    line = ""
+    buf = ""
     while time.time() < deadline:
-        line = p.stdout.readline()
-        if "HOLDER_READY" in line:
-            return p
         if p.poll() is not None:
             return None
-        if not line:
-            time.sleep(1)
+        if sel.select(timeout=1.0):
+            chunk = p.stdout.readline()
+            if not chunk:  # EOF
+                return None
+            buf += chunk
+            if "HOLDER_READY" in buf:
+                return p
     p.send_signal(signal.SIGTERM)
     try:
         p.wait(timeout=30)
