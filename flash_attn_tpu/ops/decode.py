@@ -83,6 +83,17 @@ E4M3_FIX = 2.0 ** 120
 # _decode_kernel_bhsd) so PV products sit 2^-60 below true scale — above
 # the fp32 denormal flush — and _finalize repays the full 2^120.
 P_SHIFT_LN2 = 60.0 * 0.6931471805599453
+P_SHIFT2 = 60.0  # same shift in base-2 units (clamped-softmax mode)
+LOG2E = 1.4426950408889634
+
+# Clamped-softmax score ceilings, base-2 units (see FlashConfig.softmax_mode
+# in ops/flash_fwd.py for the contract discussion).  Decode with packed fp8
+# carries the extra 2^60 p-inflation, so its ceiling is lower to keep
+# acc * E4M3_FIX at finalize inside fp32 (l <= 2^(C+73), acc*FIX <=
+# 2^(C+81)); both admit natural-units attention logits far beyond any sane
+# model's (55 / 27 nats).
+CLAMP2_DEC = 80.0
+CLAMP2_DEC_FP8 = 40.0
 
 
 def _packed_e4m3_halves(x):
@@ -146,6 +157,7 @@ def flash_decode(
     block_k: int | None = None,
     return_lse: bool = False,
     kv_layout: str = "bshd",
+    softmax_mode: str = "online",
 ):
     """Single-token decode attention over a (possibly quantized) KV cache.
 
@@ -161,6 +173,12 @@ def flash_decode(
       num_splits: split-KV parallelism ≙ flash_attn.h:94.
       k_scale, v_scale: dequant scales, broadcastable to [B, S, Hk, D]
         (per-head or per-block granularity).
+      softmax_mode: "online" (default) or "clamped" — drop the running max
+        entirely (p = 2^min(s2, 80), base-2 scores; fp8 ceiling 40).  Exact
+        for natural-units attention logits below 55 (27 with fp8 KV) — see
+        FlashConfig.softmax_mode for the contract.  Honored on the BHSD
+        kernel path (the perf path); the BSHD/oracle paths always run
+        online softmax.
 
     Returns out [B, H, D] in q.dtype; with return_lse also lse [B, H] fp32
     (the merge residual for sharded/distributed decode, flash_attn.h:16).
@@ -181,11 +199,13 @@ def flash_decode(
     if kv_length is None:
         kv_length = jnp.full((batch,), seqlen_k, jnp.int32)
 
+    if softmax_mode not in ("online", "clamped"):
+        raise ValueError(f"unknown softmax_mode {softmax_mode!r}")
     if use_kernel and kv_layout == "bhsd":
         return _decode_kernel_call_bhsd(
             q, k, v, kv_length, scale=scale, k_scale=k_scale, v_scale=v_scale,
             block_k=block_k, interpret=interpret, return_lse=return_lse,
-            num_splits=num_splits,
+            num_splits=num_splits, softmax_mode=softmax_mode,
         )
     if kv_layout == "bhsd":
         k = jnp.swapaxes(k, 1, 2)
@@ -218,6 +238,7 @@ def flash_decode_chunk(
     block_k: int | None = None,
     return_lse: bool = False,
     kv_layout: str = "bhsd",
+    softmax_mode: str = "online",
 ):
     """Multi-token ("chunk") decode: T new tokens per sequence against a
     (possibly quantized) KV cache, causal within the chunk.  This is the
@@ -267,7 +288,7 @@ def flash_decode_chunk(
             q2, k, v, jnp.asarray(kv_length, jnp.int32), scale=scale,
             k_scale=k_scale, v_scale=v_scale, block_k=block_k,
             interpret=interpret, return_lse=return_lse,
-            num_splits=num_splits, chunk=chunk,
+            num_splits=num_splits, chunk=chunk, softmax_mode=softmax_mode,
         )
         out = res[0] if return_lse else res
 
@@ -601,6 +622,7 @@ def _decode_kernel_bhsd(
     has_split_dim: bool,
     chunk: int,
     out_dtype,
+    clamped: bool = False,
 ):
     # Default grid (batch, k_block).  With num_splits > 1 the grid grows a
     # middle split axis ≙ the reference's num_splits (flash_attn.h:94) —
@@ -618,7 +640,8 @@ def _decode_kernel_bhsd(
 
     @pl.when(ki == 0)
     def _init():
-        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
+        if not clamped:  # m never read in clamped mode
+            m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
@@ -626,6 +649,9 @@ def _decode_kernel_bhsd(
     compute_dtype = (
         jnp.float32 if q_ref.dtype == jnp.float32 else jnp.bfloat16
     )
+    if clamped:
+        # Scores arrive in base-2 units (LOG2E folded into the q pre-scale).
+        clamp2 = CLAMP2_DEC_FP8 if packed_fp8 else CLAMP2_DEC
 
     def _body(need_mask):
         q = q_ref[0].astype(compute_dtype)  # [H, D]
@@ -637,7 +663,10 @@ def _decode_kernel_bhsd(
         # folding has neither cost.)  With packed fp8, K's 2^120 rebias
         # (see E4M3_FIX) rides the same multiply for free.
         q = q * jnp.asarray(
-            scale * (E4M3_FIX if packed_fp8 else 1.0), compute_dtype
+            scale
+            * (E4M3_FIX if packed_fp8 else 1.0)
+            * (LOG2E if clamped else 1.0),
+            compute_dtype,
         )
         qg = q.reshape(num_heads_k, group, q.shape[-1])  # [Hk, g, D]
         if packed_fp8:
@@ -674,26 +703,44 @@ def _decode_kernel_bhsd(
                 limit = kv_len
             s = jnp.where(col < limit, s, NEG_INF)
 
-        m_prev = m_scratch[:, :1]
         l_prev = l_scratch[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        if packed_fp8:
-            # V's 2^120 rebias (E4M3_FIX), half 1: inflate p by 2^60 by
-            # folding 60*ln2 into the max-shift (a [H, 1] op — free).  The
-            # PV products are then p_true*v_true*2^-60, far above the fp32
-            # denormal flush (a plain post-GEMM 2^120 multiply would flush
-            # every product with p*|v| < 2^-6 — catastrophic for diffuse
-            # attention).  l inflates by 2^60 consistently across steps;
-            # _finalize pays it back.  p stays <= 2^60 and l <= bk*2^60,
-            # both comfortably inside fp32.
-            p = jnp.exp(s - (m_new - P_SHIFT_LN2))
+        if clamped:
+            # No running max (softmax_mode="clamped", same contract as the
+            # fwd kernel's mode): a clamp min replaces the [H, bk]
+            # max-reduce + m-subtract, and the accumulator needs no alpha
+            # rescale.  With packed fp8 the 2^60 p-inflation (see the
+            # online branch below) becomes a [H, bk] add on the clamped
+            # scores — still cheaper than the reduce it replaces.
+            sc = jnp.minimum(s, clamp2)
+            if packed_fp8:
+                sc = sc + P_SHIFT2
+            p = jax.lax.exp2(sc)  # masked NEG_INF cols exp2 to exactly 0
+            alpha = None
         else:
-            p = jnp.exp(s - m_new)  # [H, bk]; masked cols underflow to 0
-        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        # Narrow [:, :1] stat writes, not 128-lane broadcasts (same finding
-        # as the fwd kernel: ~+4% — the broadcast is a full-tile store).
-        m_scratch[:, :1] = m_new
+            m_prev = m_scratch[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            if packed_fp8:
+                # V's 2^120 rebias (E4M3_FIX), half 1: inflate p by 2^60 by
+                # folding 60*ln2 into the max-shift (a [H, 1] op — free).
+                # The PV products are then p_true*v_true*2^-60, far above
+                # the fp32 denormal flush (a plain post-GEMM 2^120 multiply
+                # would flush every product with p*|v| < 2^-6 — catastrophic
+                # for diffuse attention).  l inflates by 2^60 consistently
+                # across steps; _finalize pays it back.  p stays <= 2^60 and
+                # l <= bk*2^60, both comfortably inside fp32.
+                p = jnp.exp(s - (m_new - P_SHIFT_LN2))
+            else:
+                p = jnp.exp(s - m_new)  # [H, bk]; masked cols underflow to 0
+            # Narrow [:, :1] stat writes, not 128-lane broadcasts (same
+            # finding as the fwd kernel: ~+4% — the broadcast is a full-tile
+            # store).
+            m_scratch[:, :1] = m_new
+        l_new = (
+            l_prev + jnp.sum(p, axis=1, keepdims=True)
+            if clamped
+            else l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        )
         l_scratch[:, :1] = l_new
 
         pg = p.reshape(num_heads_k, group, block_k)
@@ -710,9 +757,12 @@ def _decode_kernel_bhsd(
             v = _fast_cast(v_ref[0], compute_dtype)  # [Hk, bk, D]
             o = sdot(pg.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))))
             d_out = v.shape[-1]
-        acc_scratch[...] = acc_scratch[...] * alpha + o.reshape(
-            num_heads, d_out
-        )
+        if clamped:
+            acc_scratch[...] = acc_scratch[...] + o.reshape(num_heads, d_out)
+        else:
+            acc_scratch[...] = acc_scratch[...] * alpha + o.reshape(
+                num_heads, d_out
+            )
 
     # Mask generation (iota + packed-row permute + compare + select over
     # [H, bk]) is only needed on the block straddling kv_len; fully-valid
@@ -730,9 +780,14 @@ def _decode_kernel_bhsd(
 
     @pl.when(ki == blocks_per_split - 1)
     def _finalize():
-        m = m_scratch[:, :1]
         l = l_scratch[:, :1]
-        valid = (l > 0.0) & (m > NEG_INF / 2)
+        if clamped:
+            # No m stat: an all-masked row has l == 0 exactly (NEG_INF
+            # scores exp2 to 0 with no underflowing subtraction involved).
+            valid = l > 0.0
+        else:
+            m = m_scratch[:, :1]
+            valid = (l > 0.0) & (m > NEG_INF / 2)
         acc = acc_scratch[...]
         if packed_fp8:
             # Pay back V's rebias: acc holds out_true * l_true * 2^-60 and
@@ -743,7 +798,11 @@ def _decode_kernel_bhsd(
         out = jnp.where(
             valid, acc / jnp.where(valid, l, 1.0), 0.0
         ).astype(out_dtype)
-        lse_raw = m + jnp.log(jnp.where(valid, l, 1.0))
+        # Clamped mode: l = sum(2^{s2}) = sum(e^{s_nat}) (times 2^60 under
+        # packed fp8), so log(l) IS the natural-units lse with no m term.
+        lse_raw = jnp.log(jnp.where(valid, l, 1.0))
+        if not clamped:
+            lse_raw = m + lse_raw
         if packed_fp8:
             lse_raw = lse_raw - P_SHIFT_LN2  # log of the 2^60 p inflation
         lse = jnp.where(valid, lse_raw, NEG_INF).astype(jnp.float32)
@@ -757,7 +816,7 @@ def _decode_kernel_bhsd(
 
 def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
                              block_k, interpret, return_lse=False,
-                             num_splits=1, chunk=1):
+                             num_splits=1, chunk=1, softmax_mode="online"):
     batch, num_heads, head_dim = q.shape
     _, num_heads_k, seqlen_k, _ = k.shape
 
@@ -886,6 +945,7 @@ def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
         has_split_dim=has_split_dim,
         chunk=chunk,
         out_dtype=q.dtype,
+        clamped=softmax_mode == "clamped",
     )
 
     out, lse = pl.pallas_call(

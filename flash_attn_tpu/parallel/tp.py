@@ -76,3 +76,65 @@ def shard_params(params, mesh, specs):
         else:
             out[key] = jax.tree.map(place, val, spec) if isinstance(spec, dict) else place(val, spec)
     return out
+
+
+# Projection kinds in the llama block pytree (quantized or not): column-
+# parallel shard the output dim, row-parallel the input dim.
+_LLAMA_COL = ("wq", "wk", "wv", "w_gate", "w_up")
+_LLAMA_ROW = ("wo", "w_down")
+
+
+def shard_params_quant(params, mesh, tp_axis: str = TENSOR_AXIS):
+    """Shard a ``llama.quantize_weights`` param tree (int8 tuples or
+    Int4Weight leaves) with the same Megatron column/row rules as
+    ``llama_param_specs`` (BASELINE config 4: quantized weights under TP).
+
+    int8 leaf (vals [K,N], scale [N]): column-parallel shards N in both;
+    row-parallel shards K in vals, replicates the per-output scale.
+    Int4Weight (packed [K//2,N], scales [K//g,N]): column-parallel shards
+    N in both; row-parallel shards K — valid because the int4 packing is
+    group-local (ops/quant.py), so K-shards at group boundaries stay
+    self-contained (requires (K//group_size) % tp == 0).
+    """
+    from flash_attn_tpu.ops.quant import Int4Weight
+
+    def place(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def place_weight(w, kind):
+        if isinstance(w, Int4Weight):
+            if kind == "col":
+                return Int4Weight(place(w.packed, P(None, tp_axis)),
+                                  place(w.scales, P(None, tp_axis)),
+                                  w.group_size, w.shape)
+            return Int4Weight(place(w.packed, P(tp_axis, None)),
+                              place(w.scales, P(tp_axis, None)),
+                              w.group_size, w.shape)
+        if isinstance(w, tuple) and len(w) == 2:  # int8 (vals, scale)
+            vals, scale = w
+            if kind == "col":
+                return (place(vals, P(None, tp_axis)), place(scale, P(tp_axis)))
+            return (place(vals, P(tp_axis, None)), place(scale, P()))
+        return place(
+            w, P(None, tp_axis) if kind == "col" else P(tp_axis, None)
+        )
+
+    out = {
+        "tok_emb": place(params["tok_emb"], P(tp_axis, None)),
+        "final_norm": place(params["final_norm"], P()),
+        "lm_head": place_weight(params["lm_head"], "col")
+        if not isinstance(params["lm_head"], jax.Array)
+        else place(params["lm_head"], P(None, tp_axis)),
+        "blocks": [],
+    }
+    for blk in params["blocks"]:
+        nb = {}
+        for name, w in blk.items():
+            if name in _LLAMA_COL:
+                nb[name] = place_weight(w, "col")
+            elif name in _LLAMA_ROW:
+                nb[name] = place_weight(w, "row")
+            else:  # norms
+                nb[name] = place(w, P())
+        out["blocks"].append(nb)
+    return out

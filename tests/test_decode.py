@@ -238,3 +238,70 @@ def test_decode_chunk_t1_matches_flash_decode():
                              kv_layout="bhsd", block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got[:, 0]), np.asarray(want),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_decode_clamped_softmax_matches_online():
+    """softmax_mode='clamped' (no running max, base-2 exp2 clamp) must match
+    the online-softmax kernel for in-contract scores: out and lse."""
+    q, k, v = setup(jax.random.PRNGKey(40), 3, 384, 8, 2, 64)
+    lens = jnp.asarray([384, 200, 1], jnp.int32)
+    kt, vt = jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
+    want, want_lse = flash_decode(
+        q, kt, vt, kv_length=lens, kv_layout="bhsd", interpret=True,
+        return_lse=True,
+    )
+    got, lse = flash_decode(
+        q, kt, vt, kv_length=lens, kv_layout="bhsd", interpret=True,
+        return_lse=True, softmax_mode="clamped",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-4, rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse),
+                               atol=3e-4, rtol=3e-4)
+
+
+def test_decode_clamped_quantized_and_chunk():
+    """Clamped mode composes with int8 fused dequant, split-KV, and chunk
+    decode (per-row causal limits)."""
+    from flash_attn_tpu.ops.decode import flash_decode_chunk
+
+    q, k, v = setup(jax.random.PRNGKey(41), 2, 256, 4, 2, 64)
+    kq, ks, vq, vs = quantize_kv(k, v, "int8")
+    kt, vt = jnp.swapaxes(kq, 1, 2), jnp.swapaxes(vq, 1, 2)
+    kst, vst = jnp.swapaxes(ks, 1, 2), jnp.swapaxes(vs, 1, 2)
+    lens = jnp.asarray([256, 130], jnp.int32)
+    want = flash_decode(q, kt, vt, k_scale=kst, v_scale=vst, kv_length=lens,
+                        kv_layout="bhsd", block_k=128, interpret=True)
+    got = flash_decode(q, kt, vt, k_scale=kst, v_scale=vst, kv_length=lens,
+                       kv_layout="bhsd", block_k=128, interpret=True,
+                       num_splits=2, softmax_mode="clamped")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-4, rtol=3e-4)
+
+    qc = jax.random.normal(jax.random.PRNGKey(42), (2, 3, 4, 64))
+    wantc = flash_decode_chunk(qc, kt, vt, k_scale=kst, v_scale=vst,
+                               kv_length=lens, kv_layout="bhsd", block_k=128,
+                               interpret=True)
+    gotc = flash_decode_chunk(qc, kt, vt, k_scale=kst, v_scale=vst,
+                              kv_length=lens, kv_layout="bhsd", block_k=128,
+                              interpret=True, softmax_mode="clamped")
+    np.testing.assert_allclose(np.asarray(gotc), np.asarray(wantc),
+                               atol=3e-4, rtol=3e-4)
+
+
+def test_decode_clamped_scores_above_ceiling_clamp_gracefully():
+    """Scores past the base-2 ceiling saturate (tie toward uniform over the
+    clamped entries) instead of producing inf/nan."""
+    B, S, Hk, D = 1, 128, 2, 64
+    q = jnp.full((B, 2, D), 12.0)  # logits ~ 12*12*64/8 = 1152 nats >> 55
+    k = jnp.full((B, Hk, S, D), 12.0)
+    v = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.float32)[None, None, :, None], (B, Hk, S, D)
+    )
+    out = flash_decode(q, k, v, kv_layout="bhsd", interpret=True,
+                       softmax_mode="clamped")
+    assert np.isfinite(np.asarray(out)).all()
+    # every score clamps equally -> uniform attention -> mean of v rows
+    np.testing.assert_allclose(
+        np.asarray(out)[0, 0, 0], (S - 1) / 2.0, rtol=1e-3
+    )

@@ -147,3 +147,46 @@ def test_decode_multi_matches_sequential_steps(tiny):
     np.testing.assert_allclose(np.asarray(cache_a.k, np.float32),
                                np.asarray(cache_b.k, np.float32),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_llama_70b_structure_tp_int4_fp8_decode():
+    """BASELINE config 4 shape on the virtual mesh: a 70B-STRUCTURE model
+    (GQA 8:1 like 70B's 64/8 heads, scaled dims) with
+    INT4 weights and an FP8 KV cache, TP-sharded over 4 devices
+    (parallel.tp.shard_params_quant) — sharded decode logits must match the
+    unsharded quantized model's."""
+    from flash_attn_tpu.parallel.mesh import MeshConfig, make_mesh
+    from flash_attn_tpu.parallel.tp import shard_params_quant
+
+    cfg = llama.LlamaConfig(
+        vocab_size=512, hidden=256, intermediate=1024, num_layers=2,
+        num_heads=8, num_kv_heads=1, head_dim=32, max_position=128,
+        rope_theta=500000.0, dtype="float32",
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(50))
+    qparams = llama.quantize_weights(params, mode="int4", group_size=64)
+
+    B, T = 2, 16
+    toks = jax.random.randint(jax.random.PRNGKey(51), (B, T), 0, cfg.vocab_size)
+    tok_next = jax.random.randint(jax.random.PRNGKey(52), (B,), 0, cfg.vocab_size)
+
+    def run(p):
+        cache = llama.make_cache(cfg, B, 64, mode="fp8")
+        logits, kvs = llama.prefill_with_kv(
+            p, toks, jnp.arange(T)[None], cfg, interpret=True
+        )
+        for i, (k, v) in enumerate(kvs):
+            cache = cache.append(i, k, v)
+        cache = cache.advance(T)
+        step, cache = llama.decode_step(p, tok_next, cfg, cache, interpret=True)
+        return logits, step
+
+    want_l, want_s = run(qparams)
+
+    mesh = make_mesh(MeshConfig(tp=4))
+    sharded = shard_params_quant(qparams, mesh)
+    got_l, got_s = jax.jit(run)(sharded)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               atol=2e-3, rtol=2e-3)
