@@ -94,6 +94,11 @@ class ModelAdapter:
     # (logits [B, T, V], cache) — the speculative-decoding verify step
     # (appends all T tokens' KV, scores every position in one cache sweep).
     decode_multi: Callable | None = None
+    # optional prefix-cache suffix prefill: (params, tokens [1, C],
+    # pool: PagedKVPool, slot, start) -> (logits [1, C, V], pool) — prefill
+    # only the divergent suffix when a prompt's prefix pages are shared
+    # (engine/prefix_cache.py).
+    prefill_suffix_paged: Callable | None = None
 
 
 class InferenceEngine:
@@ -515,12 +520,15 @@ class PagedInferenceEngine:
         cache_dtype=jnp.bfloat16,
         sampling: SamplingParams | None = None,
         rng_seed: int = 0,
+        prefix_cache: bool = False,
     ):
         from flash_attn_tpu.engine.paged import PagedKVPool
         from flash_attn_tpu.runtime.abi import PagePool
 
         if adapter.decode_step_paged is None:
             raise ValueError("adapter has no decode_step_paged")
+        if prefix_cache and adapter.prefill_suffix_paged is None:
+            raise ValueError("prefix_cache needs adapter.prefill_suffix_paged")
         self.params = params
         self.adapter = adapter
         self.page_size = page_size
@@ -543,6 +551,20 @@ class PagedInferenceEngine:
         self._pending_pages: dict[int, list[int]] = {}
         self._decode_jit = jax.jit(self._decode_batch)
         self._prefill_jit = jax.jit(self._prefill_one)
+        # prefix caching (engine/prefix_cache.py): shared prompt prefixes
+        # reuse resident pages; cache-owned pages live under the pseudo-slot
+        # ``max_batch`` so request releases never free them.
+        self.prefix = None
+        if prefix_cache:
+            from flash_attn_tpu.engine.prefix_cache import PrefixCache
+
+            self.prefix = PrefixCache(page_size)
+            self.cache_slot = max_batch
+            self._pending_prefix: dict[int, tuple] = {}
+            self._slot_prefix: dict[int, tuple] = {}
+            self._slot_pages: dict[int, list[int]] = {}
+            self._slot_refs: dict[int, tuple] = {}
+            self._prefill_suffix_jit = jax.jit(self._prefill_suffix)
 
     def _pages_needed(self, req: Request) -> int:
         total = len(req.prompt) + req.max_tokens
@@ -557,6 +579,15 @@ class PagedInferenceEngine:
             pool = pool.append_prefill(layer, slot, k[0], v[0], 0)
         pool = pool.set_lengths(pool.length.at[slot].set(true_len))
         return logits_all[0, true_len - 1], pool
+
+    def _prefill_suffix(self, params, tokens, pool, slot, start, total_len):
+        """Prefix-cache path: prefill only the suffix [start, total_len)
+        against the slot's resident prefix pages."""
+        logits_all, pool = self.adapter.prefill_suffix_paged(
+            params, tokens, pool, slot, start
+        )
+        pool = pool.set_lengths(pool.length.at[slot].set(total_len))
+        return logits_all[0, total_len - start - 1], pool
 
     def _decode_batch(self, params, tokens, pool, key):
         logits, pool = self.adapter.decode_step_paged(params, tokens, pool)
@@ -582,21 +613,45 @@ class PagedInferenceEngine:
     def _can_admit(self, req: Request) -> bool:
         """Resource-gated admission: acquire the pages NOW (against the slot
         the scheduler will assign — it pops free_slots[0]) so admission of a
-        second request in the same round sees the reduced free list."""
+        second request in the same round sees the reduced free list.  With
+        the prefix cache on, cached prefix pages are reused (ref'd here so a
+        same-round eviction can't free them) and only the remainder is
+        acquired; unreferenced cache entries are evicted LRU if the free
+        list falls short."""
         if not self.sched.free_slots:
             return False
         slot = self.sched.free_slots[0]
-        pages = self.alloc.acquire(slot, self._pages_needed(req))
+        cached_pages, cached_len = [], 0
+        if self.prefix is not None:
+            cached_pages, cached_len = self.prefix.lookup(req.prompt)
+            self.prefix.ref(req.prompt, len(cached_pages))
+        need = self._pages_needed(req) - len(cached_pages)
+        pages = self.alloc.acquire(slot, need)
+        if pages is None and self.prefix is not None:
+            self.prefix.evict(need - self.alloc.free_count, self.alloc)
+            pages = self.alloc.acquire(slot, need)
         if pages is None:
+            if self.prefix is not None:
+                self.prefix.unref(req.prompt, len(cached_pages))
             return False
-        self._pending_pages[req.uid] = pages
+        self._pending_pages[req.uid] = cached_pages + pages
+        if self.prefix is not None:
+            self._pending_prefix[req.uid] = (len(cached_pages), cached_len)
         return True
 
     def _admit_pages(self, req: Request):
         pages = self._pending_pages.pop(req.uid)
         self.pool = self.pool.assign_pages(req.slot, pages)
+        if self.prefix is not None:
+            self._slot_prefix[req.slot] = self._pending_prefix.pop(req.uid)
+            self._slot_pages[req.slot] = pages
 
     def _release(self, req_slot: int):
+        if self.prefix is not None:
+            n_ref, prompt = self._slot_refs.pop(req_slot, (0, ()))
+            self.prefix.unref(prompt, n_ref)
+            self._slot_prefix.pop(req_slot, None)
+            self._slot_pages.pop(req_slot, None)
         self.alloc.release_slot(req_slot)
         # zero the table row so blanket decode appends for this (now
         # inactive) slot land on the null page, never on reacquired pages
@@ -611,15 +666,48 @@ class PagedInferenceEngine:
         import time as _time
 
         t0 = _time.perf_counter()
-        bucket = bucket_length(len(req.prompt))
-        bucket = min(bucket, self.max_pages * self.page_size)
-        toks = np.zeros((1, bucket), np.int32)
-        toks[0, : len(req.prompt)] = req.prompt
-        logits, self.pool = self._prefill_jit(
-            self.params, jnp.asarray(toks), self.pool,
-            jnp.int32(req.slot), jnp.int32(len(req.prompt)),
+        n_cached, cached_len = (
+            self._slot_prefix.get(req.slot, (0, 0))
+            if self.prefix is not None else (0, 0)
         )
-        self.metrics.record_prefill(len(req.prompt), _time.perf_counter() - t0)
+        if cached_len > 0:
+            # prefix-cache hit: prefill only the divergent suffix
+            suffix = req.prompt[cached_len:]
+            bucket = bucket_length(len(suffix))
+            bucket = min(bucket, self.max_pages * self.page_size - cached_len)
+            toks = np.zeros((1, bucket), np.int32)
+            toks[0, : len(suffix)] = suffix
+            logits, self.pool = self._prefill_suffix_jit(
+                self.params, jnp.asarray(toks), self.pool,
+                jnp.int32(req.slot), jnp.int32(cached_len),
+                jnp.int32(len(req.prompt)),
+            )
+            self.metrics.record_prefill(
+                len(suffix), _time.perf_counter() - t0
+            )
+        else:
+            bucket = bucket_length(len(req.prompt))
+            bucket = min(bucket, self.max_pages * self.page_size)
+            toks = np.zeros((1, bucket), np.int32)
+            toks[0, : len(req.prompt)] = req.prompt
+            logits, self.pool = self._prefill_jit(
+                self.params, jnp.asarray(toks), self.pool,
+                jnp.int32(req.slot), jnp.int32(len(req.prompt)),
+            )
+            self.metrics.record_prefill(
+                len(req.prompt), _time.perf_counter() - t0
+            )
+        if self.prefix is not None:
+            # donate this prompt's full pages to the cache and hold one
+            # net reference per full-prefix entry for the request's lifetime
+            full = max(0, (len(req.prompt) - 1) // self.page_size)
+            self.prefix.insert(
+                req.prompt, self._slot_pages[req.slot][:full],
+                self.alloc, self.cache_slot,
+            )
+            self.prefix.ref(req.prompt, full)
+            self.prefix.unref(req.prompt, n_cached)
+            self._slot_refs[req.slot] = (full, tuple(req.prompt))
         tok = int(sample(logits[None], self._next_key(), self.sampling)[0])
         req.generated.append(tok)
         if len(req.generated) >= req.max_tokens or (

@@ -174,6 +174,31 @@ class PagedKVPool:
     def advance(self, t=1) -> "PagedKVPool":
         return self._replace(length=self.length + t)
 
+    def gather_slot(self, layer: int, slot, dtype=jnp.float32):
+        """One slot's contiguous dequantized KV view [1, mp*page, Hk, D]
+        (float).  Used by the prefix-cache suffix prefill, where reading the
+        whole resident prefix once is inherent to the computation (the
+        chunk's queries attend to every cached position) — unlike the
+        decode hot path, which must stay paged (ops/paged_decode.py)."""
+        table = self.block_table[slot]  # [mp]
+
+        def g(buf):
+            picked = buf[layer][table]  # [mp, Hk, page, D]
+            moved = jnp.moveaxis(picked, 1, 2)  # [mp, page, Hk, D]
+            return moved.reshape(-1, moved.shape[2], moved.shape[3])
+
+        k, v = g(self.k_pages), g(self.v_pages)
+        if self.mode != "none":
+            def gs(buf):
+                picked = buf[layer][table][:, :, 0, :]  # [mp, Hk, page]
+                return jnp.moveaxis(picked, 1, 2).reshape(
+                    -1, picked.shape[1]
+                )[..., None]  # [mp*page, Hk, 1]
+
+            k = k.astype(jnp.float32) * gs(self.k_scale)
+            v = v.astype(jnp.float32) * gs(self.v_scale)
+        return k.astype(dtype)[None], v.astype(dtype)[None]
+
     def gather_layer(self, layer: int):
         """Correctness oracle: materialise contiguous [B, max_pages*page,
         Hk, D] views (the round-1 XLA-gather path — O(cache) HBM traffic,

@@ -223,6 +223,45 @@ def prefill_chunk(params, tokens, cfg: LlamaConfig, cache: KVCache, slot,
     return _proj(x.astype(jnp.float32), head, interpret), cache
 
 
+def prefill_suffix_paged(params, tokens, cfg: LlamaConfig, pool, slot,
+                         start, *, interpret=None):
+    """Prefix-cache suffix prefill (engine/prefix_cache.py): chunk tokens
+    [1, C] at positions [start, start+C) of paged-pool ``slot``, whose
+    positions [0, start) are already resident (shared prefix pages).  Same
+    scheme as prefill_chunk — append the chunk's KV, then attend the chunk's
+    queries against the slot's whole cache with in-kernel position masks —
+    but against the PagedKVPool.  The gathered contiguous view
+    (pool.gather_slot) is the one-time prefill read of the prefix KV.
+
+    Returns (logits [1, C, V], pool).
+    """
+    b, c = tokens.shape
+    x = params["tok_emb"][tokens]
+    qpos = (start + jnp.arange(c))[None]
+    kvpos = jnp.arange(pool.max_pages * pool.page_size)[None]
+    cos, sin = rope_cos_sin(qpos, cfg.head_dim, cfg.rope_theta)
+    for i, blk in enumerate(params["blocks"]):
+        h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q = _proj(h, blk["wq"], interpret).reshape(b, c, cfg.num_heads, cfg.head_dim)
+        k = _proj(h, blk["wk"], interpret).reshape(b, c, cfg.num_kv_heads, cfg.head_dim)
+        v = _proj(h, blk["wv"], interpret).reshape(b, c, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)  # pool stores post-rope K
+        pool = pool.append_prefill(i, slot, k[0], v[0], start)
+        kc, vc = pool.gather_slot(i, slot, dtype=x.dtype)
+        attn = flash_attention(
+            q, kc, vc, q_positions=qpos, kv_positions=kvpos,
+            interpret=interpret,
+        )
+        x = x + _proj(
+            attn.reshape(b, c, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
+        )
+        x = _block_mlp(x, blk, cfg, interpret=interpret)
+    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+    return _proj(x.astype(jnp.float32), head, interpret), pool
+
+
 def prefill_packed(params, tokens, positions, segment_ids, cfg: LlamaConfig,
                    *, interpret=None):
     """Packed multi-prompt prefill (varlen, flash_attn.h:38-66 engine-side):
@@ -439,6 +478,11 @@ def make_adapter(cfg: LlamaConfig, *, interpret=None, eos_token=None,
         ),
         prefill_packed=lambda p, t, pos, seg: prefill_packed(
             p, t, pos, seg, cfg, interpret=interpret
+        ),
+        prefill_suffix_paged=lambda p, t, pool, slot, start: (
+            prefill_suffix_paged(
+                p, t, cfg, pool, slot, start, interpret=interpret
+            )
         ),
         num_layers=cfg.num_layers,
         num_kv_heads=cfg.num_kv_heads,

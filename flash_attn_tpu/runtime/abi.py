@@ -119,6 +119,14 @@ def load(build_if_missing=True):
     lib.fatpu_pool_release_slot.argtypes = [c_void_p, c_int32]
     lib.fatpu_pool_owner.restype = c_int32
     lib.fatpu_pool_owner.argtypes = [c_void_p, c_int32]
+    lib.fatpu_pool_transfer.restype = c_int32
+    lib.fatpu_pool_transfer.argtypes = [
+        c_void_p, POINTER(c_int32), c_int32, c_int32
+    ]
+    lib.fatpu_pool_release_pages.restype = c_int32
+    lib.fatpu_pool_release_pages.argtypes = [
+        c_void_p, POINTER(c_int32), c_int32
+    ]
     _lib = lib
     return lib
 
@@ -246,6 +254,19 @@ class PagePool:
 
     def owner(self, page: int) -> int:
         return self._lib.fatpu_pool_owner(self._pool, page)
+
+    def transfer(self, pages, new_slot: int) -> int:
+        """Move ownership of specific pages to ``new_slot`` (prefix-cache
+        donation); returns the number transferred."""
+        arr = (c_int32 * len(pages))(*pages)
+        return self._lib.fatpu_pool_transfer(
+            self._pool, arr, len(pages), new_slot
+        )
+
+    def release_pages(self, pages) -> int:
+        """Free specific pages (prefix-cache eviction); idempotent."""
+        arr = (c_int32 * len(pages))(*pages)
+        return self._lib.fatpu_pool_release_pages(self._pool, arr, len(pages))
 
     def __del__(self):
         if getattr(self, "_pool", None) and self._lib:

@@ -84,4 +84,38 @@ int32_t fatpu_pool_owner(fatpu_page_pool* pool, int32_t page) {
   return pool->owner[page];
 }
 
+// Transfer ownership of specific pages to `new_slot` (prefix-cache support:
+// a request's fully-written prompt pages are donated to the cache's pseudo-
+// slot so release_slot(request) leaves them resident).  Returns the number
+// transferred; pages that are free or out of range are skipped.
+int32_t fatpu_pool_transfer(fatpu_page_pool* pool, const int32_t* pages,
+                            int32_t n, int32_t new_slot) {
+  std::lock_guard<std::mutex> lock(pool->mu);
+  int32_t moved = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t p = pages[i];
+    if (p < 1 || p >= pool->num_pages || pool->owner[p] < 0) continue;
+    pool->owner[p] = new_slot;
+    ++moved;
+  }
+  return moved;
+}
+
+// Release specific pages back to the free list regardless of owner (prefix-
+// cache eviction).  Returns the number released; free/out-of-range pages
+// are skipped (idempotent).
+int32_t fatpu_pool_release_pages(fatpu_page_pool* pool, const int32_t* pages,
+                                 int32_t n) {
+  std::lock_guard<std::mutex> lock(pool->mu);
+  int32_t released = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t p = pages[i];
+    if (p < 1 || p >= pool->num_pages || pool->owner[p] < 0) continue;
+    pool->owner[p] = -1;
+    pool->free_list.push_back(p);
+    ++released;
+  }
+  return released;
+}
+
 }  // extern "C"

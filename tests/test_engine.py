@@ -375,3 +375,72 @@ def test_engine_sharded_kv_matches_unsharded():
     mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
     sharded = run(mesh)
     assert sharded == plain
+
+
+def test_paged_engine_prefix_cache():
+    """Automatic prefix caching (engine/prefix_cache.py): a second request
+    sharing a page-aligned prompt prefix reuses the donated pages (cache
+    hit, suffix-only prefill) and generates the same tokens as the engine
+    with prefix caching off."""
+    from flash_attn_tpu.engine.engine import PagedInferenceEngine
+    from flash_attn_tpu.models import llama as ll
+
+    cfg = ll.LLAMA_TINY
+    params = ll.init_params(cfg, jax.random.PRNGKey(0))
+    shared = list(range(1, 17))  # 16 tokens = 2 full pages of 8
+    p1 = shared + [21, 22, 23, 24]
+    p2 = shared + [31, 32]
+
+    def run(prefix_cache):
+        eng = PagedInferenceEngine(
+            params, ll.make_adapter(cfg, interpret=True),
+            max_batch=1, capacity=64, page_size=8,
+            cache_dtype=jnp.dtype(cfg.dtype), prefix_cache=prefix_cache,
+        )
+        r1 = eng.submit(p1, max_tokens=3)
+        eng.run()
+        r2 = eng.submit(p2, max_tokens=3)
+        eng.run()
+        assert r1.done and r2.done
+        return eng, r1.generated, r2.generated
+
+    eng_off, base1, base2 = run(False)
+    eng_on, got1, got2 = run(True)
+    np.testing.assert_array_equal(np.asarray(got1), np.asarray(base1))
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(base2))
+    # r2 hit the cache (r1 donated its 2 full prompt pages)
+    assert eng_on.prefix.hits == 1 and eng_on.prefix.misses == 1
+    assert eng_on.prefix.resident_pages >= 2
+    # donated pages stay resident (owned by the cache slot); everything a
+    # request owned privately went back to the free list
+    total = eng_on.pool.num_pages - 1
+    assert eng_on.alloc.free_count == total - eng_on.prefix.resident_pages
+    # all cache entries are unreferenced after completion -> evictable
+    freed = eng_on.prefix.evict(100, eng_on.alloc)
+    assert freed == eng_on.alloc.free_count - (total - freed - eng_on.prefix.resident_pages)
+    assert eng_on.alloc.free_count == total
+
+
+def test_prefix_cache_eviction_under_pressure():
+    """Admission that cannot be satisfied evicts unreferenced cache entries
+    (LRU) instead of deferring forever."""
+    from flash_attn_tpu.engine.engine import PagedInferenceEngine
+    from flash_attn_tpu.models import llama as ll
+
+    cfg = ll.LLAMA_TINY
+    params = ll.init_params(cfg, jax.random.PRNGKey(0))
+    eng = PagedInferenceEngine(
+        params, ll.make_adapter(cfg, interpret=True),
+        max_batch=1, capacity=32, page_size=8,
+        num_pages=5,  # 4 usable pages
+        cache_dtype=jnp.dtype(cfg.dtype), prefix_cache=True,
+    )
+    r1 = eng.submit(list(range(1, 18)), max_tokens=3)  # 17+3 -> 3 pages
+    eng.run()
+    assert r1.done
+    assert eng.prefix.resident_pages == 2  # donated full pages stay
+    # a DIFFERENT prompt needing all 4 pages forces eviction of both
+    r2 = eng.submit(list(range(40, 65)), max_tokens=6)  # 25+6 -> 4 pages
+    eng.run()
+    assert r2.done
+    assert eng.prefix.hits == 0 and eng.prefix.misses == 2
