@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flash_attn_tpu.ops.decode import _fast_cast
+from flash_attn_tpu.ops.decode import CLAMP2_DEC, LOG2E, _fast_cast
 from flash_attn_tpu.ops.flash_fwd import sdot
 
 NEG_INF = -1e30
@@ -56,13 +56,15 @@ def _paged_decode_kernel(
     has_k_scale: bool,
     has_v_scale: bool,
     out_dtype,
+    clamped: bool = False,
 ):
     b, pi = pl.program_id(0), pl.program_id(1)
     group = num_heads // num_heads_k
 
     @pl.when(pi == 0)
     def _init():
-        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
+        if not clamped:  # m never read in clamped mode
+            m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
@@ -71,50 +73,77 @@ def _paged_decode_kernel(
         jnp.float32 if q_ref.dtype == jnp.float32 else jnp.bfloat16
     )
 
-    @pl.when(pi * page < kv_len)
-    def _body():
+    def _body(need_mask):
         q = q_ref[0].astype(compute_dtype)  # [H, D]
+        # scalar softmax scale folded into q in-kernel ([H, D] multiply per
+        # step, not [H, page] on the scores — same finding as ops/decode.py
+        # r2j); clamped mode works in base-2 units, LOG2E rides the fold.
+        q = q * jnp.asarray(
+            scale * (LOG2E if clamped else 1.0), compute_dtype
+        )
         k = _fast_cast(k_ref[0], compute_dtype)  # [Hk, page, D]
         qg = q.reshape(num_heads_k, group, q.shape[-1])
         s = sdot(qg, k, (((2,), (2,)), ((0,), (0,))))  # [Hk, g, page] fp32
         if has_k_scale:
             s = s * ks_ref[0].astype(jnp.float32)  # [Hk, 1, page]
-        s = s.reshape(num_heads, page) * scale
+        s = s.reshape(num_heads, page)
 
-        col = pi * page + jax.lax.broadcasted_iota(
-            jnp.int32, (num_heads, page), 1
-        )
-        s = jnp.where(col < kv_len, s, NEG_INF)
+        if need_mask:
+            col = pi * page + jax.lax.broadcasted_iota(
+                jnp.int32, (num_heads, page), 1
+            )
+            s = jnp.where(col < kv_len, s, NEG_INF)
 
-        m_prev = m_scratch[:, :1]
         l_prev = l_scratch[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
-        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+        if clamped:
+            # no running max (ops/decode.py softmax_mode="clamped"
+            # contract): masked NEG_INF cols exp2 to exactly 0
+            p = jax.lax.exp2(jnp.minimum(s, CLAMP2_DEC))
+            alpha = None
+            l_new = l_prev + jnp.sum(p, axis=1, keepdims=True)
+        else:
+            m_prev = m_scratch[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            # narrow [:, :1] stat writes, not 128-lane broadcasts (~+4%,
+            # same finding as the contiguous decode kernel)
+            m_scratch[:, :1] = m_new
+        l_scratch[:, :1] = l_new
 
         v = _fast_cast(v_ref[0], compute_dtype)  # [Hk, page, D]
         pg = p.reshape(num_heads_k, group, page)
         if has_v_scale:
             pg = pg * vs_ref[0].astype(jnp.float32)
         o = sdot(pg.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))))
-        acc_scratch[...] = acc_scratch[...] * alpha + o.reshape(
-            num_heads, v.shape[-1]
-        )
+        o = o.reshape(num_heads, v.shape[-1])
+        if clamped:
+            acc_scratch[...] = acc_scratch[...] + o
+        else:
+            acc_scratch[...] = acc_scratch[...] * alpha + o
+
+    # mask generation only on the page straddling kv_len; fully-valid pages
+    # (the common case) take the maskless body
+    live = pi * page < kv_len
+    full = (pi + 1) * page <= kv_len
+    pl.when(live & full)(lambda: _body(False))
+    pl.when(live & ~full)(lambda: _body(True))
 
     @pl.when(pi == num_page_steps - 1)
     def _finalize():
-        m = m_scratch[:, :1]
         l = l_scratch[:, :1]
-        valid = (l > 0.0) & (m > NEG_INF / 2)
+        if clamped:
+            valid = l > 0.0
+            lse_raw = jnp.log(jnp.where(valid, l, 1.0))
+        else:
+            m = m_scratch[:, :1]
+            valid = (l > 0.0) & (m > NEG_INF / 2)
+            lse_raw = m + jnp.log(jnp.where(valid, l, 1.0))
         o_ref[0] = jnp.where(
             valid, acc_scratch[...] / jnp.where(valid, l, 1.0), 0.0
         ).astype(out_dtype)
-        lse_ref[0] = jnp.where(
-            valid, m + jnp.log(jnp.where(valid, l, 1.0)), NEG_INF
-        ).astype(jnp.float32)
+        lse_ref[0] = jnp.where(valid, lse_raw, NEG_INF).astype(jnp.float32)
 
 
 def paged_flash_decode(
@@ -129,12 +158,16 @@ def paged_flash_decode(
     scale: float | None = None,
     interpret: bool | None = None,
     return_lse: bool = False,
+    softmax_mode: str = "online",
 ):
     """Single-token decode attention over a paged KV pool.
 
     q: [B, H, D]; pools/tables as module docstring. Returns out [B, H, D]
-    (+ lse [B, H] fp32 with return_lse).
+    (+ lse [B, H] fp32 with return_lse).  softmax_mode as in
+    ops/decode.flash_decode ("clamped" drops the running max).
     """
+    if softmax_mode not in ("online", "clamped"):
+        raise ValueError(f"unknown softmax_mode {softmax_mode!r}")
     batch, num_heads, head_dim = q.shape
     num_pages, num_heads_k, page, _ = k_pages.shape
     max_pages = block_table.shape[1]
@@ -177,6 +210,7 @@ def paged_flash_decode(
         has_k_scale=has_ks,
         has_v_scale=has_vs,
         out_dtype=q.dtype,
+        clamped=softmax_mode == "clamped",
     )
 
     out, lse = pl.pallas_call(

@@ -444,3 +444,37 @@ def test_prefix_cache_eviction_under_pressure():
     eng.run()
     assert r2.done
     assert eng.prefix.hits == 0 and eng.prefix.misses == 2
+
+
+def test_paged_decode_clamped_matches_online():
+    """Paged kernel softmax_mode='clamped' == online (out + lse), incl. a
+    partially-filled last page and an empty sequence."""
+    from flash_attn_tpu.ops.paged_decode import paged_flash_decode
+
+    key = jax.random.PRNGKey(7)
+    L, B, Hk, D = 1, 3, 2, 32
+    page, npages, maxp = 8, 16, 4
+    pool = PagedKVPool.create(L, npages, page, B, maxp, Hk, D, dtype=jnp.float32)
+    pool = (pool.assign_pages(0, [1, 2, 3, 4])
+                .assign_pages(1, [5, 6, 7, 8])
+                .assign_pages(2, [9, 10, 11, 12]))
+    T = 19
+    ks = jax.random.normal(key, (T, B, Hk, D))
+    vs = jax.random.normal(jax.random.PRNGKey(8), (T, B, Hk, D))
+    for t in range(T):
+        pool = pool.append_token(0, ks[t], vs[t]).advance(1)
+    pool = pool.set_lengths([19, 11, 0])
+
+    q = jax.random.normal(jax.random.PRNGKey(9), (B, 4, D))
+    args = (q, pool.k_pages[0], pool.v_pages[0], pool.block_table, pool.length)
+    want, want_lse = paged_flash_decode(
+        *args, interpret=True, return_lse=True
+    )
+    got, lse = paged_flash_decode(
+        *args, interpret=True, return_lse=True, softmax_mode="clamped"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-4, rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(lse[:2]), np.asarray(want_lse[:2]),
+                               atol=3e-4, rtol=3e-4)
+    assert np.all(np.asarray(lse[2]) <= -1e29)  # empty seq -> invalid rows
