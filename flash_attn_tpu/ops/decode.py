@@ -158,6 +158,7 @@ def flash_decode(
     return_lse: bool = False,
     kv_layout: str = "bshd",
     softmax_mode: str = "online",
+    window: int | None = None,
 ):
     """Single-token decode attention over a (possibly quantized) KV cache.
 
@@ -173,6 +174,10 @@ def flash_decode(
       num_splits: split-KV parallelism ≙ flash_attn.h:94.
       k_scale, v_scale: dequant scales, broadcastable to [B, S, Hk, D]
         (per-head or per-block granularity).
+      window: sliding-window (local) attention — attend only to the last
+        ``window`` positions of the cache (Mistral-style).  Blocks entirely
+        below the window skip their DMA via the clamped index maps, so a
+        windowed decode over a long cache streams only ~window bytes.
       softmax_mode: "online" (default) or "clamped" — drop the running max
         entirely (p = 2^min(s2, 80), base-2 scores; fp8 ceiling 40).  Exact
         for natural-units attention logits below 55 (27 with fp8 KV) — see
@@ -201,25 +206,29 @@ def flash_decode(
 
     if softmax_mode not in ("online", "clamped"):
         raise ValueError(f"unknown softmax_mode {softmax_mode!r}")
+    if window is not None and window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     if use_kernel and kv_layout == "bhsd":
         return _decode_kernel_call_bhsd(
             q, k, v, kv_length, scale=scale, k_scale=k_scale, v_scale=v_scale,
             block_k=block_k, interpret=interpret, return_lse=return_lse,
-            num_splits=num_splits, softmax_mode=softmax_mode,
+            num_splits=num_splits, softmax_mode=softmax_mode, window=window,
         )
     if kv_layout == "bhsd":
         k = jnp.swapaxes(k, 1, 2)
         v = jnp.swapaxes(v, 1, 2)
         k_scale = None if k_scale is None else jnp.swapaxes(k_scale, 1, 2)
         v_scale = None if v_scale is None else jnp.swapaxes(v_scale, 1, 2)
-    if use_kernel:
+    if use_kernel and window is None:
         return _decode_kernel_call(
             q, k, v, kv_length, scale=scale, k_scale=k_scale, v_scale=v_scale,
             block_k=block_k, interpret=interpret, return_lse=return_lse,
         )
+    # jnp oracle (also the window path for the legacy BSHD kernel layout)
     return _decode_jnp(
         q, k, v, kv_length, scale=scale, num_splits=num_splits,
         k_scale=k_scale, v_scale=v_scale, return_lse=return_lse,
+        window=window,
     )
 
 
@@ -239,6 +248,7 @@ def flash_decode_chunk(
     return_lse: bool = False,
     kv_layout: str = "bhsd",
     softmax_mode: str = "online",
+    window: int | None = None,
 ):
     """Multi-token ("chunk") decode: T new tokens per sequence against a
     (possibly quantized) KV cache, causal within the chunk.  This is the
@@ -289,6 +299,7 @@ def flash_decode_chunk(
             k_scale=k_scale, v_scale=v_scale, block_k=block_k,
             interpret=interpret, return_lse=return_lse,
             num_splits=num_splits, chunk=chunk, softmax_mode=softmax_mode,
+            window=window,
         )
         out = res[0] if return_lse else res
 
@@ -313,11 +324,12 @@ def flash_decode_chunk(
     return _decode_chunk_jnp(
         q, k, v, jnp.asarray(kv_length, jnp.int32), scale=scale,
         k_scale=k_scale, v_scale=v_scale, return_lse=return_lse,
+        window=window,
     )
 
 
 def _decode_chunk_jnp(q, k, v, kv_length, *, scale, k_scale, v_scale,
-                      return_lse=False):
+                      return_lse=False, window=None):
     """jnp oracle for chunk decode: correctness spec for the kernel."""
     batch, chunk, num_heads, head_dim = q.shape
     seqlen_k = k.shape[1]
@@ -328,6 +340,8 @@ def _decode_chunk_jnp(q, k, v, kv_length, *, scale, k_scale, v_scale,
     pos = jnp.arange(seqlen_k)
     limit = kv_length[:, None] - chunk + 1 + jnp.arange(chunk)[None]  # [B,T]
     valid = pos[None, None, :] < limit[:, :, None]  # [B, T, S]
+    if window is not None:
+        valid &= pos[None, None, :] >= (limit - window)[:, :, None]
     s = jnp.where(valid[:, None], s, float("-inf"))
     m = jnp.max(s, axis=-1, keepdims=True)
     safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
@@ -353,7 +367,7 @@ def _dequant(x, x_scale):
 
 
 def _decode_jnp(q, k, v, kv_length, *, scale, num_splits, k_scale, v_scale,
-                return_lse=False):
+                return_lse=False, window=None):
     """jnp oracle for split-KV decode: correctness spec for the kernel."""
     batch, num_heads, head_dim = q.shape
     seqlen_k = k.shape[1]
@@ -376,6 +390,8 @@ def _decode_jnp(q, k, v, kv_length, *, scale, num_splits, k_scale, v_scale,
         s = jnp.einsum("bhd,bkhd->bhk", qf, kf[:, lo:hi]) * scale
         pos = jnp.arange(lo, hi)
         valid = pos[None, None, :] < kv_length[:, None, None]
+        if window is not None:
+            valid &= pos[None, None, :] >= (kv_length - window)[:, None, None]
         s = jnp.where(valid, s, float("-inf"))
         m = jnp.max(s, axis=-1, keepdims=True)
         safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
@@ -599,7 +615,7 @@ _SPLIT_BODY = True
 
 def _decode_kernel_bhsd(
     kvlen_ref,  # scalar prefetch [B]
-    kvlast_ref,  # scalar prefetch [B]: last useful block index (host-side)
+    kvclamp_ref,  # scalar prefetch [2, B]: last/first live block (host-side)
     q_ref,      # [1, H, D]
     k_ref,      # [1, Hk, bk, D]
     v_ref,      # [1, Hk, bk, D]
@@ -623,6 +639,7 @@ def _decode_kernel_bhsd(
     chunk: int,
     out_dtype,
     clamped: bool = False,
+    window: int | None = None,
 ):
     # Default grid (batch, k_block).  With num_splits > 1 the grid grows a
     # middle split axis ≙ the reference's num_splits (flash_attn.h:94) —
@@ -701,7 +718,13 @@ def _decode_kernel_bhsd(
                 limit = kv_len - (chunk - 1) + t
             else:
                 limit = kv_len
-            s = jnp.where(col < limit, s, NEG_INF)
+            keep = col < limit
+            if window is not None:
+                # sliding-window decode (Mistral-style local attention):
+                # each (virtual-head) row attends to the last `window`
+                # positions below its causal limit
+                keep &= col >= limit - window
+            s = jnp.where(keep, s, NEG_INF)
 
         l_prev = l_scratch[:, :1]
         if clamped:
@@ -769,10 +792,16 @@ def _decode_kernel_bhsd(
     # blocks — the common case decoding near a full cache — take the
     # maskless body.  Top-level pl.when regions are skipped cheaply.
     live = ki_global * block_k < kv_len
+    if window is not None:
+        # block intersects the LOOSEST row window (t=0's lower bound)
+        live &= (ki_global + 1) * block_k > kv_len - (chunk - 1) - window
     if _SPLIT_BODY:
         # A block is maskless only if valid for the STRICTEST chunk row
         # (t=0, limit kv_len - chunk + 1); rows up to kv_len keep it live.
         full = (ki_global + 1) * block_k <= kv_len - (chunk - 1)
+        if window is not None:
+            # ... and above the strictest lower bound (t=chunk-1's window)
+            full &= ki_global * block_k >= kv_len - window
         pl.when(live & full)(lambda: _body(False))
         pl.when(live & ~full)(lambda: _body(True))
     else:
@@ -816,7 +845,8 @@ def _decode_kernel_bhsd(
 
 def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
                              block_k, interpret, return_lse=False,
-                             num_splits=1, chunk=1, softmax_mode="online"):
+                             num_splits=1, chunk=1, softmax_mode="online",
+                             window=None):
     batch, num_heads, head_dim = q.shape
     _, num_heads_k, seqlen_k, _ = k.shape
 
@@ -858,20 +888,33 @@ def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
     ks = scales_arg(k_scale)
     vs = scales_arg(v_scale)
 
-    # Host-precomputed last useful block index per sequence (avoids a scalar
-    # divide in the index map, which runs every grid step).
+    # Host-precomputed first/last useful block index per sequence (avoids a
+    # scalar divide in the index map, which runs every grid step).  Row 0 =
+    # last live block; row 1 = first live block (0 unless sliding-window).
     kv_last = (jnp.maximum(kv_length.astype(jnp.int32) - 1, 0)
                // block_k).astype(jnp.int32)
+    if window is None:
+        kv_first = jnp.zeros_like(kv_last)
+    else:
+        kv_first = (
+            jnp.maximum(kv_length.astype(jnp.int32) - (chunk - 1) - window, 0)
+            // block_k
+        ).astype(jnp.int32)
+    kv_clamp = jnp.stack([kv_last, kv_first])  # [2, B]
 
     has_split_dim = num_splits > 1
 
-    def clamp_ki(ki_global, b, kvlast_ref):
-        # Clamp dead blocks (beyond this sequence's kv_len) to the last
-        # useful block index: Pallas sees an unchanged index and skips the
-        # DMA, so a partially-filled cache streams only live bytes.
+    def clamp_ki(ki_global, b, kvclamp_ref):
+        # Clamp dead blocks (beyond this sequence's kv_len, or below its
+        # sliding window) to the nearest live block index: Pallas sees an
+        # unchanged index and skips the DMA, so a partially-filled cache —
+        # or a windowed decode over a long cache — streams only live bytes.
         if not _DMA_CLAMP:
             return ki_global
-        return jnp.minimum(ki_global, kvlast_ref[b])
+        kg = ki_global
+        if window is not None:
+            kg = jnp.maximum(kg, kvclamp_ref[1, b])
+        return jnp.minimum(kg, kvclamp_ref[0, b])
 
     if has_split_dim:
         def kv_block(b, sp, ki, kvlen_ref, kvlast_ref):
@@ -946,6 +989,7 @@ def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
         chunk=chunk,
         out_dtype=q.dtype,
         clamped=softmax_mode == "clamped",
+        window=window,
     )
 
     out, lse = pl.pallas_call(
@@ -988,7 +1032,7 @@ def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
             transcendentals=batch * num_heads * seqlen_k,
         ),
         interpret=interpret,
-    )(kv_length.astype(jnp.int32), kv_last, q, k, v, ks, vs)
+    )(kv_length.astype(jnp.int32), kv_clamp, q, k, v, ks, vs)
     if has_split_dim:
         out, lse = lse_merge(
             jnp.swapaxes(out, 0, 1), jnp.swapaxes(lse[..., 0], 0, 1), axis=0

@@ -305,3 +305,46 @@ def test_decode_clamped_scores_above_ceiling_clamp_gracefully():
     np.testing.assert_allclose(
         np.asarray(out)[0, 0, 0], (S - 1) / 2.0, rtol=1e-3
     )
+
+
+def test_decode_sliding_window():
+    """window=W == full decode over only the last W cache positions
+    (Mistral-style local attention at decode), kernel vs jnp oracle, with
+    ragged lengths, GQA, and both softmax modes."""
+    q, k, v = setup(jax.random.PRNGKey(50), 3, 384, 8, 2, 64)
+    lens = jnp.asarray([384, 200, 60], jnp.int32)
+    kt, vt = jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
+    W = 100
+    want = flash_decode(q, k, v, kv_length=lens, use_kernel=False,
+                        interpret=True, window=W)
+    for sm in ("online", "clamped"):
+        got = flash_decode(q, kt, vt, kv_length=lens, kv_layout="bhsd",
+                           block_k=128, interpret=True, window=W,
+                           softmax_mode=sm)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-4, rtol=3e-4)
+    # window >= kv_len == no window at all
+    full = flash_decode(q, kt, vt, kv_length=lens, kv_layout="bhsd",
+                        block_k=128, interpret=True)
+    winbig = flash_decode(q, kt, vt, kv_length=lens, kv_layout="bhsd",
+                          block_k=128, interpret=True, window=4096)
+    np.testing.assert_allclose(np.asarray(winbig), np.asarray(full),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_decode_chunk_sliding_window():
+    """Chunk decode with a sliding window: per-row causal limit AND per-row
+    window lower bound, kernel vs jnp oracle."""
+    from flash_attn_tpu.ops.decode import flash_decode_chunk
+
+    q = jax.random.normal(jax.random.PRNGKey(51), (2, 3, 4, 64))
+    _, k, v = setup(jax.random.PRNGKey(52), 2, 256, 4, 2, 64)
+    kt, vt = jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
+    lens = jnp.asarray([256, 130], jnp.int32)
+    W = 64
+    want = flash_decode_chunk(q, kt, vt, kv_length=lens, kv_layout="bhsd",
+                              use_kernel=False, interpret=True, window=W)
+    got = flash_decode_chunk(q, kt, vt, kv_length=lens, kv_layout="bhsd",
+                             block_k=128, interpret=True, window=W)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-4, rtol=3e-4)
