@@ -50,6 +50,9 @@ class MixtralConfig:
     rms_eps: float = 1e-5
     max_position: int = 32768
     dtype: str = "bfloat16"
+    # Mistral-style sliding-window attention: each token attends to the
+    # previous (sliding_window - 1) tokens plus itself.  None = global.
+    sliding_window: int | None = None
 
 
 MIXTRAL_8X7B = MixtralConfig()
@@ -133,8 +136,11 @@ def forward(params, tokens, cfg: MixtralConfig, *, positions=None,
         v = _proj(h, blk["wv"], interpret).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        wnd = (
+            None if cfg.sliding_window is None else (cfg.sliding_window - 1, -1)
+        )
         attn = flash_attention(
-            q, k, v, causal=True,
+            q, k, v, causal=True, window=wnd,
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
             interpret=interpret,
         )
@@ -161,7 +167,11 @@ def prefill_with_kv(params, tokens, positions, cfg: MixtralConfig, *,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         kvs.append((k, v))
-        attn = flash_attention(q, k, v, causal=True, interpret=interpret)
+        wnd = (
+            None if cfg.sliding_window is None else (cfg.sliding_window - 1, -1)
+        )
+        attn = flash_attention(q, k, v, causal=True, window=wnd,
+                               interpret=interpret)
         x = x + _proj(
             attn.reshape(b, s, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
         )
@@ -185,8 +195,11 @@ def prefill_packed(params, tokens, positions, segment_ids, cfg: MixtralConfig,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         kvs.append((k, v))
+        wnd = (
+            None if cfg.sliding_window is None else (cfg.sliding_window - 1, -1)
+        )
         attn = flash_attention(
-            q, k, v,
+            q, k, v, window=wnd,
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
             q_positions=positions, kv_positions=positions,
             interpret=interpret,
@@ -217,6 +230,7 @@ def decode_step(params, token, cfg: MixtralConfig, cache: KVCache, *,
         attn = flash_decode(
             q[:, 0], kc, vc, k_scale=ks, v_scale=vs,
             kv_length=cache.length + 1, kv_layout="bhsd", interpret=interpret,
+            window=cfg.sliding_window,
         )
         x = x + _proj(
             attn.reshape(b, 1, cfg.num_heads * cfg.head_dim), blk["wo"], interpret

@@ -135,3 +135,37 @@ def test_moe_ep_matches_dense(tiny):
     want = moe_ffn_reference(x, router, wg, wu, wd, top_k=cfg.top_k)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_sliding_window_decode_matches_forward():
+    """cfg.sliding_window: prefill (fwd-kernel window mask) and cached
+    decode (flash_decode window) agree end-to-end, and the window actually
+    changes the result vs global attention."""
+    import dataclasses
+
+    cfg = dataclasses.replace(mx.MIXTRAL_TINY, sliding_window=6)
+    params = mx.init_params(cfg, jax.random.PRNGKey(7))
+    prompt = jax.random.randint(jax.random.PRNGKey(8), (1, 12), 0, cfg.vocab_size)
+
+    logits_all, kvs = mx.prefill_with_kv(
+        params, prompt, jnp.arange(12)[None], cfg, interpret=True
+    )
+    full = mx.forward(params, prompt, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(logits_all), np.asarray(full),
+                               atol=2e-3, rtol=2e-3)
+    # windowed differs from global at positions past the window
+    cfg_glob = dataclasses.replace(cfg, sliding_window=None)
+    glob = mx.forward(params, prompt, cfg_glob, interpret=True)
+    assert float(jnp.max(jnp.abs(full[:, -1] - glob[:, -1]))) > 1e-4
+
+    cache = mx.make_cache(cfg, 1, 32)
+    for i, (k, v) in enumerate(kvs):
+        cache = cache.append(i, k, v)
+    cache = cache.advance(12)
+    tok = jnp.argmax(logits_all[:, -1], -1)
+    logits_d, cache = mx.decode_step(params, tok, cfg, cache, interpret=True)
+    full2 = mx.forward(
+        params, jnp.concatenate([prompt, tok[:, None]], 1), cfg, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(logits_d), np.asarray(full2[:, -1]),
+                               atol=5e-3, rtol=5e-3)
