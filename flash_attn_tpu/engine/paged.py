@@ -176,10 +176,9 @@ class PagedKVPool:
 
     def gather_slot(self, layer: int, slot, dtype=jnp.float32):
         """One slot's contiguous dequantized KV view [1, mp*page, Hk, D]
-        (float).  Used by the prefix-cache suffix prefill, where reading the
-        whole resident prefix once is inherent to the computation (the
-        chunk's queries attend to every cached position) — unlike the
-        decode hot path, which must stay paged (ops/paged_decode.py)."""
+        (float) — correctness oracle / debug utility.  The suffix prefill
+        used this in its first cut; it now streams pages directly via
+        ops/paged_decode.paged_flash_decode_chunk."""
         table = self.block_table[slot]  # [mp]
 
         def g(buf):

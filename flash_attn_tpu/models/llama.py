@@ -224,42 +224,63 @@ def prefill_chunk(params, tokens, cfg: LlamaConfig, cache: KVCache, slot,
 
 
 def prefill_suffix_paged(params, tokens, cfg: LlamaConfig, pool, slot,
-                         start, *, interpret=None):
+                         start, *, interpret=None, sub_chunk: int = 128):
     """Prefix-cache suffix prefill (engine/prefix_cache.py): chunk tokens
     [1, C] at positions [start, start+C) of paged-pool ``slot``, whose
-    positions [0, start) are already resident (shared prefix pages).  Same
-    scheme as prefill_chunk — append the chunk's KV, then attend the chunk's
-    queries against the slot's whole cache with in-kernel position masks —
-    but against the PagedKVPool.  The gathered contiguous view
-    (pool.gather_slot) is the one-time prefill read of the prefix KV.
+    positions [0, start) are already resident (shared prefix pages).
+    Per layer: append the chunk's KV to the pool, then attend the chunk's
+    queries straight against the slot's pages with the paged chunk kernel
+    (ops/paged_decode.paged_flash_decode_chunk) — no gather, the prefix KV
+    streams from its pages exactly once.  The suffix is processed in
+    ``sub_chunk``-token pieces (each piece through all layers before the
+    next) so the kernel's virtual-head scratch stays inside VMEM.
 
     Returns (logits [1, C, V], pool).
     """
+    from flash_attn_tpu.ops.paged_decode import paged_flash_decode_chunk
+
     b, c = tokens.shape
-    x = params["tok_emb"][tokens]
-    qpos = (start + jnp.arange(c))[None]
-    kvpos = jnp.arange(pool.max_pages * pool.page_size)[None]
-    cos, sin = rope_cos_sin(qpos, cfg.head_dim, cfg.rope_theta)
-    for i, blk in enumerate(params["blocks"]):
-        h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        q = _proj(h, blk["wq"], interpret).reshape(b, c, cfg.num_heads, cfg.head_dim)
-        k = _proj(h, blk["wk"], interpret).reshape(b, c, cfg.num_kv_heads, cfg.head_dim)
-        v = _proj(h, blk["wv"], interpret).reshape(b, c, cfg.num_kv_heads, cfg.head_dim)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)  # pool stores post-rope K
-        pool = pool.append_prefill(i, slot, k[0], v[0], start)
-        kc, vc = pool.gather_slot(i, slot, dtype=x.dtype)
-        attn = flash_attention(
-            q, kc, vc, q_positions=qpos, kv_positions=kvpos,
-            interpret=interpret,
-        )
-        x = x + _proj(
-            attn.reshape(b, c, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
-        )
-        x = _block_mlp(x, blk, cfg, interpret=interpret)
-    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
-    head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
-    return _proj(x.astype(jnp.float32), head, interpret), pool
+
+    def one_chunk(toks_cc, start_cc, pool):
+        cc = toks_cc.shape[1]
+        x = params["tok_emb"][toks_cc]
+        qpos = (start_cc + jnp.arange(cc))[None]
+        cos, sin = rope_cos_sin(qpos, cfg.head_dim, cfg.rope_theta)
+        kv_len = jnp.reshape(start_cc + cc, (1,))  # includes this chunk
+        table = pool.block_table[slot][None]
+        for i, blk in enumerate(params["blocks"]):
+            h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+            q = _proj(h, blk["wq"], interpret).reshape(
+                b, cc, cfg.num_heads, cfg.head_dim)
+            k = _proj(h, blk["wk"], interpret).reshape(
+                b, cc, cfg.num_kv_heads, cfg.head_dim)
+            v = _proj(h, blk["wv"], interpret).reshape(
+                b, cc, cfg.num_kv_heads, cfg.head_dim)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)  # pool stores post-rope K
+            pool = pool.append_prefill(i, slot, k[0], v[0], start_cc)
+            attn = paged_flash_decode_chunk(
+                q, pool.k_pages[i], pool.v_pages[i], table, kv_len,
+                k_scale=None if pool.k_scale is None else pool.k_scale[i],
+                v_scale=None if pool.v_scale is None else pool.v_scale[i],
+                interpret=interpret,
+            )
+            x = x + _proj(
+                attn.reshape(b, cc, cfg.num_heads * cfg.head_dim),
+                blk["wo"], interpret,
+            )
+            x = _block_mlp(x, blk, cfg, interpret=interpret)
+        x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+        head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+        return _proj(x.astype(jnp.float32), head, interpret), pool
+
+    parts = []
+    for off in range(0, c, sub_chunk):
+        cc = min(sub_chunk, c - off)
+        logits_cc, pool = one_chunk(tokens[:, off:off + cc], start + off, pool)
+        parts.append(logits_cc)
+    logits = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    return logits, pool
 
 
 def prefill_packed(params, tokens, positions, segment_ids, cfg: LlamaConfig,

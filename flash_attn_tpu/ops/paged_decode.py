@@ -57,6 +57,7 @@ def _paged_decode_kernel(
     has_v_scale: bool,
     out_dtype,
     clamped: bool = False,
+    chunk: int = 1,
 ):
     b, pi = pl.program_id(0), pl.program_id(1)
     group = num_heads // num_heads_k
@@ -92,7 +93,19 @@ def _paged_decode_kernel(
             col = pi * page + jax.lax.broadcasted_iota(
                 jnp.int32, (num_heads, page), 1
             )
-            s = jnp.where(col < kv_len, s, NEG_INF)
+            if chunk > 1:
+                # Chunk mode (paged_flash_decode_chunk): rows are virtual
+                # heads in (hk, t, g) order; chunk token t attends to
+                # positions < kv_len - chunk + 1 + t (same scheme as
+                # ops/decode.py's chunk decode).
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, (num_heads, 1), 0
+                )
+                t = (row % group) // (group // chunk)
+                limit = kv_len - (chunk - 1) + t
+            else:
+                limit = kv_len
+            s = jnp.where(col < limit, s, NEG_INF)
 
         l_prev = l_scratch[:, :1]
         if clamped:
@@ -124,9 +137,10 @@ def _paged_decode_kernel(
             acc_scratch[...] = acc_scratch[...] * alpha + o
 
     # mask generation only on the page straddling kv_len; fully-valid pages
-    # (the common case) take the maskless body
+    # (the common case) take the maskless body.  In chunk mode a page is
+    # maskless only if valid for the strictest row (t=0).
     live = pi * page < kv_len
-    full = (pi + 1) * page <= kv_len
+    full = (pi + 1) * page <= kv_len - (chunk - 1)
     pl.when(live & full)(lambda: _body(False))
     pl.when(live & ~full)(lambda: _body(True))
 
@@ -159,12 +173,14 @@ def paged_flash_decode(
     interpret: bool | None = None,
     return_lse: bool = False,
     softmax_mode: str = "online",
+    chunk: int = 1,
 ):
     """Single-token decode attention over a paged KV pool.
 
     q: [B, H, D]; pools/tables as module docstring. Returns out [B, H, D]
     (+ lse [B, H] fp32 with return_lse).  softmax_mode as in
-    ops/decode.flash_decode ("clamped" drops the running max).
+    ops/decode.flash_decode ("clamped" drops the running max).  ``chunk``
+    is internal (use paged_flash_decode_chunk): q rows are virtual heads.
     """
     if softmax_mode not in ("online", "clamped"):
         raise ValueError(f"unknown softmax_mode {softmax_mode!r}")
@@ -211,6 +227,7 @@ def paged_flash_decode(
         has_v_scale=has_vs,
         out_dtype=q.dtype,
         clamped=softmax_mode == "clamped",
+        chunk=chunk,
     )
 
     out, lse = pl.pallas_call(
@@ -265,4 +282,61 @@ def paged_flash_decode(
     )
     if return_lse:
         return out, lse[..., 0]
+    return out
+
+
+def paged_flash_decode_chunk(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    block_table: jax.Array,
+    kv_length: jax.Array,
+    *,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+    scale: float | None = None,
+    interpret: bool | None = None,
+    return_lse: bool = False,
+    softmax_mode: str = "online",
+):
+    """Multi-token ("chunk") attention over a paged KV pool: T query tokens
+    per sequence, causal within the chunk — the paged analog of
+    ops/decode.flash_decode_chunk (chunked/suffix prefill and speculative
+    verify read the cache once, straight from the pages, no gather).
+
+    q: [B, T, H, D].  The pool must already hold the chunk's own KV at
+    positions kv_length-T .. kv_length-1 (append first, then score).
+    kv_length INCLUDES the chunk's T tokens; chunk token t attends to
+    positions < kv_length - T + 1 + t.
+
+    Returns out [B, T, H, D] (+ lse [B, T, H] with return_lse).
+    """
+    batch, chunk, num_heads, head_dim = q.shape
+    num_heads_k = k_pages.shape[1]
+    group = num_heads // num_heads_k
+    # (hk, t, g)-major virtual heads: each kv head's rows stay contiguous
+    # so the kernel's [Hk, group', D] reshape needs no in-kernel transpose
+    q2 = (
+        q.reshape(batch, chunk, num_heads_k, group, head_dim)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(batch, num_heads_k * chunk * group, head_dim)
+    )
+    res = paged_flash_decode(
+        q2, k_pages, v_pages, block_table, kv_length, k_scale=k_scale,
+        v_scale=v_scale, scale=scale, interpret=interpret,
+        return_lse=return_lse, softmax_mode=softmax_mode, chunk=chunk,
+    )
+    out = res[0] if return_lse else res
+
+    def unshuffle(x):
+        rest = x.shape[2:]
+        return (
+            x.reshape(batch, num_heads_k, chunk, group, *rest)
+            .transpose(0, 2, 1, 3, *range(4, 4 + len(rest)))
+            .reshape(batch, chunk, num_heads, *rest)
+        )
+
+    out = unshuffle(out)
+    if return_lse:
+        return out, unshuffle(res[1])
     return out

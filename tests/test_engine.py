@@ -478,3 +478,56 @@ def test_paged_decode_clamped_matches_online():
     np.testing.assert_allclose(np.asarray(lse[:2]), np.asarray(want_lse[:2]),
                                atol=3e-4, rtol=3e-4)
     assert np.all(np.asarray(lse[2]) <= -1e29)  # empty seq -> invalid rows
+
+
+def test_paged_chunk_matches_contiguous_chunk():
+    """paged_flash_decode_chunk == flash_decode_chunk over the same cache
+    content (the paged suffix-prefill/verify primitive), incl. quantized
+    pages and clamped mode."""
+    from flash_attn_tpu.ops.decode import flash_decode_chunk
+    from flash_attn_tpu.ops.paged_decode import paged_flash_decode_chunk
+
+    key = jax.random.PRNGKey(21)
+    L, B, Hk, H, D = 1, 2, 2, 4, 32
+    page, npages, maxp = 8, 12, 4
+    T = 4  # chunk
+    for mode in ("none", "int8"):
+        pool = PagedKVPool.create(L, npages, page, B, maxp, Hk, D,
+                                  dtype=jnp.float32, mode=mode)
+        pool = pool.assign_pages(0, [1, 2, 3, 4]).assign_pages(1, [5, 6, 7, 8])
+        S = 22  # includes the chunk's 4 tokens; seq1 shorter
+        ks = jax.random.normal(key, (S, B, Hk, D))
+        vs = jax.random.normal(jax.random.PRNGKey(22), (S, B, Hk, D))
+        for t in range(S):
+            pool = pool.append_token(0, ks[t], vs[t]).advance(1)
+        lens = jnp.asarray([22, 13], jnp.int32)
+        pool = pool.set_lengths(lens)
+
+        q = jax.random.normal(jax.random.PRNGKey(23), (B, T, H, D))
+        got = paged_flash_decode_chunk(
+            q, pool.k_pages[0], pool.v_pages[0], pool.block_table, lens,
+            k_scale=None if pool.k_scale is None else pool.k_scale[0],
+            v_scale=None if pool.v_scale is None else pool.v_scale[0],
+            interpret=True,
+        )
+        gotc = paged_flash_decode_chunk(
+            q, pool.k_pages[0], pool.v_pages[0], pool.block_table, lens,
+            k_scale=None if pool.k_scale is None else pool.k_scale[0],
+            v_scale=None if pool.v_scale is None else pool.v_scale[0],
+            interpret=True, softmax_mode="clamped",
+        )
+        # contiguous reference over the same (quantized) cache content
+        k_contig = jnp.swapaxes(ks, 0, 1)  # [B, S, Hk, D] float source
+        v_contig = jnp.swapaxes(vs, 0, 1)
+        from flash_attn_tpu.ops.quant import quantize_kv
+        kq, ksc, vq, vsc = quantize_kv(k_contig, v_contig, mode)
+        want = flash_decode_chunk(
+            q, jnp.swapaxes(kq, 1, 2), jnp.swapaxes(vq, 1, 2),
+            k_scale=None if ksc is None else jnp.swapaxes(ksc, 1, 2),
+            v_scale=None if vsc is None else jnp.swapaxes(vsc, 1, 2),
+            kv_length=lens, kv_layout="bhsd", block_k=128, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-4, rtol=3e-4, err_msg=mode)
+        np.testing.assert_allclose(np.asarray(gotc), np.asarray(want),
+                                   atol=3e-4, rtol=3e-4, err_msg=mode)
