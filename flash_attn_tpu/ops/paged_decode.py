@@ -58,6 +58,7 @@ def _paged_decode_kernel(
     out_dtype,
     clamped: bool = False,
     chunk: int = 1,
+    window: int | None = None,
 ):
     b, pi = pl.program_id(0), pl.program_id(1)
     group = num_heads // num_heads_k
@@ -105,7 +106,12 @@ def _paged_decode_kernel(
                 limit = kv_len - (chunk - 1) + t
             else:
                 limit = kv_len
-            s = jnp.where(col < limit, s, NEG_INF)
+            keep = col < limit
+            if window is not None:
+                # sliding-window decode: each row attends to the last
+                # `window` positions below its causal limit
+                keep &= col >= limit - window
+            s = jnp.where(keep, s, NEG_INF)
 
         l_prev = l_scratch[:, :1]
         if clamped:
@@ -141,6 +147,9 @@ def _paged_decode_kernel(
     # maskless only if valid for the strictest row (t=0).
     live = pi * page < kv_len
     full = (pi + 1) * page <= kv_len - (chunk - 1)
+    if window is not None:
+        live &= (pi + 1) * page > kv_len - (chunk - 1) - window
+        full &= pi * page >= kv_len - window
     pl.when(live & full)(lambda: _body(False))
     pl.when(live & ~full)(lambda: _body(True))
 
@@ -174,6 +183,7 @@ def paged_flash_decode(
     return_lse: bool = False,
     softmax_mode: str = "online",
     chunk: int = 1,
+    window: int | None = None,
 ):
     """Single-token decode attention over a paged KV pool.
 
@@ -184,6 +194,8 @@ def paged_flash_decode(
     """
     if softmax_mode not in ("online", "clamped"):
         raise ValueError(f"unknown softmax_mode {softmax_mode!r}")
+    if window is not None and window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     batch, num_heads, head_dim = q.shape
     num_pages, num_heads_k, page, _ = k_pages.shape
     max_pages = block_table.shape[1]
@@ -195,13 +207,20 @@ def paged_flash_decode(
     has_ks = k_scale is not None
     has_vs = v_scale is not None
 
-    # Dead page steps (beyond a sequence's length) clamp to the last live
-    # page so Mosaic sees an unchanged block index and skips the DMA.
+    # Dead page steps (beyond a sequence's length, or below its sliding
+    # window) clamp to the nearest live page so Mosaic sees an unchanged
+    # block index and skips the DMA.
     def page_map(b, pi, tbl_ref, len_ref):
         last_live = jnp.maximum(
             (len_ref[b] + page - 1) // page - 1, 0
         )
-        return (tbl_ref[b, jnp.minimum(pi, last_live)], 0, 0, 0)
+        pc = pi
+        if window is not None:
+            first_live = jnp.maximum(
+                len_ref[b] - (chunk - 1) - window, 0
+            ) // page
+            pc = jnp.maximum(pc, first_live)
+        return (tbl_ref[b, jnp.minimum(pc, last_live)], 0, 0, 0)
 
     kv_spec = pl.BlockSpec((1, num_heads_k, page, head_dim), page_map)
 
@@ -228,6 +247,7 @@ def paged_flash_decode(
         out_dtype=q.dtype,
         clamped=softmax_mode == "clamped",
         chunk=chunk,
+        window=window,
     )
 
     out, lse = pl.pallas_call(
@@ -298,6 +318,7 @@ def paged_flash_decode_chunk(
     interpret: bool | None = None,
     return_lse: bool = False,
     softmax_mode: str = "online",
+    window: int | None = None,
 ):
     """Multi-token ("chunk") attention over a paged KV pool: T query tokens
     per sequence, causal within the chunk — the paged analog of
@@ -325,6 +346,7 @@ def paged_flash_decode_chunk(
         q2, k_pages, v_pages, block_table, kv_length, k_scale=k_scale,
         v_scale=v_scale, scale=scale, interpret=interpret,
         return_lse=return_lse, softmax_mode=softmax_mode, chunk=chunk,
+        window=window,
     )
     out = res[0] if return_lse else res
 

@@ -531,3 +531,34 @@ def test_paged_chunk_matches_contiguous_chunk():
                                    atol=3e-4, rtol=3e-4, err_msg=mode)
         np.testing.assert_allclose(np.asarray(gotc), np.asarray(want),
                                    atol=3e-4, rtol=3e-4, err_msg=mode)
+
+
+def test_paged_decode_sliding_window():
+    """Paged kernel window=W == contiguous flash_decode window=W."""
+    from flash_attn_tpu.ops.decode import flash_decode
+    from flash_attn_tpu.ops.paged_decode import paged_flash_decode
+
+    key = jax.random.PRNGKey(31)
+    L, B, Hk, H, D = 1, 2, 2, 4, 32
+    page, npages, maxp = 8, 12, 4
+    pool = PagedKVPool.create(L, npages, page, B, maxp, Hk, D, dtype=jnp.float32)
+    pool = pool.assign_pages(0, [1, 2, 3, 4]).assign_pages(1, [5, 6, 7, 8])
+    S = 26
+    ks = jax.random.normal(key, (S, B, Hk, D))
+    vs = jax.random.normal(jax.random.PRNGKey(32), (S, B, Hk, D))
+    for t in range(S):
+        pool = pool.append_token(0, ks[t], vs[t]).advance(1)
+    lens = jnp.asarray([26, 15], jnp.int32)
+    pool = pool.set_lengths(lens)
+    q = jax.random.normal(jax.random.PRNGKey(33), (B, H, D))
+    W = 10
+    got = paged_flash_decode(
+        q, pool.k_pages[0], pool.v_pages[0], pool.block_table, lens,
+        interpret=True, window=W,
+    )
+    want = flash_decode(
+        q, jnp.swapaxes(ks, 0, 1), jnp.swapaxes(vs, 0, 1), kv_length=lens,
+        use_kernel=False, interpret=True, window=W,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-4, rtol=3e-4)
