@@ -99,6 +99,11 @@ class ModelAdapter:
     # only the divergent suffix when a prompt's prefix pages are shared
     # (engine/prefix_cache.py).
     prefill_suffix_paged: Callable | None = None
+    # optional multi-adapter LoRA paths (models/lora.py stacked bank):
+    # (params, tokens, positions, bank, adapter_id) -> (logits, kvs) and
+    # (params, token [B], cache, bank, ids [B]) -> (logits, cache).
+    prefill_with_kv_lora: Callable | None = None
+    decode_step_lora: Callable | None = None
 
 
 class InferenceEngine:
@@ -117,9 +122,20 @@ class InferenceEngine:
         spec: SpecConfig | None = None,
         mesh=None,
         kv_shard_axis: str = "sp",
+        lora_bank=None,
     ):
         self.params = params
         self.adapter = adapter
+        self.lora_bank = lora_bank
+        if lora_bank is not None:
+            if (adapter.prefill_with_kv_lora is None
+                    or adapter.decode_step_lora is None):
+                raise ValueError("lora_bank needs the adapter's lora paths")
+            if spec is not None or prefill_chunk_size is not None:
+                raise ValueError(
+                    "lora_bank does not compose with speculative decoding "
+                    "or chunked prefill yet"
+                )
         self.capacity = capacity
         self.sampling = sampling or SamplingParams()
         if spec is not None and adapter.decode_multi is None:
@@ -167,8 +183,12 @@ class InferenceEngine:
         from flash_attn_tpu.utils.metrics import EngineMetrics
 
         self.metrics = EngineMetrics(kv_capacity=max_batch * capacity)
+        self.adapter_ids = np.zeros((max_batch,), np.int32)
         self._prefill_jit = jax.jit(self._prefill_one, static_argnums=())
         self._decode_jit = jax.jit(self._decode_batch)
+        if lora_bank is not None:
+            self._prefill_lora_jit = jax.jit(self._prefill_one_lora)
+            self._decode_lora_jit = jax.jit(self._decode_batch_lora)
         self._chunk_jit = (
             jax.jit(adapter.prefill_chunk)
             if adapter.prefill_chunk is not None
@@ -195,10 +215,34 @@ class InferenceEngine:
         toks = sample(logits, key, self.sampling)
         return toks, cache
 
+    def _prefill_one_lora(self, params, tokens, cache, slot, true_len,
+                          bank, aid):
+        positions = jnp.arange(tokens.shape[1])[None]
+        logits_all, kvs = self.adapter.prefill_with_kv_lora(
+            params, tokens, positions, bank, aid
+        )
+        for layer, (k, v) in enumerate(kvs):
+            cache = _insert_slot_kv(cache, layer, slot, k[0], v[0])
+        cache = KVCache(
+            cache.k, cache.v, cache.k_scale, cache.v_scale,
+            cache.length.at[slot].set(true_len), cache.mode,
+        )
+        return logits_all[0, true_len - 1], cache
+
+    def _decode_batch_lora(self, params, tokens, cache, key, bank, ids):
+        logits, cache = self.adapter.decode_step_lora(
+            params, tokens, cache, bank, ids
+        )
+        toks = sample(logits, key, self.sampling)
+        return toks, cache
+
     # --- host loop ---
 
-    def submit(self, prompt, max_tokens=64) -> Request:
-        return self.sched.submit(prompt, max_tokens, self.adapter.eos_token)
+    def submit(self, prompt, max_tokens=64, adapter: int = 0) -> Request:
+        """adapter: LoRA adapter index into the engine's lora_bank (ignored
+        without one)."""
+        return self.sched.submit(prompt, max_tokens, self.adapter.eos_token,
+                                 adapter=adapter)
 
     def run(self, max_steps: int = 10_000) -> None:
         """Drive until all submitted work completes."""
@@ -209,6 +253,7 @@ class InferenceEngine:
             if (
                 len(admitted) >= 2
                 and self.adapter.prefill_packed is not None
+                and self.lora_bank is None
                 and self.prefill_chunk_size is None
                 and sum(len(r.prompt) for r in admitted) <= self.capacity
             ):
@@ -235,10 +280,18 @@ class InferenceEngine:
             bucket = min(bucket, self.capacity)
             toks = np.zeros((1, bucket), np.int32)
             toks[0, : len(req.prompt)] = req.prompt
-            logits, self.cache = self._prefill_jit(
-                self.params, jnp.asarray(toks), self.cache,
-                jnp.int32(req.slot), jnp.int32(len(req.prompt)),
-            )
+            if self.lora_bank is not None:
+                self.adapter_ids[req.slot] = req.adapter
+                logits, self.cache = self._prefill_lora_jit(
+                    self.params, jnp.asarray(toks), self.cache,
+                    jnp.int32(req.slot), jnp.int32(len(req.prompt)),
+                    self.lora_bank, jnp.int32(req.adapter),
+                )
+            else:
+                logits, self.cache = self._prefill_jit(
+                    self.params, jnp.asarray(toks), self.cache,
+                    jnp.int32(req.slot), jnp.int32(len(req.prompt)),
+                )
         tok = int(sample(logits[None], self._next_key(), self.sampling)[0])
         self.metrics.record_prefill(
             len(req.prompt), _time.perf_counter() - t0
@@ -396,9 +449,17 @@ class InferenceEngine:
             ):
                 self._do_spec_decode_step(slots, t0)
                 return
-        toks, self.cache = self._decode_jit(
-            self.params, jnp.asarray(self.next_token), self.cache, self._next_key()
-        )
+        if self.lora_bank is not None:
+            toks, self.cache = self._decode_lora_jit(
+                self.params, jnp.asarray(self.next_token), self.cache,
+                self._next_key(), self.lora_bank,
+                jnp.asarray(self.adapter_ids),
+            )
+        else:
+            toks, self.cache = self._decode_jit(
+                self.params, jnp.asarray(self.next_token), self.cache,
+                self._next_key(),
+            )
         toks = np.asarray(toks)
         self.metrics.record_decode(len(slots), _time.perf_counter() - t0)
         self.metrics.kv_tokens_in_use = int(

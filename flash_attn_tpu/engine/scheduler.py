@@ -35,6 +35,7 @@ class Request:
     generated: list[int] = field(default_factory=list)
     slot: Optional[int] = None
     done: bool = False
+    adapter: int = 0  # LoRA adapter index (multi-adapter serving)
 
 
 def bucket_length(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)):
@@ -54,8 +55,9 @@ class ContinuousBatchingScheduler:
         self.free_slots = list(range(max_batch))
         self._uid = itertools.count()
 
-    def submit(self, prompt, max_tokens, eos_token=None) -> Request:
-        req = Request(next(self._uid), list(prompt), max_tokens, eos_token)
+    def submit(self, prompt, max_tokens, eos_token=None, adapter=0) -> Request:
+        req = Request(next(self._uid), list(prompt), max_tokens, eos_token,
+                      adapter=adapter)
         self.waiting.append(req)
         return req
 

@@ -119,6 +119,18 @@ def _proj(x, w, interpret=None):
     return out.reshape(*lead, out.shape[-1])
 
 
+def _proj_l(x, blk, lblk, name, interpret, ids=None, scaling=1.0):
+    """Projection + optional LoRA delta (models/lora.py): the base weight
+    stays one MXU matmul (quantized or float); the per-slot adapter adds
+    two thin rank-r contractions."""
+    y = _proj(x, blk[name], interpret)
+    if lblk is not None and name in lblk:
+        from flash_attn_tpu.models.lora import lora_delta
+
+        y = y + lora_delta(x, lblk[name], ids, scaling).astype(y.dtype)
+    return y
+
+
 def _block_attn(x, blk, cfg, cos, sin, *, cache=None, layer=None,
                 segment_ids=None, interpret=None):
     """Shared attention sub-block for prefill/forward (full-seq causal)."""
@@ -140,12 +152,14 @@ def _block_attn(x, blk, cfg, cos, sin, *, cache=None, layer=None,
     return x + out, cache
 
 
-def _block_mlp(x, blk, cfg, interpret=None):
+def _block_mlp(x, blk, cfg, interpret=None, lblk=None, lora_ids=None,
+               lora_scaling=1.0):
     h = _rms_norm(x, blk["mlp_norm"], cfg.rms_eps)
-    gate = _proj(h, blk["w_gate"], interpret)
-    up = _proj(h, blk["w_up"], interpret)
+    gate = _proj_l(h, blk, lblk, "w_gate", interpret, lora_ids, lora_scaling)
+    up = _proj_l(h, blk, lblk, "w_up", interpret, lora_ids, lora_scaling)
     act = jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)
-    return x + _proj(act.astype(x.dtype), blk["w_down"], interpret)
+    return x + _proj_l(act.astype(x.dtype), blk, lblk, "w_down", interpret,
+                       lora_ids, lora_scaling)
 
 
 def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
@@ -166,25 +180,36 @@ def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
     return _proj(x.astype(jnp.float32), head, interpret)
 
 
-def prefill_with_kv(params, tokens, positions, cfg: LlamaConfig, *, interpret=None):
-    """Engine adapter path: logits [1,S,V] + per-layer rope'd KV."""
+def prefill_with_kv(params, tokens, positions, cfg: LlamaConfig, *, interpret=None,
+                    lora=None, lora_id=None):
+    """Engine adapter path: logits [1,S,V] + per-layer rope'd KV.
+
+    lora: optional LoRA tree or stacked bank; with a bank, scalar
+    ``lora_id`` selects the adapter for this (single-request) prefill."""
     b, s = tokens.shape
+    lsc = lora["scaling"] if lora is not None else 1.0
     x = params["tok_emb"][tokens]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
     kvs = []
-    for blk in params["blocks"]:
+    for i, blk in enumerate(params["blocks"]):
+        lblk = lora["blocks"][i] if lora is not None else None
         h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        q = _proj(h, blk["wq"], interpret).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = _proj(h, blk["wk"], interpret).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        v = _proj(h, blk["wv"], interpret).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q = _proj_l(h, blk, lblk, "wq", interpret, lora_id, lsc).reshape(
+            b, s, cfg.num_heads, cfg.head_dim)
+        k = _proj_l(h, blk, lblk, "wk", interpret, lora_id, lsc).reshape(
+            b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = _proj_l(h, blk, lblk, "wv", interpret, lora_id, lsc).reshape(
+            b, s, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         kvs.append((k, v))
         attn = flash_attention(q, k, v, causal=True, interpret=interpret)
-        x = x + _proj(
-            attn.reshape(b, s, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
+        x = x + _proj_l(
+            attn.reshape(b, s, cfg.num_heads * cfg.head_dim), blk, lblk,
+            "wo", interpret, lora_id, lsc,
         )
-        x = _block_mlp(x, blk, cfg, interpret=interpret)
+        x = _block_mlp(x, blk, cfg, interpret=interpret, lblk=lblk,
+                       lora_ids=lora_id, lora_scaling=lsc)
     x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
     head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
     return _proj(x.astype(jnp.float32), head, interpret), kvs
@@ -317,16 +342,25 @@ def prefill_packed(params, tokens, positions, segment_ids, cfg: LlamaConfig,
     return _proj(x.astype(jnp.float32), head, interpret), kvs
 
 
-def decode_step(params, token, cfg: LlamaConfig, cache: KVCache, *, interpret=None):
-    """One cached decode step: token [B] -> (logits [B, V], cache)."""
+def decode_step(params, token, cfg: LlamaConfig, cache: KVCache, *, interpret=None,
+                lora=None, lora_ids=None):
+    """One cached decode step: token [B] -> (logits [B, V], cache).
+
+    lora: optional LoRA tree or stacked bank (models/lora.py); with a bank,
+    lora_ids [B] selects each slot's adapter (multi-adapter serving)."""
     b = token.shape[0]
+    lsc = lora["scaling"] if lora is not None else 1.0
     x = params["tok_emb"][token][:, None, :]  # [B, 1, H]
     cos, sin = rope_cos_sin(cache.length[:, None], cfg.head_dim, cfg.rope_theta)
     for i, blk in enumerate(params["blocks"]):
+        lblk = lora["blocks"][i] if lora is not None else None
         h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        q = _proj(h, blk["wq"], interpret).reshape(b, 1, cfg.num_heads, cfg.head_dim)
-        k = _proj(h, blk["wk"], interpret).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
-        v = _proj(h, blk["wv"], interpret).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        q = _proj_l(h, blk, lblk, "wq", interpret, lora_ids, lsc).reshape(
+            b, 1, cfg.num_heads, cfg.head_dim)
+        k = _proj_l(h, blk, lblk, "wk", interpret, lora_ids, lsc).reshape(
+            b, 1, cfg.num_kv_heads, cfg.head_dim)
+        v = _proj_l(h, blk, lblk, "wv", interpret, lora_ids, lsc).reshape(
+            b, 1, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         cache = cache.append(i, k, v)
@@ -335,10 +369,12 @@ def decode_step(params, token, cfg: LlamaConfig, cache: KVCache, *, interpret=No
             q[:, 0], kc, vc, k_scale=ks, v_scale=vs,
             kv_length=cache.length + 1, kv_layout="bhsd", interpret=interpret,
         )
-        x = x + _proj(
-            attn.reshape(b, 1, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
+        x = x + _proj_l(
+            attn.reshape(b, 1, cfg.num_heads * cfg.head_dim), blk, lblk,
+            "wo", interpret, lora_ids, lsc,
         )
-        x = _block_mlp(x, blk, cfg, interpret=interpret)
+        x = _block_mlp(x, blk, cfg, interpret=interpret, lblk=lblk,
+                       lora_ids=lora_ids, lora_scaling=lsc)
     cache = cache.advance(1)
     x = _rms_norm(x[:, 0], params["final_norm"], cfg.rms_eps)
     head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
@@ -504,6 +540,12 @@ def make_adapter(cfg: LlamaConfig, *, interpret=None, eos_token=None,
             prefill_suffix_paged(
                 p, t, cfg, pool, slot, start, interpret=interpret
             )
+        ),
+        prefill_with_kv_lora=lambda p, t, pos, bank, aid: prefill_with_kv(
+            p, t, pos, cfg, interpret=interpret, lora=bank, lora_id=aid
+        ),
+        decode_step_lora=lambda p, tok, cache, bank, ids: decode_step(
+            p, tok, cfg, cache, interpret=interpret, lora=bank, lora_ids=ids
         ),
         num_layers=cfg.num_layers,
         num_kv_heads=cfg.num_kv_heads,
