@@ -31,6 +31,51 @@ def cross_entropy(logits, targets, mask=None):
     return jnp.mean(nll)
 
 
+def chunked_cross_entropy(x, head, targets, mask=None, chunk: int = 1024):
+    """Cross-entropy straight from hidden states, never materialising the
+    full [B, S, V] fp32 logits (at Llama-3's 128k vocab that array is 8x
+    the hidden states; it dominates training-step memory).
+
+    Scans over sequence chunks; each step computes [B, chunk, V] logits,
+    reduces them to (sum_nll, count), and is rematerialised
+    (jax.checkpoint) so the backward recomputes per-chunk logits instead
+    of saving them — peak memory is one chunk's logits in both passes.
+    Gradients flow to both ``x`` and ``head``.
+
+    x: [B, S, H] hidden states (pre-head); head: [H, V] (pass
+    ``params['tok_emb'].T`` for tied embeddings); targets [B, S] int;
+    mask [B, S] optional.  Returns mean nll over unmasked positions.
+    """
+    B, S, H = x.shape
+    c = min(chunk, S)
+    pad = (-S) % c
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        targets = jnp.pad(targets, ((0, 0), (0, pad)))
+        mask = jnp.pad(
+            jnp.ones((B, S), jnp.float32) if mask is None else mask,
+            ((0, 0), (0, pad)),
+        )
+    elif mask is None:
+        mask = jnp.ones((B, S), jnp.float32)
+    n = x.shape[1] // c
+    xs = jnp.moveaxis(x.reshape(B, n, c, H), 1, 0)
+    ts = jnp.moveaxis(targets.reshape(B, n, c), 1, 0)
+    ms = jnp.moveaxis(mask.astype(jnp.float32).reshape(B, n, c), 1, 0)
+
+    @jax.checkpoint
+    def body(carry, xs_):
+        xc, tc, mc = xs_
+        logits = xc.astype(jnp.float32) @ head.astype(jnp.float32)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(logits, tc[..., None], axis=-1)[..., 0]
+        nll = (lse - picked) * mc
+        return (carry[0] + jnp.sum(nll), carry[1] + jnp.sum(mc)), None
+
+    (total, count), _ = jax.lax.scan(body, (0.0, 0.0), (xs, ts, ms))
+    return total / jnp.maximum(count, 1.0)
+
+
 def make_train_step(forward_fn: Callable, tcfg: TrainConfig):
     """forward_fn(params, tokens) -> logits [B, S, V].
 

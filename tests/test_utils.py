@@ -154,3 +154,37 @@ def test_train_step_grad_accum_matches_single():
     assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
     d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), p1, p2)
     assert max(jax.tree.leaves(d)) < 1e-4
+
+
+def test_chunked_cross_entropy_matches_dense():
+    """chunked_cross_entropy (scan + remat, no [B,S,V] materialisation) ==
+    dense cross_entropy in value AND gradients (x and head), incl. masks
+    and a non-divisible chunk size."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flash_attn_tpu.utils.train import chunked_cross_entropy, cross_entropy
+
+    B, S, H, V = 2, 25, 16, 97
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, S, H))
+    head = jax.random.normal(jax.random.PRNGKey(1), (H, V)) * 0.1
+    tgt = jax.random.randint(jax.random.PRNGKey(2), (B, S), 0, V)
+    mask = (jax.random.uniform(jax.random.PRNGKey(3), (B, S)) > 0.3).astype(
+        jnp.float32
+    )
+
+    def dense(x, head):
+        return cross_entropy(x @ head, tgt, mask)
+
+    def chunked(x, head):
+        return chunked_cross_entropy(x, head, tgt, mask, chunk=8)
+
+    want, (gxw, ghw) = jax.value_and_grad(dense, argnums=(0, 1))(x, head)
+    got, (gx, gh) = jax.value_and_grad(chunked, argnums=(0, 1))(x, head)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gxw),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(ghw),
+                               atol=1e-5, rtol=1e-5)
