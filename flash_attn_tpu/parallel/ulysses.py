@@ -34,6 +34,22 @@ def ulysses_attention(
     n = jax.lax.axis_size(axis_name)
     if q.shape[2] % n:
         raise ValueError(f"num_heads {q.shape[2]} not divisible by axis size {n}")
+    hk = k.shape[2]
+    if hk % n:
+        if n % hk:
+            raise ValueError(
+                f"num_kv_heads {hk} and axis size {n} must divide one way"
+            )
+        # MQA/GQA with fewer KV heads than devices: replicate KV heads so
+        # the all-to-all leaves each device exactly one (replicated) KV
+        # head.  Exact — GQA repeats KV across query groups anyway, and the
+        # device-d query heads' group index matches replica d (both floor
+        # to d // rep).  Costs rep x the KV comm volume; KV is the small
+        # side under GQA, so Ulysses stays cheaper than materialised
+        # repeat-to-H.
+        rep = n // hk
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
 
     # seq-sharded -> head-sharded: split heads across devices, gather seq.
     def to_heads(x):

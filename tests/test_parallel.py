@@ -158,3 +158,26 @@ def test_ulysses_gqa(mesh4):
     got = fn(q, k, v)
     want = mha_reference(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+
+
+def test_ulysses_mqa_fewer_kv_heads_than_devices(mesh4):
+    """Ulysses with Hk < axis size (MQA-ish): KV heads replicate across the
+    all-to-all; result matches the single-device oracle exactly, fwd + bwd."""
+    b, s, h, hk, d = 1, 256, 8, 2, 64
+    q = jax.random.normal(jax.random.PRNGKey(60), (b, s, h, d))
+    k = jax.random.normal(jax.random.PRNGKey(61), (b, s, hk, d))
+    v = jax.random.normal(jax.random.PRNGKey(62), (b, s, hk, d))
+    fn = make_ulysses_attention(mesh4, causal=True, interpret=True)
+    got = fn(q, k, v)
+    want = mha_reference(
+        q, jnp.repeat(k, h // hk, 2), jnp.repeat(v, h // hk, 2), causal=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+    # differentiable (the a2a + replicate transpose under AD)
+    g = jax.grad(lambda q_: jnp.sum(fn(q_, k, v)))(q)
+    gw = jax.grad(lambda q_: jnp.sum(mha_reference(
+        q_, jnp.repeat(k, h // hk, 2), jnp.repeat(v, h // hk, 2), causal=True
+    )))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gw),
+                               atol=2e-4, rtol=2e-4)
