@@ -3,11 +3,16 @@
 A minimal production-shaped request API (JSON over HTTP, stdlib-only — no
 framework dependency in the zero-egress image):
 
-  POST /generate   {"prompt": [ids...], "max_tokens": N}
+  POST /generate   {"prompt": [ids...], "max_tokens": N, "adapter": i}
                    -> {"tokens": [...], "uid": u}
   POST /submit     same body -> {"uid": u}          (async)
   GET  /result?uid=u -> {"done": bool, "tokens": [...]}
+  GET  /stream?uid=u -> ndjson lines {"tokens": [new...], "done": bool}
+                        (incremental tokens as they are generated)
   GET  /health     -> {"ok": true, "metrics": {...}}
+
+"adapter" selects a LoRA adapter index when the engine was built with a
+lora_bank (multi-adapter serving); ignored otherwise.
 
 Design: one background engine thread owns the TPU (JAX is not thread-safe
 for concurrent dispatch); HTTP handlers only enqueue requests and read
@@ -48,7 +53,7 @@ class _EngineWorker(threading.Thread):
         self.stop_flag = threading.Event()
         self._uid = 0
 
-    def submit(self, prompt, max_tokens) -> int:
+    def submit(self, prompt, max_tokens, adapter=0) -> int:
         with self.lock:
             self._uid += 1
             uid = self._uid
@@ -56,7 +61,7 @@ class _EngineWorker(threading.Thread):
             # before the engine thread drains the queue (a submitted-but-
             # not-yet-admitted request is "not done", not "unknown")
             self.results[uid] = None
-            self.pending.append((uid, prompt, max_tokens))
+            self.pending.append((uid, prompt, max_tokens, adapter))
         return uid
 
     def result(self, uid):
@@ -73,8 +78,13 @@ class _EngineWorker(threading.Thread):
             with self.lock:
                 new = self.pending
                 self.pending = []
-            for uid, prompt, max_tokens in new:
-                req = self.engine.submit(prompt, max_tokens=max_tokens)
+            for uid, prompt, max_tokens, adapter in new:
+                if adapter:
+                    req = self.engine.submit(
+                        prompt, max_tokens=max_tokens, adapter=adapter
+                    )
+                else:
+                    req = self.engine.submit(prompt, max_tokens=max_tokens)
                 with self.lock:
                     self.results[uid] = req
             if self.engine.sched.has_work:
@@ -120,6 +130,39 @@ def _make_handler(worker: _EngineWorker, cfg: ServingConfig):
                     self._json(404, {"error": f"unknown uid {uid}"})
                 else:
                     self._json(200, res)
+            elif url.path == "/stream":
+                q = parse_qs(url.query)
+                try:
+                    uid = int(q["uid"][0])
+                except (KeyError, ValueError):
+                    self._json(400, {"error": "uid required"})
+                    return
+                if worker.result(uid) is None:
+                    self._json(404, {"error": f"unknown uid {uid}"})
+                    return
+                # incremental ndjson: one line per batch of new tokens.
+                # HTTP/1.0 semantics (no Content-Length, stream until
+                # close) keep this stdlib-only.
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.end_headers()
+                sent = 0
+                while True:
+                    res = worker.result(uid)
+                    toks = res["tokens"]
+                    if len(toks) > sent or res["done"]:
+                        line = json.dumps(
+                            {"tokens": toks[sent:], "done": res["done"]}
+                        )
+                        try:
+                            self.wfile.write(line.encode() + b"\n")
+                            self.wfile.flush()
+                        except BrokenPipeError:
+                            return  # client went away; engine finishes anyway
+                        sent = len(toks)
+                        if res["done"]:
+                            return
+                    time.sleep(cfg.poll_interval_s)
             else:
                 self._json(404, {"error": "not found"})
 
@@ -132,7 +175,8 @@ def _make_handler(worker: _EngineWorker, cfg: ServingConfig):
                 self._json(400, {"error": "body must be JSON with 'prompt'"})
                 return
             max_tokens = int(body.get("max_tokens", cfg.default_max_tokens))
-            uid = worker.submit(prompt, max_tokens)
+            adapter = int(body.get("adapter", 0))
+            uid = worker.submit(prompt, max_tokens, adapter)
             if url.path == "/submit":
                 self._json(200, {"uid": uid})
             elif url.path == "/generate":

@@ -114,3 +114,23 @@ def test_health_and_errors(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(scfg.port, "/result?uid=99999")
     assert e.value.code == 404
+
+
+def test_stream_endpoint_incremental(server):
+    """GET /stream delivers ndjson lines whose concatenated tokens equal
+    the final /result tokens."""
+    scfg, cfg, params = server
+    prompt = [5, 6, 7]
+    uid = _post(scfg.port, "/submit", {"prompt": prompt, "max_tokens": 6})["uid"]
+    lines = []
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{scfg.port}/stream?uid={uid}", timeout=120
+    ) as r:
+        for raw in r:
+            lines.append(json.loads(raw))
+    assert lines and lines[-1]["done"]
+    streamed = [t for ln in lines for t in ln["tokens"]]
+    final = _get(scfg.port, f"/result?uid={uid}")
+    assert final["done"]
+    np.testing.assert_array_equal(np.asarray(streamed),
+                                  np.asarray(final["tokens"]))
