@@ -144,7 +144,7 @@ def bench_flash_fwd(chip_peaks):
     }
 
 
-def bench_prefill_8b(chip_peaks):
+def bench_prefill_8b(chip_peaks, softmax_mode="online"):
     """Llama-8B prefill shape: B=1, S=8192, H=32/Hk=8 GQA, causal."""
     import jax
     import jax.numpy as jnp
@@ -156,21 +156,24 @@ def bench_prefill_8b(chip_peaks):
     q = jax.random.normal(key, (B, S, H, D), jnp.bfloat16)
     k = jax.random.normal(key, (B, S, Hk, D), jnp.bfloat16)
     v = jax.random.normal(key, (B, S, Hk, D), jnp.bfloat16)
-    cfg = FlashConfig(block_q=1024, block_k=1024)  # round-2 sweep winner
+    # round-2 sweep winner; clamped = FlashConfig.softmax_mode (no running
+    # max, exact for in-contract scores) measured as a labeled detail
+    cfg = FlashConfig(block_q=1024, block_k=1024, softmax_mode=softmax_mode)
+    tag = "prefill8b" + ("" if softmax_mode == "online" else "_clamped")
     step = lambda q_, k_, v_: flash_fwd(q_, k_, v_, causal=True, config=cfg)[0]
     flops = 4 * B * H * S * S * D / 2
     floor = flops / (chip_peaks[0] * 1e12) / _MAX_PLAUSIBLE_FRAC
     t, info = chain_step_seconds(step, q, (k, v), n=4, floor_s=floor)
     tflops = flops / t / 1e12
     return {
-        "prefill8b_ms": round(t * 1e3, 2),
-        "prefill8b_tflops": round(tflops, 1),
-        "prefill8b_frac_peak": round(tflops / chip_peaks[0], 4),
-        "prefill8b_estimator": info["estimator"],
+        f"{tag}_ms": round(t * 1e3, 2),
+        f"{tag}_tflops": round(tflops, 1),
+        f"{tag}_frac_peak": round(tflops / chip_peaks[0], 4),
+        f"{tag}_estimator": info["estimator"],
     }
 
 
-def bench_decode(chip_peaks, mode="int8"):
+def bench_decode(chip_peaks, mode="int8", softmax_mode="online"):
     import jax
     import jax.numpy as jnp
 
@@ -198,25 +201,27 @@ def bench_decode(chip_peaks, mode="int8"):
     vs = None if vs is None else jnp.swapaxes(vs, 1, 2)
     if ks is None:
         step = lambda q_, k_, v_: flash_decode(
-            q_, k_, v_, kv_layout="bhsd"
+            q_, k_, v_, kv_layout="bhsd", softmax_mode=softmax_mode
         ).astype(jnp.bfloat16)
         consts = (kq, vq)
     else:
         step = lambda q_, k_, v_, ks_, vs_: flash_decode(
-            q_, k_, v_, k_scale=ks_, v_scale=vs_, kv_layout="bhsd"
+            q_, k_, v_, k_scale=ks_, v_scale=vs_, kv_layout="bhsd",
+            softmax_mode=softmax_mode,
         ).astype(jnp.bfloat16)
         consts = (kq, vq, ks, vs)
+    tag = f"decode_{mode}" + ("" if softmax_mode == "online" else "_clamped")
     ideal = kv_bytes / (chip_peaks[2] * 1e9)
     t, info = chain_step_seconds(
         step, q, consts, n=32, floor_s=ideal / _MAX_PLAUSIBLE_FRAC
     )
     out = {
-        f"decode_{mode}_us": round(t * 1e6, 1),
-        f"decode_{mode}_roofline_frac": round(ideal / t, 4),
-        f"decode_{mode}_estimator": info["estimator"],
+        f"{tag}_us": round(t * 1e6, 1),
+        f"{tag}_roofline_frac": round(ideal / t, 4),
+        f"{tag}_estimator": info["estimator"],
     }
     if "error" in info:
-        out[f"decode_{mode}_error"] = info["error"]
+        out[f"{tag}_error"] = info["error"]
     return out
 
 
@@ -465,11 +470,22 @@ def _run_bench():
         details.update(bench_prefill_8b(peaks))
     except Exception as e:  # pragma: no cover
         details["prefill8b_error"] = repr(e)[:200]
+    try:
+        details.update(bench_prefill_8b(peaks, softmax_mode="clamped"))
+    except Exception as e:  # pragma: no cover
+        details["prefill8b_clamped_error"] = repr(e)[:200]
     for mode in ("fp8", "int8", "none"):
         try:
             details.update(bench_decode(peaks, mode))
         except Exception as e:  # pragma: no cover
             details[f"decode_{mode}_error"] = repr(e)[:200]
+    # clamped softmax_mode (no running max — ops/decode.py contract):
+    # labeled detail rows alongside the online-softmax defaults above
+    for mode in ("fp8", "int8"):
+        try:
+            details.update(bench_decode(peaks, mode, softmax_mode="clamped"))
+        except Exception as e:  # pragma: no cover
+            details[f"decode_{mode}_clamped_error"] = repr(e)[:200]
     try:
         details.update(bench_flash_bwd(peaks))
     except Exception as e:  # pragma: no cover
