@@ -220,7 +220,8 @@ class PagedKVPool:
 
 
 def paged_decode_attention(pool: PagedKVPool, layer: int, q, *, scale=None,
-                           interpret=None):
+                           interpret=None, window=None,
+                           softmax_mode="online"):
     """q [B, H, D] -> out [B, H, D] attending to the paged cache via the
     scalar-prefetch kernel (no gather)."""
     return paged_flash_decode(
@@ -233,4 +234,6 @@ def paged_decode_attention(pool: PagedKVPool, layer: int, q, *, scale=None,
         v_scale=None if pool.v_scale is None else pool.v_scale[layer],
         scale=scale,
         interpret=interpret,
+        window=window,
+        softmax_mode=softmax_mode,
     )

@@ -241,6 +241,69 @@ def decode_step(params, token, cfg: MixtralConfig, cache: KVCache, *,
     return _proj(x.astype(jnp.float32), params["lm_head"], interpret), cache
 
 
+def decode_multi(params, tokens, cfg: MixtralConfig, cache: KVCache, *,
+                 interpret=None):
+    """T cached decode tokens per sequence in ONE pass (speculative-verify
+    step; see llama.decode_multi) — MoE MLP runs on the [B, T] chunk."""
+    from flash_attn_tpu.ops.decode import flash_decode_chunk
+
+    b, t = tokens.shape
+    x = params["tok_emb"][tokens]
+    pos = cache.length[:, None] + jnp.arange(t)[None]
+    cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
+    for i, blk in enumerate(params["blocks"]):
+        h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q = _proj(h, blk["wq"], interpret).reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = _proj(h, blk["wk"], interpret).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        v = _proj(h, blk["wv"], interpret).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        cache = cache.append(i, k, v)
+        kc, vc, ks, vs = cache.layer(i)
+        attn = flash_decode_chunk(
+            q, kc, vc, k_scale=ks, v_scale=vs, kv_length=cache.length + t,
+            kv_layout="bhsd", interpret=interpret,
+            window=cfg.sliding_window,
+        )
+        x = x + _proj(
+            attn.reshape(b, t, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
+        )
+        x = _moe_mlp(x, blk, cfg, interpret=interpret)
+    cache = cache.advance(t)
+    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    return _proj(x.astype(jnp.float32), params["lm_head"], interpret), cache
+
+
+def decode_step_paged(params, token, cfg: MixtralConfig, pool, *,
+                      interpret=None):
+    """One decode step against a PagedKVPool (scalar-prefetch paged kernel)
+    — paged MoE serving (see llama.decode_step_paged)."""
+    from flash_attn_tpu.engine.paged import paged_decode_attention
+
+    b = token.shape[0]
+    x = params["tok_emb"][token][:, None, :]
+    cos, sin = rope_cos_sin(pool.length[:, None], cfg.head_dim, cfg.rope_theta)
+    for i, blk in enumerate(params["blocks"]):
+        h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q = _proj(h, blk["wq"], interpret).reshape(b, 1, cfg.num_heads, cfg.head_dim)
+        k = _proj(h, blk["wk"], interpret).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        v = _proj(h, blk["wv"], interpret).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        pool = pool.append_token(i, k[:, 0], v[:, 0])
+        attn = paged_decode_attention(
+            pool.advance(1), i, q[:, 0], interpret=interpret,
+            window=cfg.sliding_window,
+        )
+        x = x + _proj(
+            attn.reshape(b, 1, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
+        )
+        x = _moe_mlp(x, blk, cfg, interpret=interpret)
+    pool = pool.advance(1)
+    x = _rms_norm(x[:, 0], params["final_norm"], cfg.rms_eps)
+    return _proj(x.astype(jnp.float32), params["lm_head"], interpret), pool
+
+
 def make_cache(cfg: MixtralConfig, batch, capacity, mode="none", dtype=None):
     return KVCache.create(
         cfg.num_layers, batch, capacity, cfg.num_kv_heads, cfg.head_dim,
@@ -260,6 +323,12 @@ def make_adapter(cfg: MixtralConfig, *, interpret=None, eos_token=None):
         ),
         prefill_packed=lambda p, t, pos, seg: prefill_packed(
             p, t, pos, seg, cfg, interpret=interpret
+        ),
+        decode_multi=lambda p, toks, cache: decode_multi(
+            p, toks, cfg, cache, interpret=interpret
+        ),
+        decode_step_paged=lambda p, tok, pool: decode_step_paged(
+            p, tok, cfg, pool, interpret=interpret
         ),
         num_layers=cfg.num_layers,
         num_kv_heads=cfg.num_kv_heads,

@@ -169,3 +169,47 @@ def test_sliding_window_decode_matches_forward():
     )
     np.testing.assert_allclose(np.asarray(logits_d), np.asarray(full2[:, -1]),
                                atol=5e-3, rtol=5e-3)
+
+
+def test_paged_engine_runs_mixtral(tiny):
+    """PagedInferenceEngine over the MoE family (paged MoE serving) matches
+    the contiguous engine's greedy tokens."""
+    from flash_attn_tpu.engine.engine import InferenceEngine, PagedInferenceEngine
+
+    cfg, params = tiny
+    adapter = mx.make_adapter(cfg, interpret=True)
+    eng_p = PagedInferenceEngine(params, adapter, max_batch=2, capacity=32,
+                                 page_size=8, cache_dtype=jnp.dtype(cfg.dtype))
+    eng_c = InferenceEngine(params, adapter, max_batch=2, capacity=32,
+                            cache_dtype=jnp.dtype(cfg.dtype))
+    for prompt in ([1, 2, 3, 4], [9, 8, 7]):
+        rp = eng_p.submit(prompt, max_tokens=4)
+        rc = eng_c.submit(prompt, max_tokens=4)
+        eng_p.run(); eng_c.run()
+        assert rp.done and rc.done
+        np.testing.assert_array_equal(np.asarray(rp.generated),
+                                      np.asarray(rc.generated))
+
+
+def test_decode_multi_matches_steps_mixtral(tiny):
+    cfg, params = tiny
+    B, T = 2, 3
+    prompt = jax.random.randint(jax.random.PRNGKey(20), (B, 6), 0, cfg.vocab_size)
+    toks = jax.random.randint(jax.random.PRNGKey(21), (B, T), 0, cfg.vocab_size)
+
+    def prefill(cache):
+        _, kvs = mx.prefill_with_kv(params, prompt, jnp.arange(6)[None], cfg,
+                                    interpret=True)
+        for i, (k, v) in enumerate(kvs):
+            cache = cache.append(i, k, v)
+        return cache.advance(6)
+
+    ca = prefill(mx.make_cache(cfg, B, 32))
+    cb = prefill(mx.make_cache(cfg, B, 32))
+    lm, ca = mx.decode_multi(params, toks, cfg, ca, interpret=True)
+    seq = []
+    for t in range(T):
+        lg, cb = mx.decode_step(params, toks[:, t], cfg, cb, interpret=True)
+        seq.append(lg)
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(jnp.stack(seq, 1)),
+                               atol=2e-4, rtol=2e-4)
