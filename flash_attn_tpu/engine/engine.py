@@ -15,9 +15,8 @@ varlen packing (flash_attn.h:38-66) feeding one kernel launch.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

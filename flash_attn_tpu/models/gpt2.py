@@ -12,7 +12,6 @@ CPU) into the param pytree; greedy decode is tested against the HF reference
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ the kernel.
 from __future__ import annotations
 
 import functools
-import math
 from dataclasses import dataclass
 
 import jax

@@ -10,7 +10,6 @@ multichip dry-run tests).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Sequence
 
 import jax

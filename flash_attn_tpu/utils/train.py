@@ -5,9 +5,8 @@ of the engine (completes flash_attn.h:68-134 bwd parity at the system level).
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
