@@ -243,6 +243,11 @@ class InferenceEngine:
         return self.sched.submit(prompt, max_tokens, self.adapter.eos_token,
                                  adapter=adapter)
 
+    def cancel(self, req: Request) -> bool:
+        """Cancel a request: queued ones finish immediately; active ones
+        stop (and release their slot/KV) at the next decode step."""
+        return self.sched.cancel(req)
+
     def run(self, max_steps: int = 10_000) -> None:
         """Drive until all submitted work completes."""
         steps = 0
@@ -658,6 +663,10 @@ class PagedInferenceEngine:
 
     def submit(self, prompt, max_tokens=64) -> Request:
         return self.sched.submit(prompt, max_tokens, self.adapter.eos_token)
+
+    def cancel(self, req: Request) -> bool:
+        """See InferenceEngine.cancel."""
+        return self.sched.cancel(req)
 
     def run(self, max_steps: int = 10_000) -> None:
         steps = 0

@@ -36,6 +36,7 @@ class Request:
     slot: Optional[int] = None
     done: bool = False
     adapter: int = 0  # LoRA adapter index (multi-adapter serving)
+    cancelled: bool = False
 
 
 def bucket_length(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)):
@@ -94,12 +95,29 @@ class ContinuousBatchingScheduler:
         req = self.active[slot]
         req.generated.append(token)
         if (
-            len(req.generated) >= req.max_tokens
+            req.cancelled
+            or len(req.generated) >= req.max_tokens
             or (req.eos_token is not None and token == req.eos_token)
         ):
             self.complete(req)
             return True
         return False
+
+    def cancel(self, req: Request) -> bool:
+        """Cancel a request: waiting ones leave the queue immediately;
+        active ones finish at the next decode step (their slot is released
+        through the engine's normal completion path so KV bookkeeping
+        stays in one place).  Returns True if newly cancelled."""
+        if req.done or req.cancelled:
+            return False
+        req.cancelled = True
+        if req.slot is None:
+            try:
+                self.waiting.remove(req)
+            except ValueError:
+                pass
+            req.done = True
+        return True
 
     @property
     def has_work(self):

@@ -9,6 +9,7 @@ framework dependency in the zero-egress image):
   GET  /result?uid=u -> {"done": bool, "tokens": [...]}
   GET  /stream?uid=u -> ndjson lines {"tokens": [new...], "done": bool}
                         (incremental tokens as they are generated)
+  POST /cancel     {"uid": u} -> {"cancelled": bool}
   GET  /health     -> {"ok": true, "metrics": {...}}
 
 "adapter" selects a LoRA adapter index when the engine was built with a
@@ -73,6 +74,18 @@ class _EngineWorker(threading.Thread):
             return {"done": False, "tokens": []}
         return {"done": req.done, "tokens": list(req.generated)}
 
+    def cancel(self, uid):
+        with self.lock:
+            if uid not in self.results:
+                return None
+            req = self.results[uid]
+            if req is None:
+                # not yet drained into the engine: drop it from pending
+                self.pending = [p for p in self.pending if p[0] != uid]
+                self.results[uid] = _CancelledStub()
+                return True
+        return self.engine.cancel(req)
+
     def run(self):
         while not self.stop_flag.is_set():
             with self.lock:
@@ -92,6 +105,11 @@ class _EngineWorker(threading.Thread):
                 self.engine.run(max_steps=8)
             else:
                 time.sleep(self.poll)
+
+
+class _CancelledStub:
+    done = True
+    generated = ()
 
 
 def _make_handler(worker: _EngineWorker, cfg: ServingConfig):
@@ -168,6 +186,18 @@ def _make_handler(worker: _EngineWorker, cfg: ServingConfig):
 
         def do_POST(self):
             url = urlparse(self.path)
+            if url.path == "/cancel":
+                try:
+                    uid = int(self._read_body()["uid"])
+                except (KeyError, ValueError, json.JSONDecodeError):
+                    self._json(400, {"error": "uid required"})
+                    return
+                res = worker.cancel(uid)
+                if res is None:
+                    self._json(404, {"error": f"unknown uid {uid}"})
+                else:
+                    self._json(200, {"cancelled": bool(res)})
+                return
             try:
                 body = self._read_body()
                 prompt = [int(t) for t in body["prompt"]]

@@ -562,3 +562,28 @@ def test_paged_decode_sliding_window():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-4, rtol=3e-4)
+
+
+def test_request_cancellation(tiny):
+    """Cancel: a queued request never runs; an active request stops at the
+    next step and frees its slot for waiting work."""
+    cfg, params = tiny
+    eng = InferenceEngine(
+        params, gpt2.make_adapter(cfg, interpret=True),
+        max_batch=1, capacity=64, cache_dtype=jnp.dtype(cfg.dtype),
+    )
+    r1 = eng.submit([1, 2, 3], max_tokens=50)
+    r2 = eng.submit([4, 5, 6], max_tokens=50)  # waits (max_batch=1)
+    r3 = eng.submit([7, 8, 9], max_tokens=3)
+    assert eng.cancel(r2)  # queued -> done immediately, never admitted
+    assert r2.done and r2.generated == []
+    # admit + prefill r1, then cancel it mid-decode
+    admitted = eng.sched.admit()
+    assert [r.uid for r in admitted] == [r1.uid]
+    eng._do_prefill(r1)
+    eng._do_decode_step()
+    assert eng.cancel(r1)
+    eng.run()
+    assert r1.done and len(r1.generated) < 50  # stopped early
+    assert r3.done and len(r3.generated) == 3  # slot freed, r3 ran
+    assert not eng.cancel(r1)  # idempotent on finished requests
