@@ -39,6 +39,9 @@ class LlamaConfig:
     max_position: int = 8192
     dtype: str = "bfloat16"
     tie_embeddings: bool = False
+    # Mistral-style sliding-window attention (None = global); honored by
+    # forward/prefill (fwd-kernel window mask) and cached decode.
+    sliding_window: int | None = None
 
 
 LLAMA3_8B = LlamaConfig()
@@ -119,6 +122,12 @@ def _proj(x, w, interpret=None):
     return out.reshape(*lead, out.shape[-1])
 
 
+def _wnd(cfg):
+    return (
+        None if cfg.sliding_window is None else (cfg.sliding_window - 1, -1)
+    )
+
+
 def _proj_l(x, blk, lblk, name, interpret, ids=None, scaling=1.0):
     """Projection + optional LoRA delta (models/lora.py): the base weight
     stays one MXU matmul (quantized or float); the per-slot adapter adds
@@ -144,7 +153,7 @@ def _block_attn(x, blk, cfg, cos, sin, *, cache=None, layer=None,
     if cache is not None:
         cache = cache.append(layer, k, v)
     attn = flash_attention(
-        q, k, v, causal=True,
+        q, k, v, causal=True, window=_wnd(cfg),
         q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
         interpret=interpret,
     )
@@ -203,7 +212,8 @@ def prefill_with_kv(params, tokens, positions, cfg: LlamaConfig, *, interpret=No
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         kvs.append((k, v))
-        attn = flash_attention(q, k, v, causal=True, interpret=interpret)
+        attn = flash_attention(q, k, v, causal=True, window=_wnd(cfg),
+                               interpret=interpret)
         x = x + _proj_l(
             attn.reshape(b, s, cfg.num_heads * cfg.head_dim), blk, lblk,
             "wo", interpret, lora_id, lsc,
@@ -237,7 +247,7 @@ def prefill_chunk(params, tokens, cfg: LlamaConfig, cache: KVCache, slot,
         kc, vc = cache.slot_kv_float(i, slot, dtype=x.dtype)
         attn = flash_attention(
             q, kc, vc, q_positions=qpos, kv_positions=kvpos,
-            interpret=interpret,
+            window=_wnd(cfg), interpret=interpret,
         )
         x = x + _proj(
             attn.reshape(b, c, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
@@ -288,7 +298,7 @@ def prefill_suffix_paged(params, tokens, cfg: LlamaConfig, pool, slot,
                 q, pool.k_pages[i], pool.v_pages[i], table, kv_len,
                 k_scale=None if pool.k_scale is None else pool.k_scale[i],
                 v_scale=None if pool.v_scale is None else pool.v_scale[i],
-                interpret=interpret,
+                interpret=interpret, window=cfg.sliding_window,
             )
             x = x + _proj(
                 attn.reshape(b, cc, cfg.num_heads * cfg.head_dim),
@@ -328,7 +338,7 @@ def prefill_packed(params, tokens, positions, segment_ids, cfg: LlamaConfig,
         k = apply_rope(k, cos, sin)
         kvs.append((k, v))
         attn = flash_attention(
-            q, k, v,
+            q, k, v, window=_wnd(cfg),
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
             q_positions=positions, kv_positions=positions,
             interpret=interpret,
@@ -368,6 +378,7 @@ def decode_step(params, token, cfg: LlamaConfig, cache: KVCache, *, interpret=No
         attn = flash_decode(
             q[:, 0], kc, vc, k_scale=ks, v_scale=vs,
             kv_length=cache.length + 1, kv_layout="bhsd", interpret=interpret,
+            window=cfg.sliding_window,
         )
         x = x + _proj_l(
             attn.reshape(b, 1, cfg.num_heads * cfg.head_dim), blk, lblk,
@@ -404,7 +415,7 @@ def decode_multi(params, tokens, cfg: LlamaConfig, cache: KVCache, *,
         kc, vc, ks, vs = cache.layer(i)
         attn = flash_decode_chunk(
             q, kc, vc, k_scale=ks, v_scale=vs, kv_length=cache.length + t,
-            kv_layout="bhsd", interpret=interpret,
+            kv_layout="bhsd", interpret=interpret, window=cfg.sliding_window,
         )
         x = x + _proj(
             attn.reshape(b, t, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
@@ -482,7 +493,8 @@ def decode_step_paged(params, token, cfg: LlamaConfig, pool, *, interpret=None):
         k = apply_rope(k, cos, sin)
         pool = pool.append_token(i, k[:, 0], v[:, 0])
         attn = paged_decode_attention(
-            pool.advance(1), i, q[:, 0], interpret=interpret
+            pool.advance(1), i, q[:, 0], interpret=interpret,
+            window=cfg.sliding_window,
         )
         x = x + _proj(
             attn.reshape(b, 1, cfg.num_heads * cfg.head_dim), blk["wo"], interpret

@@ -190,3 +190,37 @@ def test_llama_70b_structure_tp_int4_fp8_decode():
                                atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_llama_sliding_window_decode_matches_forward():
+    """LlamaConfig.sliding_window: windowed prefill and cached decode agree
+    end-to-end, and differ from global attention past the window."""
+    import dataclasses
+
+    cfg = dataclasses.replace(llama.LLAMA_TINY, sliding_window=6)
+    params = llama.init_params(cfg, jax.random.PRNGKey(70))
+    prompt = jax.random.randint(jax.random.PRNGKey(71), (1, 12), 0, cfg.vocab_size)
+
+    logits_all, kvs = llama.prefill_with_kv(
+        params, prompt, jnp.arange(12)[None], cfg, interpret=True
+    )
+    full = llama.forward(params, prompt, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(logits_all), np.asarray(full),
+                               atol=2e-3, rtol=2e-3)
+    glob = llama.forward(
+        params, prompt, dataclasses.replace(cfg, sliding_window=None),
+        interpret=True,
+    )
+    assert float(jnp.max(jnp.abs(full[:, -1] - glob[:, -1]))) > 1e-4
+
+    cache = llama.make_cache(cfg, 1, 32)
+    for i, (k, v) in enumerate(kvs):
+        cache = cache.append(i, k, v)
+    cache = cache.advance(12)
+    tok = jnp.argmax(logits_all[:, -1], -1)
+    logits_d, cache = llama.decode_step(params, tok, cfg, cache, interpret=True)
+    full2 = llama.forward(
+        params, jnp.concatenate([prompt, tok[:, None]], 1), cfg, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(logits_d), np.asarray(full2[:, -1]),
+                               atol=5e-3, rtol=5e-3)
