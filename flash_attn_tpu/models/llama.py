@@ -91,27 +91,11 @@ def _rms_norm(x, g, eps):
     return (xf * jax.lax.rsqrt(var + eps) * g.astype(jnp.float32)).astype(x.dtype)
 
 
-def rope_cos_sin(positions, head_dim, theta, dtype=jnp.float32):
-    """positions [...] -> cos/sin [..., head_dim//2]."""
-    inv_freq = 1.0 / (
-        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
-    )
-    angles = positions.astype(jnp.float32)[..., None] * inv_freq
-    return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
-
-
-def apply_rope(x, cos, sin):
-    """x [..., S, H, D]; cos/sin [..., S, D/2] (broadcast over heads).
-    Rotate-half convention (Llama / HF NEOX style)."""
-    d2 = x.shape[-1] // 2
-    x1, x2 = x[..., :d2], x[..., d2:]
-    c = cos[..., None, :]
-    s = sin[..., None, :]
-    xf1 = x1.astype(jnp.float32)
-    xf2 = x2.astype(jnp.float32)
-    return jnp.concatenate(
-        [xf1 * c - xf2 * s, xf2 * c + xf1 * s], axis=-1
-    ).astype(x.dtype)
+# Shared RoPE math (ops/rope.py); prefill paths pass q UN-rotated to
+# flash_attention with rope_cos/rope_sin so the rotation happens inside the
+# kernel at block-load time (saves the [B,S,H,D] rotated-q HBM round trip);
+# K is rotated here because its rotated form is what the KV cache stores.
+from flash_attn_tpu.ops.rope import rope_cos_sin, rope_rotate as apply_rope
 
 
 def _proj(x, w, interpret=None):
@@ -148,13 +132,13 @@ def _block_attn(x, blk, cfg, cos, sin, *, cache=None, layer=None,
     q = _proj(h, blk["wq"], interpret).reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = _proj(h, blk["wk"], interpret).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     v = _proj(h, blk["wv"], interpret).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     if cache is not None:
         cache = cache.append(layer, k, v)
     attn = flash_attention(
         q, k, v, causal=True, window=_wnd(cfg),
         q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+        rope_cos=cos, rope_sin=sin,
         interpret=interpret,
     )
     out = _proj(attn.reshape(b, s, cfg.num_heads * cfg.head_dim), blk["wo"], interpret)
@@ -209,10 +193,10 @@ def prefill_with_kv(params, tokens, positions, cfg: LlamaConfig, *, interpret=No
             b, s, cfg.num_kv_heads, cfg.head_dim)
         v = _proj_l(h, blk, lblk, "wv", interpret, lora_id, lsc).reshape(
             b, s, cfg.num_kv_heads, cfg.head_dim)
-        q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         kvs.append((k, v))
         attn = flash_attention(q, k, v, causal=True, window=_wnd(cfg),
+                               rope_cos=cos, rope_sin=sin,
                                interpret=interpret)
         x = x + _proj_l(
             attn.reshape(b, s, cfg.num_heads * cfg.head_dim), blk, lblk,
@@ -241,13 +225,13 @@ def prefill_chunk(params, tokens, cfg: LlamaConfig, cache: KVCache, slot,
         q = _proj(h, blk["wq"], interpret).reshape(b, c, cfg.num_heads, cfg.head_dim)
         k = _proj(h, blk["wk"], interpret).reshape(b, c, cfg.num_kv_heads, cfg.head_dim)
         v = _proj(h, blk["wv"], interpret).reshape(b, c, cfg.num_kv_heads, cfg.head_dim)
-        q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)  # cache stores post-rope K
         cache = cache.insert_at(i, slot, k[0], v[0], start)
         kc, vc = cache.slot_kv_float(i, slot, dtype=x.dtype)
         attn = flash_attention(
             q, kc, vc, q_positions=qpos, kv_positions=kvpos,
-            window=_wnd(cfg), interpret=interpret,
+            window=_wnd(cfg), rope_cos=cos, rope_sin=sin,
+            interpret=interpret,
         )
         x = x + _proj(
             attn.reshape(b, c, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
@@ -299,6 +283,7 @@ def prefill_suffix_paged(params, tokens, cfg: LlamaConfig, pool, slot,
                 k_scale=None if pool.k_scale is None else pool.k_scale[i],
                 v_scale=None if pool.v_scale is None else pool.v_scale[i],
                 interpret=interpret, window=cfg.sliding_window,
+                scales_permuted=pool.scales_permuted,
             )
             x = x + _proj(
                 attn.reshape(b, cc, cfg.num_heads * cfg.head_dim),
@@ -334,13 +319,13 @@ def prefill_packed(params, tokens, positions, segment_ids, cfg: LlamaConfig,
         q = _proj(h, blk["wq"], interpret).reshape(b, t, cfg.num_heads, cfg.head_dim)
         k = _proj(h, blk["wk"], interpret).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         v = _proj(h, blk["wv"], interpret).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-        q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         kvs.append((k, v))
         attn = flash_attention(
             q, k, v, window=_wnd(cfg),
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
             q_positions=positions, kv_positions=positions,
+            rope_cos=cos, rope_sin=sin,
             interpret=interpret,
         )
         x = x + _proj(

@@ -134,14 +134,14 @@ def forward(params, tokens, cfg: MixtralConfig, *, positions=None,
         q = _proj(h, blk["wq"], interpret).reshape(b, s, cfg.num_heads, cfg.head_dim)
         k = _proj(h, blk["wk"], interpret).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         v = _proj(h, blk["wv"], interpret).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        k = apply_rope(k, cos, sin)  # q rotates in-kernel (rope_cos/sin)
         wnd = (
             None if cfg.sliding_window is None else (cfg.sliding_window - 1, -1)
         )
         attn = flash_attention(
             q, k, v, causal=True, window=wnd,
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+            rope_cos=cos, rope_sin=sin,
             interpret=interpret,
         )
         x = x + _proj(
@@ -164,13 +164,13 @@ def prefill_with_kv(params, tokens, positions, cfg: MixtralConfig, *,
         q = _proj(h, blk["wq"], interpret).reshape(b, s, cfg.num_heads, cfg.head_dim)
         k = _proj(h, blk["wk"], interpret).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         v = _proj(h, blk["wv"], interpret).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        k = apply_rope(k, cos, sin)  # q rotates in-kernel
         kvs.append((k, v))
         wnd = (
             None if cfg.sliding_window is None else (cfg.sliding_window - 1, -1)
         )
         attn = flash_attention(q, k, v, causal=True, window=wnd,
+                               rope_cos=cos, rope_sin=sin,
                                interpret=interpret)
         x = x + _proj(
             attn.reshape(b, s, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
@@ -192,8 +192,7 @@ def prefill_packed(params, tokens, positions, segment_ids, cfg: MixtralConfig,
         q = _proj(h, blk["wq"], interpret).reshape(b, t, cfg.num_heads, cfg.head_dim)
         k = _proj(h, blk["wk"], interpret).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         v = _proj(h, blk["wv"], interpret).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        k = apply_rope(k, cos, sin)  # q rotates in-kernel
         kvs.append((k, v))
         wnd = (
             None if cfg.sliding_window is None else (cfg.sliding_window - 1, -1)
@@ -202,6 +201,7 @@ def prefill_packed(params, tokens, positions, segment_ids, cfg: MixtralConfig,
             q, k, v, window=wnd,
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
             q_positions=positions, kv_positions=positions,
+            rope_cos=cos, rope_sin=sin,
             interpret=interpret,
         )
         x = x + _proj(

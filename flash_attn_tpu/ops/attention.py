@@ -23,7 +23,7 @@ from flash_attn_tpu.ops.varlen import cu_seqlens_to_segment_ids
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12)
 )
 def _flash_attention_core(
     q,
@@ -31,6 +31,7 @@ def _flash_attention_core(
     v,
     bias,
     segs,  # (q_segment_ids, kv_segment_ids, q_positions, kv_positions) or None
+    rope,  # (rope_cos, rope_sin) or None — in-kernel q-side rotation
     causal: bool,
     scale: Optional[float],
     dropout_rate: float,
@@ -53,14 +54,16 @@ def _flash_attention_core(
         dropout_rate=dropout_rate,
         dropout_seed=dropout_seed,
         window=window,
+        rope_cos=None if rope is None else rope[0],
+        rope_sin=None if rope is None else rope[1],
         config=config,
         interpret=interpret,
     )
     return out
 
 
-def _core_fwd(q, k, v, bias, segs, causal, scale, dropout_rate, dropout_seed,
-              window, config, interpret):
+def _core_fwd(q, k, v, bias, segs, rope, causal, scale, dropout_rate,
+              dropout_seed, window, config, interpret):
     out, lse = flash_fwd(
         q, k, v,
         bias=bias,
@@ -71,44 +74,63 @@ def _core_fwd(q, k, v, bias, segs, causal, scale, dropout_rate, dropout_seed,
         causal=causal, scale=scale,
         dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         window=window,
+        rope_cos=None if rope is None else rope[0],
+        rope_sin=None if rope is None else rope[1],
         config=config, interpret=interpret,
     )
     # Residuals ≙ what the reference saves for flash_attn_bwd: q,k,v,out,lse
     # (flash_attn.h:68-74); the LSE replaces the caller-allocated
     # softmax_lse workspace.
-    return out, (q, k, v, bias, segs, out, lse)
+    return out, (q, k, v, bias, segs, rope, out, lse)
 
 
 def _core_bwd(causal, scale, dropout_rate, dropout_seed, window, config,
               interpret, res, dout):
-    q, k, v, bias, segs, out, lse = res
+    q, k, v, bias, segs, rope, out, lse = res
+    if rope is not None:
+        # The forward rotated q in-kernel; the backward kernels consume the
+        # *rotated* q (out = attn(R q, k, v)), and dq pulls back through the
+        # orthogonal rotation: dq = R^{-1} dq_rot.  Materializing R q here is
+        # fine — the backward is not the HBM-bound path the in-kernel rope
+        # optimizes.
+        from flash_attn_tpu.ops.rope import rope_rotate, rope_unrotate
+
+        q_for_bwd = rope_rotate(q, rope[0], rope[1])
+    else:
+        q_for_bwd = q
     if _use_jnp_bwd() and dropout_rate == 0.0:
         # Debug-only O(S^2) reference backward (FATPU_JNP_BWD=1).
         dq, dk, dv, dbias = _jnp_backward(
-            q, k, v, out, lse, dout, bias=bias, segs=segs, causal=causal,
+            q_for_bwd, k, v, out, lse, dout, bias=bias, segs=segs,
+            causal=causal,
             scale=scale, window=window, want_dbias=bias is not None,
         )
-        return dq, dk, dv, dbias, _int_cotangent(segs)
-    from flash_attn_tpu.ops.flash_bwd import flash_bwd
-
-    grads = flash_bwd(
-        q, k, v, out, lse, dout,
-        bias=bias,
-        q_segment_ids=None if segs is None else segs[0],
-        kv_segment_ids=None if segs is None else segs[1],
-        q_positions=None if segs is None else segs[2],
-        kv_positions=None if segs is None else segs[3],
-        causal=causal, scale=scale,
-        dropout_rate=dropout_rate, dropout_seed=dropout_seed,
-        window=window, want_dbias=bias is not None,
-        config=config, interpret=interpret,
-    )
-    if bias is None:
-        dq, dk, dv = grads
-        dbias = None
     else:
-        dq, dk, dv, dbias = grads
-    return dq, dk, dv, dbias, _int_cotangent(segs)
+        from flash_attn_tpu.ops.flash_bwd import flash_bwd
+
+        grads = flash_bwd(
+            q_for_bwd, k, v, out, lse, dout,
+            bias=bias,
+            q_segment_ids=None if segs is None else segs[0],
+            kv_segment_ids=None if segs is None else segs[1],
+            q_positions=None if segs is None else segs[2],
+            kv_positions=None if segs is None else segs[3],
+            causal=causal, scale=scale,
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+            window=window, want_dbias=bias is not None,
+            config=config, interpret=interpret,
+        )
+        if bias is None:
+            dq, dk, dv = grads
+            dbias = None
+        else:
+            dq, dk, dv, dbias = grads
+    if rope is not None:
+        dq = rope_unrotate(dq, rope[0], rope[1])
+        drope = (jnp.zeros_like(rope[0]), jnp.zeros_like(rope[1]))
+    else:
+        drope = None
+    return dq, dk, dv, dbias, _int_cotangent(segs), drope
 
 
 def _use_jnp_bwd() -> bool:
@@ -216,6 +238,8 @@ def flash_attention(
     dropout_rate: float = 0.0,
     dropout_seed: int | jax.Array = 0,
     window: tuple[int, int] | None = None,
+    rope_cos: jax.Array | None = None,
+    rope_sin: jax.Array | None = None,
     return_lse: bool = False,
     return_softmax: bool = False,
     config: FlashConfig | None = None,
@@ -227,6 +251,10 @@ def flash_attention(
     q_positions/kv_positions: optional int32 position arrays enforcing
     kv_pos <= q_pos (per-sequence causal for packed batches).
 
+    rope_cos/rope_sin ([B,Sq,D/2] fp32): rotate q (rotate-half RoPE)
+    inside the forward kernel — pass un-rotated q, pre-rotated k.
+    Differentiable (dq is pulled back through the rotation).
+
     return_softmax: also materialize the post-dropout probability matrix
     through the kernel (softmax_ptr debug hook, flash_attn.h:15,30);
     returns (out, lse, probs) and is fwd-only (not differentiable)."""
@@ -234,6 +262,9 @@ def flash_attention(
     segs = None
     if q_segment_ids is not None or q_positions is not None:
         segs = (q_segment_ids, kv_segment_ids, q_positions, kv_positions)
+    rope = None
+    if rope_cos is not None:
+        rope = (rope_cos, rope_sin)
     if return_softmax:
         return flash_fwd(
             q, k, v, bias=mask,
@@ -241,6 +272,7 @@ def flash_attention(
             q_positions=q_positions, kv_positions=kv_positions,
             causal=causal, scale=scale, dropout_rate=dropout_rate,
             dropout_seed=dropout_seed, window=window,
+            rope_cos=rope_cos, rope_sin=rope_sin,
             config=config, interpret=interpret, return_softmax=True,
         )
     if return_lse:
@@ -250,11 +282,12 @@ def flash_attention(
             q_positions=q_positions, kv_positions=kv_positions,
             causal=causal, scale=scale, dropout_rate=dropout_rate,
             dropout_seed=dropout_seed, window=window,
+            rope_cos=rope_cos, rope_sin=rope_sin,
             config=config, interpret=interpret,
         )
         return out, lse
     return _flash_attention_core(
-        q, k, v, mask, segs, causal, scale, float(dropout_rate),
+        q, k, v, mask, segs, rope, causal, scale, float(dropout_rate),
         dropout_seed if isinstance(dropout_seed, int) else int(dropout_seed),
         window, config, interpret,
     )

@@ -200,6 +200,7 @@ def _fwd_kernel(
     kseg_ref,
     qpos_ref,
     kpos_ref,
+    rope_ref,
     # outputs (+ optional probs outputs), then scratch
     out_ref,
     lse_ref,
@@ -215,6 +216,7 @@ def _fwd_kernel(
     has_bias: bool,
     has_segs: bool,
     has_pos: bool,
+    has_rope: bool,
     use_exp2: bool,
     clamped: bool,
     split_causal_mask: bool,
@@ -302,7 +304,23 @@ def _fwd_kernel(
     def _body(with_causal=causal):
         # Native-dtype operands straight into the MXU (bf16 x bf16 -> fp32);
         # softmax scale is pre-folded into q by the wrapper.
-        s = sdot(q_ref[0, 0], k_ref[0, 0])  # [bq, bk] fp32
+        qb = q_ref[0, 0]  # [bq, d]
+        if has_rope:
+            # In-kernel q-side RoPE (rotate-half): saves the [B,S,H,D] HBM
+            # round trip of materializing rotated q outside.  The rope table
+            # rides a [bq, d] block (cos | sin halves) keyed by qi only, so
+            # its DMA re-fires only when qi changes; the [bq, d] VPU rotate
+            # per step is ~2/bq of the step's MXU work — noise at bq >= 128.
+            # (Scale pre-fold commutes: R(c*q) = c*R(q).)
+            cs = rope_ref[0]  # [bq, d] f32
+            d2 = cs.shape[1] // 2
+            c, sn = cs[:, :d2], cs[:, d2:]
+            qf = qb.astype(jnp.float32)
+            q1, q2 = qf[:, :d2], qf[:, d2:]
+            qb = jnp.concatenate(
+                [q1 * c - q2 * sn, q2 * c + q1 * sn], axis=1
+            ).astype(qb.dtype)
+        s = sdot(qb, k_ref[0, 0])  # [bq, bk] fp32
 
         if has_bias:
             # clamp so user -inf bias entries become finite NEG_INF (keeps
@@ -463,6 +481,8 @@ def flash_fwd(
     dropout_rate: float = 0.0,
     dropout_seed: jax.Array | int = 0,
     window: tuple[int, int] | None = None,
+    rope_cos: jax.Array | None = None,
+    rope_sin: jax.Array | None = None,
     config: FlashConfig | None = None,
     interpret: bool | None = None,
     causal_dma_skip: bool = True,
@@ -471,6 +491,11 @@ def flash_fwd(
     """FlashAttention-2 forward. q: [B,Sq,H,D]; k,v: [B,Sk,Hk,D] (BSHD, the
     reference layout, flash_attn.h:10-12). Returns (out [B,Sq,H,D],
     lse [B,H,Sq] fp32).
+
+    rope_cos/rope_sin ([B,Sq,D/2] or [Sq,D/2] fp32): when given, q is
+    rotated (rotate-half RoPE) *inside* the kernel at block-load time —
+    pass the un-rotated q.  K must still be pre-rotated by the caller (its
+    rotated form is what a KV cache stores anyway).
 
     q_positions/kv_positions ([B,Sq]/[B,Sk] int32): when given, positions
     mask attention to kv_pos <= q_pos — the in-kernel form of per-sequence
@@ -623,6 +648,35 @@ def flash_fwd(
         else M(lambda b, h, qi, ki: (0, 0, 0)),
     )
 
+    has_rope = rope_cos is not None
+    if has_rope:
+        if rope_sin is None:
+            raise ValueError("rope_cos given without rope_sin")
+        if head_dim % 2:
+            raise ValueError("rope requires even head_dim")
+        d2 = head_dim // 2
+        rc = jnp.asarray(rope_cos, jnp.float32)
+        rs = jnp.asarray(rope_sin, jnp.float32)
+        if rc.ndim == 2:
+            rc, rs = rc[None], rs[None]
+        if rc.shape[-1] != d2 or rc.ndim != 3:
+            raise ValueError(
+                f"rope_cos must be [B,Sq,{d2}] or [Sq,{d2}], got {rc.shape}"
+            )
+        rc = jnp.broadcast_to(rc, (batch, seqlen_q, d2))
+        rs = jnp.broadcast_to(rs, (batch, seqlen_q, d2))
+        # One [B, Sq, D] table (cos | sin halves): full-lane blocks, a single
+        # input stream whose DMA only re-fires when qi changes.
+        rope_cs = _pad_axis(jnp.concatenate([rc, rs], axis=-1), 1, block_q)
+        rope_spec = pl.BlockSpec(
+            (1, block_q, head_dim), M(lambda b, h, qi, ki: (b, qi, 0))
+        )
+    else:
+        rope_cs = jnp.zeros((1, block_q, head_dim), jnp.float32)
+        rope_spec = pl.BlockSpec(
+            (1, block_q, head_dim), M(lambda b, h, qi, ki: (0, 0, 0))
+        )
+
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
 
     if use_tri:
@@ -663,6 +717,7 @@ def flash_fwd(
         has_bias=has_bias,
         has_segs=has_segs,
         has_pos=has_pos,
+        has_rope=has_rope,
         use_exp2=base2,
         clamped=clamped,
         split_causal_mask=cfg.split_causal_mask,
@@ -702,6 +757,7 @@ def flash_fwd(
                 kseg_spec,
                 qpos_spec,
                 kpos_spec,
+                rope_spec,
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, block_q, head_dim), M(lambda b, h, qi, ki: (b, h, qi, 0))),
@@ -738,7 +794,7 @@ def flash_fwd(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=batch * num_heads * seqlen_q * seqlen_k
         ),
         interpret=interpret,
-    )(seed, tri, qt, kt, vt, bias, qseg, kseg, qpos, kpos)
+    )(seed, tri, qt, kt, vt, bias, qseg, kseg, qpos, kpos, rope_cs)
 
     out, lse = results[0], results[1]
     out = jnp.swapaxes(out[:, :, :seqlen_q, :], 1, 2)  # BHSD -> BSHD

@@ -344,3 +344,82 @@ def test_clamped_softmax_large_scores_graceful():
                          interpret=True)
     assert np.all(np.isfinite(np.asarray(out)))
     assert float(jnp.max(jnp.abs(out))) <= float(jnp.max(jnp.abs(v))) + 1e-3
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_inkernel_rope_matches_outside_rotation(dtype):
+    """In-kernel q-side RoPE (rope_cos/rope_sin) == rotating q outside and
+    calling the kernel plain.  Scale pre-fold commutes with the rotation."""
+    from flash_attn_tpu.ops.rope import rope_cos_sin, rope_rotate
+
+    q, k, v = make_qkv(jax.random.PRNGKey(60), 2, 200, 200, 4, 2, 64, dtype)
+    pos = jnp.broadcast_to(jnp.arange(200)[None], (2, 200))
+    cos, sin = rope_cos_sin(pos, 64, 10000.0)
+    k_rot = rope_rotate(k, cos, sin)
+
+    out_in, lse_in = flash_fwd(
+        q, k_rot, v, causal=True, rope_cos=cos, rope_sin=sin, interpret=True
+    )
+    out_ref, lse_ref = flash_fwd(
+        rope_rotate(q, cos, sin), k_rot, v, causal=True, interpret=True
+    )
+    tol = TOL[q.dtype.type]
+    np.testing.assert_allclose(
+        np.asarray(out_in, np.float32), np.asarray(out_ref, np.float32),
+        atol=tol * 10, rtol=tol * 10,
+    )
+    fin = np.isfinite(np.asarray(lse_ref))
+    np.testing.assert_allclose(
+        np.asarray(lse_in)[fin], np.asarray(lse_ref)[fin], rtol=1e-3, atol=1e-3
+    )
+
+
+def test_inkernel_rope_2d_table_and_window():
+    """[Sq, D/2] rope tables broadcast over batch; composes with window."""
+    from flash_attn_tpu.ops.rope import rope_cos_sin, rope_rotate
+
+    q, k, v = make_qkv(jax.random.PRNGKey(61), 2, 160, 160, 2, 2, 64,
+                       jnp.float32)
+    cos, sin = rope_cos_sin(jnp.arange(160), 64, 500000.0)
+    k_rot = rope_rotate(k, cos[None], sin[None])
+    out_in, _ = flash_fwd(
+        q, k_rot, v, causal=True, window=(32, 0),
+        rope_cos=cos, rope_sin=sin, interpret=True,
+    )
+    out_ref, _ = flash_fwd(
+        rope_rotate(q, cos[None], sin[None]), k_rot, v,
+        causal=True, window=(32, 0), interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_in), np.asarray(out_ref), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_inkernel_rope_grad():
+    """jax.grad through flash_attention(rope_cos/sin) == jax.grad through
+    the explicit outside rotation (dq pulled back through the orthogonal
+    rotation in _core_bwd)."""
+    from flash_attn_tpu.ops.attention import flash_attention
+    from flash_attn_tpu.ops.rope import rope_cos_sin, rope_rotate
+
+    q, k, v = make_qkv(jax.random.PRNGKey(62), 1, 192, 192, 2, 2, 64,
+                       jnp.float32)
+    pos = jnp.arange(192)[None]
+    cos, sin = rope_cos_sin(pos, 64, 10000.0)
+
+    def loss_inkernel(q_, k_, v_):
+        o = flash_attention(q_, rope_rotate(k_, cos, sin), v_, causal=True,
+                            rope_cos=cos, rope_sin=sin, interpret=True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_outside(q_, k_, v_):
+        o = flash_attention(rope_rotate(q_, cos, sin),
+                            rope_rotate(k_, cos, sin), v_, causal=True,
+                            interpret=True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g0 = jax.grad(loss_inkernel, argnums=(0, 1, 2))(q, k, v)
+    g1 = jax.grad(loss_outside, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
