@@ -260,9 +260,10 @@ def bench_flash_bwd(chip_peaks):
     }
 
 
-def bench_paged_decode(chip_peaks, contiguous_us=None):
-    """Scalar-prefetch paged decode at the 8B/8k shape (int8 pages); the
-    target is parity (within ~10%) with the contiguous decode kernel."""
+def bench_paged_decode(chip_peaks, contiguous_us=None, mode="int8"):
+    """Scalar-prefetch paged decode at the 8B/8k shape (int8 or packed-fp8
+    pages); the target is parity (within ~10%) with the contiguous decode
+    kernel."""
     import jax
     import jax.numpy as jnp
 
@@ -274,7 +275,7 @@ def bench_paged_decode(chip_peaks, contiguous_us=None):
     per_seq = S // page
     num_pages = B * per_seq + 1
     pool = PagedKVPool.create(
-        1, num_pages, page, B, per_seq, Hk, D, dtype=jnp.bfloat16, mode="int8"
+        1, num_pages, page, B, per_seq, Hk, D, dtype=jnp.bfloat16, mode=mode
     )
     for b in range(B):
         pool = pool.assign_pages(
@@ -283,7 +284,7 @@ def bench_paged_decode(chip_peaks, contiguous_us=None):
     key = jax.random.PRNGKey(4)
     k = jax.random.normal(key, (B, S, Hk, D), jnp.bfloat16)
     v = jax.random.normal(key, (B, S, Hk, D), jnp.bfloat16)
-    kq, ks, vq, vs = quantize_kv(k, v, "int8")
+    kq, ks, vq, vs = quantize_kv(k, v, mode)
     # fill pages directly (layout [P, Hk, page, D])
     kp = jnp.swapaxes(kq, 1, 2).reshape(B, Hk, per_seq, page, D)
     vp = jnp.swapaxes(vq, 1, 2).reshape(B, Hk, per_seq, page, D)
@@ -293,6 +294,12 @@ def bench_paged_decode(chip_peaks, contiguous_us=None):
     vsl = jnp.swapaxes(vs[..., 0], 1, 2).reshape(B, Hk, per_seq, 1, page)
     ksl = jnp.moveaxis(ksl, 2, 1).reshape(B * per_seq, Hk, 1, page)
     vsl = jnp.moveaxis(vsl, 2, 1).reshape(B * per_seq, Hk, 1, page)
+    if pool.scales_permuted:
+        # fp8 pools store scale lanes in packed (evens-then-odds) page order
+        from flash_attn_tpu.ops.decode import _permute_scale_lanes
+
+        ksl = _permute_scale_lanes(ksl, page)
+        vsl = _permute_scale_lanes(vsl, page)
     pool = pool._replace(
         k_pages=pool.k_pages.at[0, 1:].set(kp),
         v_pages=pool.v_pages.at[0, 1:].set(vp),
@@ -302,14 +309,19 @@ def bench_paged_decode(chip_peaks, contiguous_us=None):
     )
     q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
 
+    permuted = pool.scales_permuted
+
     def step(q_, kpg, vpg, kspg, vspg, tbl, lens):
         from flash_attn_tpu.ops.paged_decode import paged_flash_decode
 
         return paged_flash_decode(
-            q_, kpg, vpg, tbl, lens, k_scale=kspg, v_scale=vspg
+            q_, kpg, vpg, tbl, lens, k_scale=kspg, v_scale=vspg,
+            scales_permuted=permuted,
         ).astype(jnp.bfloat16)
 
-    kv_bytes = 2 * B * S * Hk * (D + 4)
+    kv_bytes = (
+        2 * B * S * Hk * (D * kq.dtype.itemsize + 4)
+    )  # pages + fp32 scale lanes
     ideal = kv_bytes / (chip_peaks[2] * 1e9)
     consts = (
         pool.k_pages[0], pool.v_pages[0], pool.k_scale[0], pool.v_scale[0],
@@ -318,13 +330,14 @@ def bench_paged_decode(chip_peaks, contiguous_us=None):
     t, info = chain_step_seconds(
         step, q, consts, n=32, floor_s=ideal / _MAX_PLAUSIBLE_FRAC
     )
+    tag = "paged_decode" if mode == "int8" else f"paged_decode_{mode}"
     out = {
-        "paged_decode_us": round(t * 1e6, 1),
-        "paged_decode_roofline_frac": round(ideal / t, 4),
-        "paged_decode_estimator": info["estimator"],
+        f"{tag}_us": round(t * 1e6, 1),
+        f"{tag}_roofline_frac": round(ideal / t, 4),
+        f"{tag}_estimator": info["estimator"],
     }
     if contiguous_us:
-        out["paged_vs_contiguous"] = round(t * 1e6 / contiguous_us, 3)
+        out[f"{tag}_vs_contiguous"] = round(t * 1e6 / contiguous_us, 3)
     return out
 
 
@@ -496,6 +509,14 @@ def _run_bench():
         )
     except Exception as e:  # pragma: no cover
         details["paged_error"] = repr(e)[:200]
+    try:
+        details.update(
+            bench_paged_decode(
+                peaks, details.get("decode_fp8_us"), mode="fp8"
+            )
+        )
+    except Exception as e:  # pragma: no cover
+        details["paged_fp8_error"] = repr(e)[:200]
     try:
         details.update(bench_llama8b_decode(peaks))
     except Exception as e:  # pragma: no cover

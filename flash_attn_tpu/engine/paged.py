@@ -50,6 +50,33 @@ class PagedKVPool:
         return self.k_pages.shape[3]
 
     @property
+    def scales_permuted(self):
+        """fp8 pools store per-position scales in the packed-pair decode's
+        lane order — evens-then-odds within each page (see
+        ops/decode._packed_e4m3_halves) — so the hot paged kernel reads
+        them with zero per-step shuffles.  Appends permute the write
+        offsets; the gather oracles unpermute on read."""
+        return self.mode == "fp8" and self.page_size % 4 == 0
+
+    def _scale_lane(self, offs):
+        """Map natural in-page offsets to stored scale lanes."""
+        if not self.scales_permuted:
+            return offs
+        half = self.page_size // 2
+        return (offs % 2) * half + offs // 2
+
+    def _scale_unperm_idx(self):
+        """Lane gather index such that natural[p] = stored[idx[p]]."""
+        import numpy as np
+
+        page = self.page_size
+        half = page // 2
+        idx = np.empty((page,), np.int32)
+        idx[0::2] = np.arange(half)
+        idx[1::2] = half + np.arange(page - half)
+        return jnp.asarray(idx)
+
+    @property
     def num_pages(self):
         return self.k_pages.shape[1]
 
@@ -121,7 +148,9 @@ class PagedKVPool:
 
         def scatter_scale(buf, new):
             # buf [num_pages, Hk, 1, page]; new [B, Hk, 1]
-            return buf.at[pages, :, 0, offset].set(new[..., 0])
+            return buf.at[pages, :, 0, self._scale_lane(offset)].set(
+                new[..., 0]
+            )
 
         k_pages = self.k_pages.at[layer].set(scatter(self.k_pages[layer], kq))
         v_pages = self.v_pages.at[layer].set(scatter(self.v_pages[layer], vq))
@@ -155,7 +184,9 @@ class PagedKVPool:
             return buf.at[pages, :, offs].set(new.astype(buf.dtype))
 
         def scatter_scale(buf, new):
-            return buf.at[pages, :, 0, offs].set(new[..., 0])
+            return buf.at[pages, :, 0, self._scale_lane(offs)].set(
+                new[..., 0]
+            )
 
         k_pages = self.k_pages.at[layer].set(scatter(self.k_pages[layer], kq))
         v_pages = self.v_pages.at[layer].set(scatter(self.v_pages[layer], vq))
@@ -190,6 +221,8 @@ class PagedKVPool:
         if self.mode != "none":
             def gs(buf):
                 picked = buf[layer][table][:, :, 0, :]  # [mp, Hk, page]
+                if self.scales_permuted:
+                    picked = picked[..., self._scale_unperm_idx()]
                 return jnp.moveaxis(picked, 1, 2).reshape(
                     -1, picked.shape[1]
                 )[..., None]  # [mp*page, Hk, 1]
@@ -210,6 +243,8 @@ class PagedKVPool:
 
         def gs(buf):
             picked = buf[layer][self.block_table]  # [B, mp, Hk, 1, page]
+            if self.scales_permuted:
+                picked = picked[..., self._scale_unperm_idx()]
             b, mp = picked.shape[:2]
             moved = jnp.moveaxis(picked[:, :, :, 0, :], 3, 2)  # [B,mp,page,Hk]
             return moved.reshape(b, mp * moved.shape[2], moved.shape[3], 1)
@@ -236,4 +271,5 @@ def paged_decode_attention(pool: PagedKVPool, layer: int, q, *, scale=None,
         interpret=interpret,
         window=window,
         softmax_mode=softmax_mode,
+        scales_permuted=pool.scales_permuted,
     )

@@ -28,7 +28,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flash_attn_tpu.ops.decode import CLAMP2_DEC, LOG2E, _fast_cast
+from flash_attn_tpu.ops.decode import (
+    CLAMP2_DEC,
+    CLAMP2_DEC_FP8,
+    E4M3_FIX,
+    LOG2E,
+    P_SHIFT2,
+    P_SHIFT_LN2,
+    _fast_cast,
+    _packed_e4m3_halves,
+    _perm_cols,
+)
 from flash_attn_tpu.ops.flash_fwd import sdot
 
 NEG_INF = -1e30
@@ -55,6 +65,7 @@ def _paged_decode_kernel(
     scale: float,
     has_k_scale: bool,
     has_v_scale: bool,
+    packed_fp8: bool,
     out_dtype,
     clamped: bool = False,
     chunk: int = 1,
@@ -80,20 +91,36 @@ def _paged_decode_kernel(
         # scalar softmax scale folded into q in-kernel ([H, D] multiply per
         # step, not [H, page] on the scores — same finding as ops/decode.py
         # r2j); clamped mode works in base-2 units, LOG2E rides the fold.
+        # With packed fp8, K's 2^120 rebias (E4M3_FIX) rides the same fold.
         q = q * jnp.asarray(
-            scale * (LOG2E if clamped else 1.0), compute_dtype
+            scale
+            * (E4M3_FIX if packed_fp8 else 1.0)
+            * (LOG2E if clamped else 1.0),
+            compute_dtype,
         )
-        k = _fast_cast(k_ref[0], compute_dtype)  # [Hk, page, D]
         qg = q.reshape(num_heads_k, group, q.shape[-1])
-        s = sdot(qg, k, (((2,), (2,)), ((0,), (0,))))  # [Hk, g, page] fp32
+        if packed_fp8:
+            # Packed-pair e4m3 decode (ops/decode._packed_e4m3_halves) + two
+            # half-GEMMs on the (evens, odds) planes — 2.3x the per-element
+            # bit-decode; scores land in packed (evens-then-odds) page-row
+            # order, which the pool's PRE-PERMUTED scale pages and the mask's
+            # column permute below both match.
+            k_ev, k_od = _packed_e4m3_halves(k_ref[0])  # [Hk, page/2, D] x2
+            s_ev = sdot(qg, k_ev, (((2,), (2,)), ((0,), (0,))))
+            s_od = sdot(qg, k_od, (((2,), (2,)), ((0,), (0,))))
+            s = jnp.concatenate([s_ev, s_od], axis=-1)  # [Hk, g, page]
+        else:
+            k = _fast_cast(k_ref[0], compute_dtype)  # [Hk, page, D]
+            s = sdot(qg, k, (((2,), (2,)), ((0,), (0,))))  # [Hk, g, page]
         if has_k_scale:
             s = s * ks_ref[0].astype(jnp.float32)  # [Hk, 1, page]
         s = s.reshape(num_heads, page)
 
         if need_mask:
-            col = pi * page + jax.lax.broadcasted_iota(
-                jnp.int32, (num_heads, page), 1
-            )
+            r = jax.lax.broadcasted_iota(jnp.int32, (num_heads, page), 1)
+            if packed_fp8:
+                r = _perm_cols(r, page)  # scores follow packed row order
+            col = pi * page + r
             if chunk > 1:
                 # Chunk mode (paged_flash_decode_chunk): rows are virtual
                 # heads in (hk, t, g) order; chunk token t attends to
@@ -116,27 +143,47 @@ def _paged_decode_kernel(
         l_prev = l_scratch[:, :1]
         if clamped:
             # no running max (ops/decode.py softmax_mode="clamped"
-            # contract): masked NEG_INF cols exp2 to exactly 0
-            p = jax.lax.exp2(jnp.minimum(s, CLAMP2_DEC))
+            # contract): masked NEG_INF cols exp2 to exactly 0.  Packed fp8
+            # inflates p by 2^60 (V's rebias half; see ops/decode.py) and
+            # uses the lower score ceiling.
+            sc = jnp.minimum(s, CLAMP2_DEC_FP8 if packed_fp8 else CLAMP2_DEC)
+            if packed_fp8:
+                sc = sc + P_SHIFT2
+            p = jax.lax.exp2(sc)
             alpha = None
             l_new = l_prev + jnp.sum(p, axis=1, keepdims=True)
         else:
             m_prev = m_scratch[:, :1]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
             alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)
+            if packed_fp8:
+                # 2^60 p-inflation folded into the [H, 1] max-shift (free);
+                # PV products then sit 2^-60 below true scale — above the
+                # fp32 denormal flush; _finalize repays the full 2^120.
+                p = jnp.exp(s - (m_new - P_SHIFT_LN2))
+            else:
+                p = jnp.exp(s - m_new)
             l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
             # narrow [:, :1] stat writes, not 128-lane broadcasts (~+4%,
             # same finding as the contiguous decode kernel)
             m_scratch[:, :1] = m_new
         l_scratch[:, :1] = l_new
 
-        v = _fast_cast(v_ref[0], compute_dtype)  # [Hk, page, D]
         pg = p.reshape(num_heads_k, group, page)
         if has_v_scale:
             pg = pg * vs_ref[0].astype(jnp.float32)
-        o = sdot(pg.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))))
-        o = o.reshape(num_heads, v.shape[-1])
+        if packed_fp8:
+            v_ev, v_od = _packed_e4m3_halves(v_ref[0])  # [Hk, page/2, D] x2
+            half = page // 2
+            pc = pg.astype(compute_dtype)
+            o = sdot(pc[:, :, :half], v_ev, (((2,), (1,)), ((0,), (0,))))
+            o = o + sdot(pc[:, :, half:], v_od, (((2,), (1,)), ((0,), (0,))))
+            d_out = v_ev.shape[-1]
+        else:
+            v = _fast_cast(v_ref[0], compute_dtype)  # [Hk, page, D]
+            o = sdot(pg.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))))
+            d_out = v.shape[-1]
+        o = o.reshape(num_heads, d_out)
         if clamped:
             acc_scratch[...] = acc_scratch[...] + o
         else:
@@ -163,8 +210,15 @@ def _paged_decode_kernel(
             m = m_scratch[:, :1]
             valid = (l > 0.0) & (m > NEG_INF / 2)
             lse_raw = m + jnp.log(jnp.where(valid, l, 1.0))
+        acc = acc_scratch[...]
+        if packed_fp8:
+            # Pay back V's rebias BEFORE the divide (acc/l alone would be
+            # out_true * 2^-120 — fp32 denormal territory); see the
+            # contiguous kernel's _finalize for the range argument.
+            acc = acc * E4M3_FIX
+            lse_raw = lse_raw - P_SHIFT_LN2
         o_ref[0] = jnp.where(
-            valid, acc_scratch[...] / jnp.where(valid, l, 1.0), 0.0
+            valid, acc / jnp.where(valid, l, 1.0), 0.0
         ).astype(out_dtype)
         lse_ref[0] = jnp.where(valid, lse_raw, NEG_INF).astype(jnp.float32)
 
@@ -184,6 +238,7 @@ def paged_flash_decode(
     softmax_mode: str = "online",
     chunk: int = 1,
     window: int | None = None,
+    scales_permuted: bool = False,
 ):
     """Single-token decode attention over a paged KV pool.
 
@@ -191,6 +246,13 @@ def paged_flash_decode(
     (+ lse [B, H] fp32 with return_lse).  softmax_mode as in
     ops/decode.flash_decode ("clamped" drops the running max).  ``chunk``
     is internal (use paged_flash_decode_chunk): q rows are virtual heads.
+
+    fp8 e4m3 pages take the packed-pair decode (two half-GEMMs on the
+    evens/odds planes — ops/decode._packed_e4m3_halves) on Mosaic; scales
+    must then be in packed (evens-then-odds per page) lane order.
+    ``scales_permuted`` declares the caller's scale layout: PagedKVPool
+    stores fp8 scales pre-permuted (True); natural-order scales are
+    permuted/unpermuted here at call time to match the selected kernel.
     """
     if softmax_mode not in ("online", "clamped"):
         raise ValueError(f"unknown softmax_mode {softmax_mode!r}")
@@ -206,6 +268,33 @@ def paged_flash_decode(
 
     has_ks = k_scale is not None
     has_vs = v_scale is not None
+
+    # Packed-pair fp8 page decode: Mosaic-only (pltpu.bitcast width change
+    # has no interpret lowering) and needs 4 sequence rows per i32 word.
+    packed_fp8 = (
+        k_pages.dtype == jnp.float8_e4m3fn
+        and v_pages.dtype == jnp.float8_e4m3fn
+        and not interpret
+        and page % 4 == 0
+    )
+    if packed_fp8 != scales_permuted and (has_ks or has_vs):
+        # Reconcile the scale lane order with the kernel actually selected
+        # (O(pool) per call — only hit by interpret-mode tests on permuted
+        # pools or natural-order callers on the packed path).
+        from flash_attn_tpu.ops.decode import _permute_scale_lanes
+
+        if packed_fp8:
+            fix = lambda s: _permute_scale_lanes(s, page)  # noqa: E731
+        else:
+            half = page // 2
+            import numpy as np
+
+            inv = np.empty((page,), np.int32)  # natural[p] = stored[inv[p]]
+            inv[0::2] = np.arange(half)
+            inv[1::2] = half + np.arange(page - half)
+            fix = lambda s: s[..., inv]  # noqa: E731
+        k_scale = fix(k_scale) if has_ks else None
+        v_scale = fix(v_scale) if has_vs else None
 
     # Dead page steps (beyond a sequence's length, or below its sliding
     # window) clamp to the nearest live page so Mosaic sees an unchanged
@@ -244,6 +333,7 @@ def paged_flash_decode(
         scale=float(scale),
         has_k_scale=has_ks,
         has_v_scale=has_vs,
+        packed_fp8=packed_fp8,
         out_dtype=q.dtype,
         clamped=softmax_mode == "clamped",
         chunk=chunk,
@@ -319,6 +409,7 @@ def paged_flash_decode_chunk(
     return_lse: bool = False,
     softmax_mode: str = "online",
     window: int | None = None,
+    scales_permuted: bool = False,
 ):
     """Multi-token ("chunk") attention over a paged KV pool: T query tokens
     per sequence, causal within the chunk — the paged analog of
@@ -346,7 +437,7 @@ def paged_flash_decode_chunk(
         q2, k_pages, v_pages, block_table, kv_length, k_scale=k_scale,
         v_scale=v_scale, scale=scale, interpret=interpret,
         return_lse=return_lse, softmax_mode=softmax_mode, chunk=chunk,
-        window=window,
+        window=window, scales_permuted=scales_permuted,
     )
     out = res[0] if return_lse else res
 

@@ -587,3 +587,77 @@ def test_request_cancellation(tiny):
     assert r1.done and len(r1.generated) < 50  # stopped early
     assert r3.done and len(r3.generated) == 3  # slot freed, r3 ran
     assert not eng.cancel(r1)  # idempotent on finished requests
+
+
+def test_paged_pool_fp8_permuted_scales():
+    """fp8 pools store per-position scale lanes in the packed-pair decode's
+    page order (evens-then-odds, engine/paged.PagedKVPool.scales_permuted):
+    appends permute the write lane, gather readers unpermute, and
+    paged_flash_decode reconciles the layout with whichever kernel it
+    selects — so the interpret-mode result still matches the contiguous
+    fp8 decode oracle."""
+    from flash_attn_tpu.ops.decode import flash_decode
+    from flash_attn_tpu.ops.quant import quantize_kv
+
+    key = jax.random.PRNGKey(14)
+    L, B, Hk, D = 1, 2, 2, 32
+    page, npages, maxp = 8, 16, 4
+    pool = PagedKVPool.create(
+        L, npages, page, B, maxp, Hk, D, dtype=jnp.float32, mode="fp8"
+    )
+    assert pool.scales_permuted
+    # scatter-to-lanes then gather-by-idx roundtrips, and the stored order
+    # matches ops.decode's packed row order (_permute_scale_lanes)
+    lanes = np.asarray(pool._scale_lane(jnp.arange(page)))
+    idx = np.asarray(pool._scale_unperm_idx())
+    assert sorted(lanes.tolist()) == list(range(page))
+    nat = np.arange(100, 100 + page)
+    stored = np.empty_like(nat)
+    stored[lanes] = nat  # what appends produce
+    np.testing.assert_array_equal(stored[idx], nat)  # what readers recover
+    from flash_attn_tpu.ops.decode import _permute_scale_lanes
+
+    np.testing.assert_array_equal(
+        stored, np.asarray(_permute_scale_lanes(jnp.asarray(nat), page))
+    )
+
+    pool = pool.assign_pages(0, [1, 2, 3, 4]).assign_pages(1, [5, 6, 7, 8])
+    lens = [20, 13]
+    T = max(lens)
+    ks = jax.random.normal(key, (T, B, Hk, D))
+    vs = jax.random.normal(jax.random.PRNGKey(15), (T, B, Hk, D))
+    for t in range(T):
+        pool = pool.append_token(0, ks[t], vs[t])
+        pool = pool.advance(1)
+    pool = pool.set_lengths(lens)
+
+    # gather_layer unpermutes: dequantized cache == quantize->dequantize
+    k_contig = jnp.swapaxes(ks, 0, 1)  # [B, T, Hk, D]
+    v_contig = jnp.swapaxes(vs, 0, 1)
+    kq, ksc, vq, vsc = quantize_kv(k_contig, v_contig, "fp8")
+    gk, gv, gks, gvs = pool.gather_layer(0)
+    deq_got = np.asarray(gk[:, :T].astype(jnp.float32) * gks[:, :T])
+    deq_want = np.asarray(kq.astype(jnp.float32) * ksc)
+    np.testing.assert_allclose(deq_got, deq_want, atol=1e-6)
+
+    # prefill append lands scales on the same permuted lanes as per-token
+    pool_b = PagedKVPool.create(
+        L, npages, page, B, maxp, Hk, D, dtype=jnp.float32, mode="fp8"
+    )
+    pool_b = pool_b.assign_pages(0, [1, 2, 3, 4]).assign_pages(1, [5, 6, 7, 8])
+    for b in range(B):
+        pool_b = pool_b.append_prefill(0, b, ks[:, b], vs[:, b], 0)
+    np.testing.assert_array_equal(
+        np.asarray(pool.k_scale), np.asarray(pool_b.k_scale)
+    )
+
+    # decode through the paged kernel == contiguous fp8 decode
+    q = jax.random.normal(jax.random.PRNGKey(16), (B, 4, D))
+    got = paged_decode_attention(pool, 0, q, interpret=True)
+    want = flash_decode(
+        q, kq, vq, k_scale=ksc, v_scale=vsc,
+        kv_length=jnp.asarray(lens, jnp.int32), interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4
+    )
