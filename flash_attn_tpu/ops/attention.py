@@ -87,29 +87,29 @@ def _core_fwd(q, k, v, bias, segs, rope, causal, scale, dropout_rate,
 def _core_bwd(causal, scale, dropout_rate, dropout_seed, window, config,
               interpret, res, dout):
     q, k, v, bias, segs, rope, out, lse = res
-    if rope is not None:
-        # The forward rotated q in-kernel; the backward kernels consume the
-        # *rotated* q (out = attn(R q, k, v)), and dq pulls back through the
-        # orthogonal rotation: dq = R^{-1} dq_rot.  Materializing R q here is
-        # fine — the backward is not the HBM-bound path the in-kernel rope
-        # optimizes.
+    if _use_jnp_bwd() and dropout_rate == 0.0:
+        # Debug-only O(S^2) reference backward (FATPU_JNP_BWD=1).  out was
+        # produced from R(q), so rotate q here and pull dq back after.
         from flash_attn_tpu.ops.rope import rope_rotate, rope_unrotate
 
-        q_for_bwd = rope_rotate(q, rope[0], rope[1])
-    else:
-        q_for_bwd = q
-    if _use_jnp_bwd() and dropout_rate == 0.0:
-        # Debug-only O(S^2) reference backward (FATPU_JNP_BWD=1).
+        q_for_bwd = (
+            rope_rotate(q, rope[0], rope[1]) if rope is not None else q
+        )
         dq, dk, dv, dbias = _jnp_backward(
             q_for_bwd, k, v, out, lse, dout, bias=bias, segs=segs,
             causal=causal,
             scale=scale, window=window, want_dbias=bias is not None,
         )
+        if rope is not None:
+            dq = rope_unrotate(dq, rope[0], rope[1])
     else:
         from flash_attn_tpu.ops.flash_bwd import flash_bwd
 
+        # In-kernel rope (same contract as the forward): q goes in
+        # un-rotated, the kernels rotate at block load, and dq comes back
+        # already in un-rotated q space — no R(q)/R^-1(dq) materialization.
         grads = flash_bwd(
-            q_for_bwd, k, v, out, lse, dout,
+            q, k, v, out, lse, dout,
             bias=bias,
             q_segment_ids=None if segs is None else segs[0],
             kv_segment_ids=None if segs is None else segs[1],
@@ -117,7 +117,10 @@ def _core_bwd(causal, scale, dropout_rate, dropout_seed, window, config,
             kv_positions=None if segs is None else segs[3],
             causal=causal, scale=scale,
             dropout_rate=dropout_rate, dropout_seed=dropout_seed,
-            window=window, want_dbias=bias is not None,
+            window=window,
+            rope_cos=None if rope is None else rope[0],
+            rope_sin=None if rope is None else rope[1],
+            want_dbias=bias is not None,
             config=config, interpret=interpret,
         )
         if bias is None:
@@ -125,11 +128,9 @@ def _core_bwd(causal, scale, dropout_rate, dropout_seed, window, config,
             dbias = None
         else:
             dq, dk, dv, dbias = grads
+    drope = None
     if rope is not None:
-        dq = rope_unrotate(dq, rope[0], rope[1])
         drope = (jnp.zeros_like(rope[0]), jnp.zeros_like(rope[1]))
-    else:
-        drope = None
     return dq, dk, dv, dbias, _int_cotangent(segs), drope
 
 

@@ -40,6 +40,7 @@ from flash_attn_tpu.ops.flash_fwd import (
     _mix_seed,
     _pad_axis,
     dropout_keep_mask,
+    rope_rotate_block,
     sdot,
 )
 
@@ -108,12 +109,13 @@ def _recompute_p_ds(
 def _dq_kernel(
     seed_ref,
     q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref, bias_ref, qseg_ref, kseg_ref,
-    qpos_ref, kpos_ref,
+    qpos_ref, kpos_ref, rope_ref,
     dq_ref,
     dq_scratch,
     *,
     seqlen_q, seqlen_k, block_q, block_k, num_k_blocks,
-    causal, window, scale, dropout_rate, has_bias, has_segs, has_pos, out_dtype,
+    causal, window, scale, dropout_rate, has_bias, has_segs, has_pos,
+    has_rope, out_dtype,
 ):
     b, h, qi, ki = (pl.program_id(i) for i in range(4))
     shift = seqlen_k - seqlen_q
@@ -124,6 +126,10 @@ def _dq_kernel(
 
     def _body():
         q = q_ref[0, 0]
+        if has_rope:
+            # q arrives UN-rotated (same contract as the forward's in-kernel
+            # rope); the recompute needs R(q).
+            q = rope_rotate_block(q, rope_ref[0])
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         dout = dout_ref[0, 0]
@@ -157,19 +163,24 @@ def _dq_kernel(
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
-        dq_ref[0, 0] = dq_scratch[...].astype(out_dtype)
+        dq = dq_scratch[...]
+        if has_rope:
+            # The scratch accumulated d(R q); pull it back through the
+            # orthogonal rotation so the emitted dq is w.r.t. un-rotated q.
+            dq = rope_rotate_block(dq, rope_ref[0], inverse=True)
+        dq_ref[0, 0] = dq.astype(out_dtype)
 
 
 def _dkv_kernel(
     seed_ref,
     q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref, bias_ref, qseg_ref, kseg_ref,
-    qpos_ref, kpos_ref,
+    qpos_ref, kpos_ref, rope_ref,
     dk_ref, dv_ref, ds_ref,
     dk_scratch, dv_scratch,
     *,
     seqlen_q, seqlen_k, block_q, block_k, num_q_blocks,
     causal, window, scale, dropout_rate, has_bias, has_segs, has_pos,
-    out_dtype, want_ds,
+    has_rope, out_dtype, want_ds,
 ):
     b, h, ki, qi = (pl.program_id(i) for i in range(4))
     shift = seqlen_k - seqlen_q
@@ -181,6 +192,9 @@ def _dkv_kernel(
 
     def _body():
         q = q_ref[0, 0]
+        if has_rope:
+            # recompute AND the dk GEMM below both need R(q): dk = ds^T R(q)
+            q = rope_rotate_block(q, rope_ref[0])
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         dout = dout_ref[0, 0]
@@ -247,12 +261,19 @@ def flash_bwd(
     dropout_rate=0.0,
     dropout_seed=0,
     window=None,
+    rope_cos=None,
+    rope_sin=None,
     want_dbias=False,
     config: FlashConfig | None = None,
     interpret: bool | None = None,
 ):
     """Returns (dq, dk, dv), or (dq, dk, dv, dbias) when ``want_dbias``.
-    Layouts as flash_fwd (BSHD in/out); lse [B,H,Sq]."""
+    Layouts as flash_fwd (BSHD in/out); lse [B,H,Sq].
+
+    rope_cos/rope_sin: same contract as flash_fwd — q arrives UN-rotated,
+    the kernels rotate q blocks at load for the recompute, and the emitted
+    dq is already pulled back to un-rotated q space (in-kernel inverse
+    rotation at the dq finalize).  K must be pre-rotated by the caller."""
     if config is None:
         from flash_attn_tpu.utils.autotune import get_bwd_config
 
@@ -332,6 +353,21 @@ def flash_bwd(
         qpos = jnp.zeros((batch, block_q, 1), jnp.int32)
         kpos = jnp.zeros((batch, 1, block_k), jnp.int32)
 
+    has_rope = rope_cos is not None
+    if has_rope:
+        if rope_sin is None:
+            raise ValueError("rope_cos given without rope_sin")
+        d2 = head_dim // 2
+        rc = jnp.asarray(rope_cos, jnp.float32)
+        rs = jnp.asarray(rope_sin, jnp.float32)
+        if rc.ndim == 2:
+            rc, rs = rc[None], rs[None]
+        rc = jnp.broadcast_to(rc, (batch, seqlen_q, d2))
+        rs = jnp.broadcast_to(rs, (batch, seqlen_q, d2))
+        rope_cs = _pad_axis(jnp.concatenate([rc, rs], axis=-1), 1, block_q)
+    else:
+        rope_cs = jnp.zeros((1, block_q, head_dim), jnp.float32)
+
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
 
     # --- common specs (as functions of the two block-coord names) ---
@@ -391,6 +427,10 @@ def flash_bwd(
             qi, ki = order(x, y)
             return (b, 0, ki) if has_pos else (0, 0, 0)
 
+        def ropemap(b, h, x, y, *_):
+            qi, ki = order(x, y)
+            return (b, cq(qi, ki), 0) if has_rope else (0, 0, 0)
+
         return [
             pl.BlockSpec((1, 1, block_q, head_dim), qmap),      # q
             pl.BlockSpec((1, 1, block_k, head_dim), kmap),      # k
@@ -403,6 +443,7 @@ def flash_bwd(
             pl.BlockSpec((1, 1, block_k), ksegmap),             # kseg
             pl.BlockSpec((1, block_q, 1), qposmap),             # qpos
             pl.BlockSpec((1, 1, block_k), kposmap),             # kpos
+            pl.BlockSpec((1, block_q, head_dim), ropemap),      # rope table
         ]
 
     common_kwargs = dict(
@@ -411,8 +452,10 @@ def flash_bwd(
         causal=causal, window=window, scale=float(scale),
         dropout_rate=float(dropout_rate),
         has_bias=has_bias, has_segs=has_segs, has_pos=has_pos,
+        has_rope=has_rope,
     )
-    args = (seed, qt, kt, vt, dot, lse_p, delta_p, bias_f, qseg, kseg, qpos, kpos)
+    args = (seed, qt, kt, vt, dot, lse_p, delta_p, bias_f, qseg, kseg, qpos,
+            kpos, rope_cs)
 
     gemm_flops = 2 * batch * num_heads * seqlen_q * seqlen_k * head_dim
     if causal:

@@ -129,6 +129,23 @@ def sdot(a, b, dims=(((1,), (1,)), ((), ()))):
     )
 
 
+def rope_rotate_block(x, cs, inverse: bool = False):
+    """Rotate-half RoPE on one [rows, D] block inside a kernel.
+
+    cs: [rows, D] fp32 table, cos in lanes [:D/2], sin in lanes [D/2:].
+    inverse=True applies R(-angle) (the rotation is orthogonal) — used by
+    the backward's dq finalize to pull dq back to un-rotated q space."""
+    d2 = cs.shape[1] // 2
+    c, sn = cs[:, :d2], cs[:, d2:]
+    if inverse:
+        sn = -sn
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[:, :d2], xf[:, d2:]
+    return jnp.concatenate(
+        [x1 * c - x2 * sn, x2 * c + x1 * sn], axis=1
+    ).astype(x.dtype)
+
+
 def _pad_axis(x: jax.Array, axis: int, multiple: int) -> jax.Array:
     size = x.shape[axis]
     padded = _cdiv(size, multiple) * multiple
@@ -312,14 +329,7 @@ def _fwd_kernel(
             # its DMA re-fires only when qi changes; the [bq, d] VPU rotate
             # per step is ~2/bq of the step's MXU work — noise at bq >= 128.
             # (Scale pre-fold commutes: R(c*q) = c*R(q).)
-            cs = rope_ref[0]  # [bq, d] f32
-            d2 = cs.shape[1] // 2
-            c, sn = cs[:, :d2], cs[:, d2:]
-            qf = qb.astype(jnp.float32)
-            q1, q2 = qf[:, :d2], qf[:, d2:]
-            qb = jnp.concatenate(
-                [q1 * c - q2 * sn, q2 * c + q1 * sn], axis=1
-            ).astype(qb.dtype)
+            qb = rope_rotate_block(qb, rope_ref[0])
         s = sdot(qb, k_ref[0, 0])  # [bq, bk] fp32
 
         if has_bias:

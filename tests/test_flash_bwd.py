@@ -315,3 +315,39 @@ def test_public_api_bias_grads_pallas_default():
                                atol=5e-4, rtol=5e-4)
     np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq),
                                atol=5e-4, rtol=5e-4)
+
+
+def test_bwd_inkernel_rope_matches_materialized():
+    """flash_bwd(rope_cos/sin) on un-rotated q == flash_bwd on materialized
+    R(q) with dq pulled back through the rotation outside."""
+    from flash_attn_tpu.ops.flash_bwd import flash_bwd
+    from flash_attn_tpu.ops.flash_fwd import flash_fwd
+    from flash_attn_tpu.ops.rope import rope_cos_sin, rope_rotate, rope_unrotate
+
+    key = jax.random.PRNGKey(80)
+    B, S, H, Hk, D = 1, 256, 4, 2, 64
+    kq, kk, kv, kd = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (B, S, H, D), jnp.float32)
+    k = jax.random.normal(kk, (B, S, Hk, D), jnp.float32)
+    v = jax.random.normal(kv, (B, S, Hk, D), jnp.float32)
+    dout = jax.random.normal(kd, (B, S, H, D), jnp.float32)
+    cos, sin = rope_cos_sin(jnp.arange(S)[None], D, 10000.0)
+    k_rot = rope_rotate(k, cos, sin)
+
+    out, lse = flash_fwd(
+        q, k_rot, v, causal=True, rope_cos=cos, rope_sin=sin, interpret=True
+    )
+    dq, dk, dv = flash_bwd(
+        q, k_rot, v, out, lse, dout, causal=True,
+        rope_cos=cos, rope_sin=sin, interpret=True,
+    )
+
+    q_rot = rope_rotate(q, cos, sin)
+    out2, lse2 = flash_fwd(q_rot, k_rot, v, causal=True, interpret=True)
+    dq2, dk2, dv2 = flash_bwd(
+        q_rot, k_rot, v, out2, lse2, dout, causal=True, interpret=True
+    )
+    dq2 = rope_unrotate(dq2, cos, sin)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv2), atol=1e-4)
