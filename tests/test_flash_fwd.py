@@ -423,3 +423,21 @@ def test_inkernel_rope_grad():
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_head_dim_256():
+    """Gemma-class head_dim=256 through fwd and bwd (tile = 2 MXU lanes)."""
+    from flash_attn_tpu.ops.flash_bwd import flash_bwd
+
+    q, k, v = make_qkv(jax.random.PRNGKey(70), 1, 256, 256, 2, 2, 256,
+                       jnp.float32)
+    out, lse = check(q, k, v, causal=True)
+    dout = jax.random.normal(jax.random.PRNGKey(71), q.shape, jnp.float32)
+    dq, dk, dv = flash_bwd(q, k, v, out, lse, dout, causal=True,
+                           interpret=True)
+    from flash_attn_tpu.ops.reference import mha_reference_vjp
+
+    wq, wk, wv = mha_reference_vjp(q, k, v, dout, causal=True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(wq), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(wk), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(wv), atol=2e-4)
