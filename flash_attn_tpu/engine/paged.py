@@ -256,7 +256,7 @@ class PagedKVPool:
 
 def paged_decode_attention(pool: PagedKVPool, layer: int, q, *, scale=None,
                            interpret=None, window=None,
-                           softmax_mode="online"):
+                           softmax_mode="online", logit_softcap=None):
     """q [B, H, D] -> out [B, H, D] attending to the paged cache via the
     scalar-prefetch kernel (no gather)."""
     return paged_flash_decode(
@@ -271,5 +271,6 @@ def paged_decode_attention(pool: PagedKVPool, layer: int, q, *, scale=None,
         interpret=interpret,
         window=window,
         softmax_mode=softmax_mode,
+        logit_softcap=logit_softcap,
         scales_permuted=pool.scales_permuted,
     )

@@ -42,6 +42,9 @@ class LlamaConfig:
     # Mistral-style sliding-window attention (None = global); honored by
     # forward/prefill (fwd-kernel window mask) and cached decode.
     sliding_window: int | None = None
+    # Gemma-2-style attention logit softcapping, cap * tanh(s / cap)
+    # (None = off); honored in-kernel on every attention path.
+    attn_logit_softcap: float | None = None
 
 
 LLAMA3_8B = LlamaConfig()
@@ -136,7 +139,7 @@ def _block_attn(x, blk, cfg, cos, sin, *, cache=None, layer=None,
     if cache is not None:
         cache = cache.append(layer, k, v)
     attn = flash_attention(
-        q, k, v, causal=True, window=_wnd(cfg),
+        q, k, v, causal=True, window=_wnd(cfg), logit_softcap=cfg.attn_logit_softcap,
         q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
         rope_cos=cos, rope_sin=sin,
         interpret=interpret,
@@ -195,7 +198,7 @@ def prefill_with_kv(params, tokens, positions, cfg: LlamaConfig, *, interpret=No
             b, s, cfg.num_kv_heads, cfg.head_dim)
         k = apply_rope(k, cos, sin)
         kvs.append((k, v))
-        attn = flash_attention(q, k, v, causal=True, window=_wnd(cfg),
+        attn = flash_attention(q, k, v, causal=True, window=_wnd(cfg), logit_softcap=cfg.attn_logit_softcap,
                                rope_cos=cos, rope_sin=sin,
                                interpret=interpret)
         x = x + _proj_l(
@@ -230,7 +233,7 @@ def prefill_chunk(params, tokens, cfg: LlamaConfig, cache: KVCache, slot,
         kc, vc = cache.slot_kv_float(i, slot, dtype=x.dtype)
         attn = flash_attention(
             q, kc, vc, q_positions=qpos, kv_positions=kvpos,
-            window=_wnd(cfg), rope_cos=cos, rope_sin=sin,
+            window=_wnd(cfg), logit_softcap=cfg.attn_logit_softcap, rope_cos=cos, rope_sin=sin,
             interpret=interpret,
         )
         x = x + _proj(
@@ -283,6 +286,7 @@ def prefill_suffix_paged(params, tokens, cfg: LlamaConfig, pool, slot,
                 k_scale=None if pool.k_scale is None else pool.k_scale[i],
                 v_scale=None if pool.v_scale is None else pool.v_scale[i],
                 interpret=interpret, window=cfg.sliding_window,
+            logit_softcap=cfg.attn_logit_softcap,
                 scales_permuted=pool.scales_permuted,
             )
             x = x + _proj(
@@ -322,7 +326,7 @@ def prefill_packed(params, tokens, positions, segment_ids, cfg: LlamaConfig,
         k = apply_rope(k, cos, sin)
         kvs.append((k, v))
         attn = flash_attention(
-            q, k, v, window=_wnd(cfg),
+            q, k, v, window=_wnd(cfg), logit_softcap=cfg.attn_logit_softcap,
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
             q_positions=positions, kv_positions=positions,
             rope_cos=cos, rope_sin=sin,
@@ -364,6 +368,7 @@ def decode_step(params, token, cfg: LlamaConfig, cache: KVCache, *, interpret=No
             q[:, 0], kc, vc, k_scale=ks, v_scale=vs,
             kv_length=cache.length + 1, kv_layout="bhsd", interpret=interpret,
             window=cfg.sliding_window,
+            logit_softcap=cfg.attn_logit_softcap,
         )
         x = x + _proj_l(
             attn.reshape(b, 1, cfg.num_heads * cfg.head_dim), blk, lblk,
@@ -401,6 +406,7 @@ def decode_multi(params, tokens, cfg: LlamaConfig, cache: KVCache, *,
         attn = flash_decode_chunk(
             q, kc, vc, k_scale=ks, v_scale=vs, kv_length=cache.length + t,
             kv_layout="bhsd", interpret=interpret, window=cfg.sliding_window,
+            logit_softcap=cfg.attn_logit_softcap,
         )
         x = x + _proj(
             attn.reshape(b, t, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
@@ -480,6 +486,7 @@ def decode_step_paged(params, token, cfg: LlamaConfig, pool, *, interpret=None):
         attn = paged_decode_attention(
             pool.advance(1), i, q[:, 0], interpret=interpret,
             window=cfg.sliding_window,
+            logit_softcap=cfg.attn_logit_softcap,
         )
         x = x + _proj(
             attn.reshape(b, 1, cfg.num_heads * cfg.head_dim), blk["wo"], interpret

@@ -23,7 +23,7 @@ from flash_attn_tpu.ops.varlen import cu_seqlens_to_segment_ids
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13)
 )
 def _flash_attention_core(
     q,
@@ -37,6 +37,7 @@ def _flash_attention_core(
     dropout_rate: float,
     dropout_seed: int,
     window,
+    logit_softcap,
     config,
     interpret,
 ):
@@ -56,6 +57,7 @@ def _flash_attention_core(
         window=window,
         rope_cos=None if rope is None else rope[0],
         rope_sin=None if rope is None else rope[1],
+        logit_softcap=logit_softcap,
         config=config,
         interpret=interpret,
     )
@@ -63,7 +65,7 @@ def _flash_attention_core(
 
 
 def _core_fwd(q, k, v, bias, segs, rope, causal, scale, dropout_rate,
-              dropout_seed, window, config, interpret):
+              dropout_seed, window, logit_softcap, config, interpret):
     out, lse = flash_fwd(
         q, k, v,
         bias=bias,
@@ -76,6 +78,7 @@ def _core_fwd(q, k, v, bias, segs, rope, causal, scale, dropout_rate,
         window=window,
         rope_cos=None if rope is None else rope[0],
         rope_sin=None if rope is None else rope[1],
+        logit_softcap=logit_softcap,
         config=config, interpret=interpret,
     )
     # Residuals ≙ what the reference saves for flash_attn_bwd: q,k,v,out,lse
@@ -84,8 +87,8 @@ def _core_fwd(q, k, v, bias, segs, rope, causal, scale, dropout_rate,
     return out, (q, k, v, bias, segs, rope, out, lse)
 
 
-def _core_bwd(causal, scale, dropout_rate, dropout_seed, window, config,
-              interpret, res, dout):
+def _core_bwd(causal, scale, dropout_rate, dropout_seed, window,
+              logit_softcap, config, interpret, res, dout):
     q, k, v, bias, segs, rope, out, lse = res
     if _use_jnp_bwd() and dropout_rate == 0.0:
         # Debug-only O(S^2) reference backward (FATPU_JNP_BWD=1).  out was
@@ -98,7 +101,8 @@ def _core_bwd(causal, scale, dropout_rate, dropout_seed, window, config,
         dq, dk, dv, dbias = _jnp_backward(
             q_for_bwd, k, v, out, lse, dout, bias=bias, segs=segs,
             causal=causal,
-            scale=scale, window=window, want_dbias=bias is not None,
+            scale=scale, window=window, logit_softcap=logit_softcap,
+            want_dbias=bias is not None,
         )
         if rope is not None:
             dq = rope_unrotate(dq, rope[0], rope[1])
@@ -120,6 +124,7 @@ def _core_bwd(causal, scale, dropout_rate, dropout_seed, window, config,
             window=window,
             rope_cos=None if rope is None else rope[0],
             rope_sin=None if rope is None else rope[1],
+            logit_softcap=logit_softcap,
             want_dbias=bias is not None,
             config=config, interpret=interpret,
         )
@@ -156,7 +161,7 @@ _flash_attention_core.defvjp(_core_fwd, _core_bwd)
 
 
 def _jnp_backward(q, k, v, out, lse, dout, *, bias, segs, causal, scale,
-                  window, want_dbias):
+                  window, want_dbias, logit_softcap=None):
     """FA2 backward math from LSE residuals, in pure jnp (O(S^2) memory;
     the Pallas backward kernel supersedes this on the hot path).
 
@@ -179,6 +184,9 @@ def _jnp_backward(q, k, v, out, lse, dout, *, bias, segs, causal, scale,
     outf = out.astype(jnp.float32)
 
     s = jnp.einsum("bqhd,bkhd->bhqk", qf, kf) * scale
+    if logit_softcap is not None:
+        s_tanh = jnp.tanh(s / logit_softcap)
+        s = logit_softcap * s_tanh
     b = reference.attention_bias(
         seqlen_q=seqlen_q, seqlen_k=seqlen_k, causal=causal,
         mask=bias,
@@ -199,8 +207,11 @@ def _jnp_backward(q, k, v, out, lse, dout, *, bias, segs, causal, scale,
     dp = jnp.einsum("bqhd,bkhd->bhqk", doutf, vf)
     delta = jnp.sum(doutf * outf, axis=-1)  # [B,Sq,H]  ≙ softmax_d
     ds = p * (dp - jnp.transpose(delta, (0, 2, 1))[:, :, :, None])
-    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kf) * scale
-    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qf) * scale
+    ds_qk = ds
+    if logit_softcap is not None:
+        ds_qk = ds * (1.0 - s_tanh * s_tanh)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds_qk, kf) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds_qk, qf) * scale
 
     # GQA: fold gradients of broadcast heads back onto the shared KV heads.
     if group > 1:
@@ -241,6 +252,7 @@ def flash_attention(
     window: tuple[int, int] | None = None,
     rope_cos: jax.Array | None = None,
     rope_sin: jax.Array | None = None,
+    logit_softcap: float | None = None,
     return_lse: bool = False,
     return_softmax: bool = False,
     config: FlashConfig | None = None,
@@ -255,6 +267,9 @@ def flash_attention(
     rope_cos/rope_sin ([B,Sq,D/2] fp32): rotate q (rotate-half RoPE)
     inside the forward kernel — pass un-rotated q, pre-rotated k.
     Differentiable (dq is pulled back through the rotation).
+
+    logit_softcap: Gemma-2-style score capping cap*tanh(s/cap) on the
+    scaled scores (before bias/mask); differentiable.
 
     return_softmax: also materialize the post-dropout probability matrix
     through the kernel (softmax_ptr debug hook, flash_attn.h:15,30);
@@ -274,6 +289,7 @@ def flash_attention(
             causal=causal, scale=scale, dropout_rate=dropout_rate,
             dropout_seed=dropout_seed, window=window,
             rope_cos=rope_cos, rope_sin=rope_sin,
+            logit_softcap=logit_softcap,
             config=config, interpret=interpret, return_softmax=True,
         )
     if return_lse:
@@ -284,13 +300,16 @@ def flash_attention(
             causal=causal, scale=scale, dropout_rate=dropout_rate,
             dropout_seed=dropout_seed, window=window,
             rope_cos=rope_cos, rope_sin=rope_sin,
+            logit_softcap=logit_softcap,
             config=config, interpret=interpret,
         )
         return out, lse
     return _flash_attention_core(
         q, k, v, mask, segs, rope, causal, scale, float(dropout_rate),
         dropout_seed if isinstance(dropout_seed, int) else int(dropout_seed),
-        window, config, interpret,
+        window,
+        None if logit_softcap is None else float(logit_softcap),
+        config, interpret,
     )
 
 

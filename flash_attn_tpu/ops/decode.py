@@ -159,6 +159,7 @@ def flash_decode(
     kv_layout: str = "bshd",
     softmax_mode: str = "online",
     window: int | None = None,
+    logit_softcap: float | None = None,
 ):
     """Single-token decode attention over a (possibly quantized) KV cache.
 
@@ -213,22 +214,23 @@ def flash_decode(
             q, k, v, kv_length, scale=scale, k_scale=k_scale, v_scale=v_scale,
             block_k=block_k, interpret=interpret, return_lse=return_lse,
             num_splits=num_splits, softmax_mode=softmax_mode, window=window,
+            logit_softcap=logit_softcap,
         )
     if kv_layout == "bhsd":
         k = jnp.swapaxes(k, 1, 2)
         v = jnp.swapaxes(v, 1, 2)
         k_scale = None if k_scale is None else jnp.swapaxes(k_scale, 1, 2)
         v_scale = None if v_scale is None else jnp.swapaxes(v_scale, 1, 2)
-    if use_kernel and window is None:
+    if use_kernel and window is None and logit_softcap is None:
         return _decode_kernel_call(
             q, k, v, kv_length, scale=scale, k_scale=k_scale, v_scale=v_scale,
             block_k=block_k, interpret=interpret, return_lse=return_lse,
         )
-    # jnp oracle (also the window path for the legacy BSHD kernel layout)
+    # jnp oracle (also the window/softcap path for the legacy BSHD layout)
     return _decode_jnp(
         q, k, v, kv_length, scale=scale, num_splits=num_splits,
         k_scale=k_scale, v_scale=v_scale, return_lse=return_lse,
-        window=window,
+        window=window, logit_softcap=logit_softcap,
     )
 
 
@@ -249,6 +251,7 @@ def flash_decode_chunk(
     kv_layout: str = "bhsd",
     softmax_mode: str = "online",
     window: int | None = None,
+    logit_softcap: float | None = None,
 ):
     """Multi-token ("chunk") decode: T new tokens per sequence against a
     (possibly quantized) KV cache, causal within the chunk.  This is the
@@ -299,7 +302,7 @@ def flash_decode_chunk(
             k_scale=k_scale, v_scale=v_scale, block_k=block_k,
             interpret=interpret, return_lse=return_lse,
             num_splits=num_splits, chunk=chunk, softmax_mode=softmax_mode,
-            window=window,
+            window=window, logit_softcap=logit_softcap,
         )
         out = res[0] if return_lse else res
 
@@ -324,12 +327,12 @@ def flash_decode_chunk(
     return _decode_chunk_jnp(
         q, k, v, jnp.asarray(kv_length, jnp.int32), scale=scale,
         k_scale=k_scale, v_scale=v_scale, return_lse=return_lse,
-        window=window,
+        window=window, logit_softcap=logit_softcap,
     )
 
 
 def _decode_chunk_jnp(q, k, v, kv_length, *, scale, k_scale, v_scale,
-                      return_lse=False, window=None):
+                      return_lse=False, window=None, logit_softcap=None):
     """jnp oracle for chunk decode: correctness spec for the kernel."""
     batch, chunk, num_heads, head_dim = q.shape
     seqlen_k = k.shape[1]
@@ -337,6 +340,8 @@ def _decode_chunk_jnp(q, k, v, kv_length, *, scale, k_scale, v_scale,
     kf = jnp.repeat(_dequant(k, k_scale), group, axis=2)
     vf = jnp.repeat(_dequant(v, v_scale), group, axis=2)
     s = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), kf) * scale
+    if logit_softcap is not None:
+        s = logit_softcap * jnp.tanh(s / logit_softcap)
     pos = jnp.arange(seqlen_k)
     limit = kv_length[:, None] - chunk + 1 + jnp.arange(chunk)[None]  # [B,T]
     valid = pos[None, None, :] < limit[:, :, None]  # [B, T, S]
@@ -367,6 +372,7 @@ def _dequant(x, x_scale):
 
 
 def _decode_jnp(q, k, v, kv_length, *, scale, num_splits, k_scale, v_scale,
+                logit_softcap=None,
                 return_lse=False, window=None):
     """jnp oracle for split-KV decode: correctness spec for the kernel."""
     batch, num_heads, head_dim = q.shape
@@ -388,6 +394,8 @@ def _decode_jnp(q, k, v, kv_length, *, scale, num_splits, k_scale, v_scale,
         if lo >= seqlen_k:
             break
         s = jnp.einsum("bhd,bkhd->bhk", qf, kf[:, lo:hi]) * scale
+        if logit_softcap is not None:
+            s = logit_softcap * jnp.tanh(s / logit_softcap)
         pos = jnp.arange(lo, hi)
         valid = pos[None, None, :] < kv_length[:, None, None]
         if window is not None:
@@ -640,6 +648,7 @@ def _decode_kernel_bhsd(
     out_dtype,
     clamped: bool = False,
     window: int | None = None,
+    softcap: float | None = None,
 ):
     # Default grid (batch, k_block).  With num_splits > 1 the grid grows a
     # middle split axis ≙ the reference's num_splits (flash_attn.h:94) —
@@ -700,6 +709,10 @@ def _decode_kernel_bhsd(
         if has_k_scale:
             s = s * ks_ref[0][:, :, :].astype(jnp.float32)  # [Hk, 1, bk]
         s = s.reshape(num_heads, block_k)
+        if softcap is not None:
+            # Gemma-2-style cap on the TRUE scaled scores (post k_scale /
+            # fp8-rebias cancellation); base-2 modes pre-scale the cap.
+            s = softcap * jnp.tanh(s / softcap)
 
         if need_mask:
             r = jax.lax.broadcasted_iota(jnp.int32, (num_heads, block_k), 1)
@@ -846,7 +859,7 @@ def _decode_kernel_bhsd(
 def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
                              block_k, interpret, return_lse=False,
                              num_splits=1, chunk=1, softmax_mode="online",
-                             window=None):
+                             window=None, logit_softcap=None):
     batch, num_heads, head_dim = q.shape
     _, num_heads_k, seqlen_k, _ = k.shape
 
@@ -990,6 +1003,11 @@ def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
         out_dtype=q.dtype,
         clamped=softmax_mode == "clamped",
         window=window,
+        softcap=(
+            None if logit_softcap is None
+            else float(logit_softcap)
+            * (LOG2E if softmax_mode == "clamped" else 1.0)
+        ),
     )
 
     out, lse = pl.pallas_call(

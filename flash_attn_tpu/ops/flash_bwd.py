@@ -49,18 +49,25 @@ def _recompute_p_ds(
     q, k, v, dout, lse_row, delta_row, *,
     row0, col0, block_q, block_k, seqlen_q, seqlen_k, shift,
     causal, window, has_segs, qs, ks, has_pos, qp, kp, has_bias, bias, scale,
-    dropout_rate, seed_ref, b, h,
+    softcap, dropout_rate, seed_ref, b, h,
 ):
-    """Shared tile math: returns (p_drop, ds) fp32 [bq, bk].
+    """Shared tile math: returns (p_drop, ds_qk, ds_bias) fp32 [bq, bk].
 
     lse_row / delta_row are [bq, 1] columns; qs is [bq, 1], ks is [1, bk].
-    p_drop is the post-dropout probability tile (feeds dv);
-    ds is the score gradient tile (feeds dq and dk).
+    p_drop is the post-dropout probability tile (feeds dv); ds_bias is the
+    post-cap score gradient (= dbias); ds_qk additionally chains through
+    the softcap tanh (feeds dq and dk).  Without a softcap they are the
+    same array.
     """
     # sdot: explicit precision (DEFAULT for bf16) — a raw dot_general here
     # inherits any global jax_default_matmul_precision and "highest" breaks
     # Mosaic bf16 matmuls ("Bad lhs type").
     s = sdot(q, k, (((1,), (1,)), ((), ()))) * scale
+    if softcap is not None:
+        # forward applied cap*tanh(s/cap); recompute it and keep the tanh
+        # for the chain-rule factor below (d/ds = 1 - tanh^2).
+        s_tanh = jnp.tanh(s / softcap)
+        s = softcap * s_tanh
     if has_bias:
         s = s + bias
 
@@ -102,8 +109,11 @@ def _recompute_p_ds(
         p_drop = p
         dp = dp_drop
 
-    ds = p * (dp - delta_row)  # delta_row: [bq, 1]
-    return p_drop, ds
+    ds_bias = p * (dp - delta_row)  # delta_row: [bq, 1]
+    ds_qk = ds_bias
+    if softcap is not None:
+        ds_qk = ds_bias * (1.0 - s_tanh * s_tanh)  # through cap*tanh(s/cap)
+    return p_drop, ds_qk, ds_bias
 
 
 def _dq_kernel(
@@ -114,8 +124,8 @@ def _dq_kernel(
     dq_scratch,
     *,
     seqlen_q, seqlen_k, block_q, block_k, num_k_blocks,
-    causal, window, scale, dropout_rate, has_bias, has_segs, has_pos,
-    has_rope, out_dtype,
+    causal, window, scale, softcap, dropout_rate, has_bias, has_segs,
+    has_pos, has_rope, out_dtype,
 ):
     b, h, qi, ki = (pl.program_id(i) for i in range(4))
     shift = seqlen_k - seqlen_q
@@ -135,7 +145,7 @@ def _dq_kernel(
         dout = dout_ref[0, 0]
         lse_row = lse_ref[0, 0]
         delta_row = delta_ref[0, 0]
-        _, ds = _recompute_p_ds(
+        _, ds, _ = _recompute_p_ds(
             q, k, v, dout, lse_row, delta_row,
             row0=qi * block_q, col0=ki * block_k,
             block_q=block_q, block_k=block_k,
@@ -148,7 +158,8 @@ def _dq_kernel(
             kp=kpos_ref[0] if has_pos else None,
             has_bias=has_bias,
             bias=bias_ref[0, 0].astype(jnp.float32) if has_bias else None,
-            scale=scale, dropout_rate=dropout_rate, seed_ref=seed_ref,
+            scale=scale, softcap=softcap,
+            dropout_rate=dropout_rate, seed_ref=seed_ref,
             b=b, h=h,
         )
         dq_scratch[...] += scale * sdot(
@@ -179,8 +190,8 @@ def _dkv_kernel(
     dk_scratch, dv_scratch,
     *,
     seqlen_q, seqlen_k, block_q, block_k, num_q_blocks,
-    causal, window, scale, dropout_rate, has_bias, has_segs, has_pos,
-    has_rope, out_dtype, want_ds,
+    causal, window, scale, softcap, dropout_rate, has_bias, has_segs,
+    has_pos, has_rope, out_dtype, want_ds,
 ):
     b, h, ki, qi = (pl.program_id(i) for i in range(4))
     shift = seqlen_k - seqlen_q
@@ -200,7 +211,7 @@ def _dkv_kernel(
         dout = dout_ref[0, 0]
         lse_row = lse_ref[0, 0]
         delta_row = delta_ref[0, 0]
-        p_drop, ds = _recompute_p_ds(
+        p_drop, ds, ds_bias = _recompute_p_ds(
             q, k, v, dout, lse_row, delta_row,
             row0=qi * block_q, col0=ki * block_k,
             block_q=block_q, block_k=block_k,
@@ -213,7 +224,8 @@ def _dkv_kernel(
             kp=kpos_ref[0] if has_pos else None,
             has_bias=has_bias,
             bias=bias_ref[0, 0].astype(jnp.float32) if has_bias else None,
-            scale=scale, dropout_rate=dropout_rate, seed_ref=seed_ref,
+            scale=scale, softcap=softcap,
+            dropout_rate=dropout_rate, seed_ref=seed_ref,
             b=b, h=h,
         )
         # dv += P_drop^T @ dout ; dk += scale * dS^T @ q
@@ -224,10 +236,10 @@ def _dkv_kernel(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ()))
         )
         if want_ds:
-            # dbias = ds (pre-scale score gradient); each (qi, ki) tile is
+            # dbias = post-cap score gradient; each (qi, ki) tile is
             # visited exactly once in this grid, so a plain tile write is
             # race-free.  Reduced to the broadcastable bias shape outside.
-            ds_ref[0, 0] = ds
+            ds_ref[0, 0] = ds_bias
 
     if causal:
         # Block (ki, qi) is live iff some (row, col) satisfies col <= row+shift.
@@ -263,6 +275,7 @@ def flash_bwd(
     window=None,
     rope_cos=None,
     rope_sin=None,
+    logit_softcap=None,
     want_dbias=False,
     config: FlashConfig | None = None,
     interpret: bool | None = None,
@@ -450,6 +463,7 @@ def flash_bwd(
         seqlen_q=seqlen_q, seqlen_k=seqlen_k,
         block_q=block_q, block_k=block_k,
         causal=causal, window=window, scale=float(scale),
+        softcap=None if logit_softcap is None else float(logit_softcap),
         dropout_rate=float(dropout_rate),
         has_bias=has_bias, has_segs=has_segs, has_pos=has_pos,
         has_rope=has_rope,

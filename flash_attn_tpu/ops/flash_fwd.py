@@ -234,6 +234,7 @@ def _fwd_kernel(
     has_segs: bool,
     has_pos: bool,
     has_rope: bool,
+    softcap: float | None,
     use_exp2: bool,
     clamped: bool,
     split_causal_mask: bool,
@@ -331,6 +332,12 @@ def _fwd_kernel(
             # (Scale pre-fold commutes: R(c*q) = c*R(q).)
             qb = rope_rotate_block(qb, rope_ref[0])
         s = sdot(qb, k_ref[0, 0])  # [bq, bk] fp32
+
+        if softcap is not None:
+            # Gemma-2-style logit softcapping: cap * tanh(s / cap) on the
+            # scaled scores, before bias/mask.  In base-2 modes s carries a
+            # LOG2E factor, so the wrapper pre-scales the cap to match.
+            s = softcap * jnp.tanh(s / softcap)
 
         if has_bias:
             # clamp so user -inf bias entries become finite NEG_INF (keeps
@@ -493,6 +500,7 @@ def flash_fwd(
     window: tuple[int, int] | None = None,
     rope_cos: jax.Array | None = None,
     rope_sin: jax.Array | None = None,
+    logit_softcap: float | None = None,
     config: FlashConfig | None = None,
     interpret: bool | None = None,
     causal_dma_skip: bool = True,
@@ -506,6 +514,9 @@ def flash_fwd(
     rotated (rotate-half RoPE) *inside* the kernel at block-load time —
     pass the un-rotated q.  K must still be pre-rotated by the caller (its
     rotated form is what a KV cache stores anyway).
+
+    logit_softcap: Gemma-2-style score capping, cap * tanh(s / cap),
+    applied to the scaled scores before bias/mask.
 
     q_positions/kv_positions ([B,Sq]/[B,Sk] int32): when given, positions
     mask attention to kv_pos <= q_pos — the in-kernel form of per-sequence
@@ -549,6 +560,12 @@ def flash_fwd(
         raise ValueError(f"unknown softmax_mode {cfg.softmax_mode!r}")
     base2 = cfg.exp2 or clamped  # clamped mode always works in base-2 units
     eff_scale = scale * LOG2E if base2 else scale
+    # softcap operates on natural-units scores; in base-2 modes s = nat*LOG2E
+    # and c2*tanh(s/c2) with c2 = cap*LOG2E equals LOG2E*(cap*tanh(nat/cap)).
+    eff_softcap = (
+        None if logit_softcap is None
+        else float(logit_softcap) * (LOG2E if base2 else 1.0)
+    )
     q_scaled = (q.astype(jnp.float32) * eff_scale).astype(q.dtype)
     if bias is not None and base2:
         # kernel works in base-2 score units; additive bias must match
@@ -728,6 +745,7 @@ def flash_fwd(
         has_segs=has_segs,
         has_pos=has_pos,
         has_rope=has_rope,
+        softcap=eff_softcap,
         use_exp2=base2,
         clamped=clamped,
         split_causal_mask=cfg.split_causal_mask,

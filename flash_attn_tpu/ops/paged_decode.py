@@ -70,6 +70,7 @@ def _paged_decode_kernel(
     clamped: bool = False,
     chunk: int = 1,
     window: int | None = None,
+    softcap: float | None = None,
 ):
     b, pi = pl.program_id(0), pl.program_id(1)
     group = num_heads // num_heads_k
@@ -115,6 +116,10 @@ def _paged_decode_kernel(
         if has_k_scale:
             s = s * ks_ref[0].astype(jnp.float32)  # [Hk, 1, page]
         s = s.reshape(num_heads, page)
+        if softcap is not None:
+            # cap the TRUE scaled scores (post k_scale / fp8-rebias
+            # cancellation); base-2 (clamped) mode pre-scales the cap
+            s = softcap * jnp.tanh(s / softcap)
 
         if need_mask:
             r = jax.lax.broadcasted_iota(jnp.int32, (num_heads, page), 1)
@@ -239,6 +244,7 @@ def paged_flash_decode(
     chunk: int = 1,
     window: int | None = None,
     scales_permuted: bool = False,
+    logit_softcap: float | None = None,
 ):
     """Single-token decode attention over a paged KV pool.
 
@@ -338,6 +344,11 @@ def paged_flash_decode(
         clamped=softmax_mode == "clamped",
         chunk=chunk,
         window=window,
+        softcap=(
+            None if logit_softcap is None
+            else float(logit_softcap)
+            * (LOG2E if softmax_mode == "clamped" else 1.0)
+        ),
     )
 
     out, lse = pl.pallas_call(
@@ -410,6 +421,7 @@ def paged_flash_decode_chunk(
     softmax_mode: str = "online",
     window: int | None = None,
     scales_permuted: bool = False,
+    logit_softcap: float | None = None,
 ):
     """Multi-token ("chunk") attention over a paged KV pool: T query tokens
     per sequence, causal within the chunk — the paged analog of
@@ -438,6 +450,7 @@ def paged_flash_decode_chunk(
         v_scale=v_scale, scale=scale, interpret=interpret,
         return_lse=return_lse, softmax_mode=softmax_mode, chunk=chunk,
         window=window, scales_permuted=scales_permuted,
+        logit_softcap=logit_softcap,
     )
     out = res[0] if return_lse else res
 

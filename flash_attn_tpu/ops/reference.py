@@ -97,6 +97,7 @@ def mha_reference(
     scale: float | None = None,
     dropout_rate: float = 0.0,
     dropout_rng: jax.Array | None = None,
+    logit_softcap: float | None = None,
     return_lse: bool = False,
     return_softmax: bool = False,
 ):
@@ -135,6 +136,9 @@ def mha_reference(
 
     # [B, H, Sq, Sk]
     scores = jnp.einsum("bqhd,bkhd->bhqk", qf, kf) * scale
+    if logit_softcap is not None:
+        # Gemma-2-style capping on the scaled scores, before bias/mask
+        scores = logit_softcap * jnp.tanh(scores / logit_softcap)
     bias = attention_bias(
         seqlen_q=seqlen_q,
         seqlen_k=seqlen_k,

@@ -348,3 +348,61 @@ def test_decode_chunk_sliding_window():
                              block_k=128, interpret=True, window=W)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-4, rtol=3e-4)
+
+
+def test_decode_logit_softcap():
+    """softcap in the BHSD decode kernel == capped full-attention oracle."""
+    from flash_attn_tpu.ops.reference import mha_reference
+
+    key = jax.random.PRNGKey(30)
+    B, S, H, Hk, D = 2, 192, 4, 2, 32
+    q = jax.random.normal(key, (B, H, D), jnp.float32) * 3.0
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, Hk, S, D),
+                          jnp.float32) * 3.0
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, Hk, S, D),
+                          jnp.float32)
+    lens = jnp.asarray([150, 192], jnp.int32)
+    got = flash_decode(
+        q, k, v, kv_length=lens, kv_layout="bhsd", logit_softcap=20.0,
+        interpret=True,
+    )
+    kc = jnp.swapaxes(k, 1, 2)
+    vc = jnp.swapaxes(v, 1, 2)
+    mask = (jnp.arange(S)[None] < lens[:, None])[:, None, None, :]
+    want = mha_reference(
+        q[:, None], kc, vc, mask=jnp.where(mask, 0.0, -jnp.inf),
+        logit_softcap=20.0,
+    )[:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_paged_decode_logit_softcap():
+    """softcap in the paged kernel == softcap in the contiguous decode."""
+    from flash_attn_tpu.engine.paged import PagedKVPool
+    from flash_attn_tpu.ops.paged_decode import paged_flash_decode
+
+    key = jax.random.PRNGKey(31)
+    B, Hk, D = 2, 2, 32
+    page, maxp = 8, 4
+    S = page * maxp
+    pool = PagedKVPool.create(1, 16, page, B, maxp, Hk, D, dtype=jnp.float32)
+    pool = pool.assign_pages(0, [1, 2, 3, 4]).assign_pages(1, [5, 6, 7, 8])
+    ks = jax.random.normal(key, (S, B, Hk, D)) * 2.0
+    vs = jax.random.normal(jax.random.fold_in(key, 1), (S, B, Hk, D))
+    for t in range(S):
+        pool = pool.append_token(0, ks[t], vs[t]).advance(1)
+    lens = [20, 31]
+    pool = pool.set_lengths(lens)
+    q = jax.random.normal(jax.random.fold_in(key, 2), (B, 4, D)) * 2.0
+    got = paged_flash_decode(
+        q, pool.k_pages[0], pool.v_pages[0], pool.block_table, pool.length,
+        logit_softcap=15.0, interpret=True,
+    )
+    want = flash_decode(
+        q, jnp.swapaxes(ks, 0, 1), jnp.swapaxes(vs, 0, 1),
+        kv_length=jnp.asarray(lens, jnp.int32), kv_layout="bshd",
+        logit_softcap=15.0, use_kernel=False, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)

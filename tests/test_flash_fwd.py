@@ -441,3 +441,66 @@ def test_head_dim_256():
     np.testing.assert_allclose(np.asarray(dq), np.asarray(wq), atol=2e-4)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(wk), atol=2e-4)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(wv), atol=2e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_logit_softcap_matches_oracle(causal):
+    """Gemma-2-style cap*tanh(s/cap) in-kernel == capped oracle."""
+    q, k, v = make_qkv(jax.random.PRNGKey(75), 2, 192, 192, 4, 2, 64,
+                       jnp.float32)
+    out, lse = flash_fwd(q * 4.0, k * 4.0, v, causal=causal,
+                         logit_softcap=30.0, interpret=True)
+    ref_out, ref_lse = mha_reference(
+        q * 4.0, k * 4.0, v, causal=causal, logit_softcap=30.0,
+        return_lse=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-4, rtol=2e-4)
+    fin = np.isfinite(np.asarray(ref_lse))
+    np.testing.assert_allclose(np.asarray(lse)[fin],
+                               np.asarray(ref_lse)[fin], rtol=1e-3, atol=1e-3)
+
+
+def test_logit_softcap_clamped_mode_matches_online():
+    """softcap composes with the clamped (no-running-max, base-2) softmax."""
+    q, k, v = make_qkv(jax.random.PRNGKey(76), 1, 128, 128, 2, 2, 64,
+                       jnp.float32)
+    cfg_on = FlashConfig(block_q=64, block_k=128)
+    cfg_cl = FlashConfig(block_q=64, block_k=128, softmax_mode="clamped")
+    o1, l1 = flash_fwd(q, k, v, causal=True, logit_softcap=20.0,
+                       config=cfg_on, interpret=True)
+    o2, l2 = flash_fwd(q, k, v, causal=True, logit_softcap=20.0,
+                       config=cfg_cl, interpret=True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_logit_softcap_grad_matches_oracle():
+    """jax.grad through the capped kernel (incl. dbias, which must NOT chain
+    through the tanh) == jax.grad of the capped oracle."""
+    from flash_attn_tpu.ops.attention import flash_attention
+
+    q, k, v = make_qkv(jax.random.PRNGKey(77), 1, 160, 160, 2, 2, 64,
+                       jnp.float32)
+    bias = jax.random.normal(jax.random.PRNGKey(78), (1, 1, 160, 160),
+                             jnp.float32)
+
+    def loss_kernel(q_, k_, v_, b_):
+        o = flash_attention(q_ * 3.0, k_ * 3.0, v_, mask=b_, causal=True,
+                            logit_softcap=25.0, interpret=True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_oracle(q_, k_, v_, b_):
+        o = mha_reference(q_ * 3.0, k_ * 3.0, v_, mask=b_, causal=True,
+                          logit_softcap=25.0)
+        return jnp.sum(o ** 2)
+
+    g0 = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g1 = jax.grad(loss_oracle, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b in zip(("dq", "dk", "dv", "dbias"), g0, g1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=name,
+        )

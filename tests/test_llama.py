@@ -224,3 +224,47 @@ def test_llama_sliding_window_decode_matches_forward():
     )
     np.testing.assert_allclose(np.asarray(logits_d), np.asarray(full2[:, -1]),
                                atol=5e-3, rtol=5e-3)
+
+
+def test_llama_attn_logit_softcap_decode_matches_forward():
+    """Gemma-2-style attn softcap wired through forward, prefill and cached
+    decode consistently (config knob -> in-kernel cap on every path)."""
+    import dataclasses
+
+    cfg = llama.LlamaConfig(
+        vocab_size=128, hidden=64, intermediate=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16, max_position=64,
+        rope_theta=10000.0, dtype="float32", attn_logit_softcap=0.25,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(40))
+    # boost q projections so attention scores are large enough for the cap
+    # to bite (tiny-init scores sit in tanh's linear region)
+    for blk in params["blocks"]:
+        blk["wq"] = blk["wq"] * 30.0
+    prompt = jax.random.randint(jax.random.PRNGKey(41), (1, 8), 0, 128)
+
+    full = llama.forward(params, prompt, cfg, interpret=True)
+    # capping must actually change the logits vs the uncapped config
+    cfg_off = dataclasses.replace(cfg, attn_logit_softcap=None)
+    full_off = llama.forward(params, prompt, cfg_off, interpret=True)
+    diff = float(np.max(np.abs(np.asarray(full) - np.asarray(full_off))))
+    assert diff > 1e-3, diff
+
+    logits_all, kvs = llama.prefill_with_kv(
+        params, prompt, jnp.arange(8)[None], cfg, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_all), np.asarray(full), atol=2e-3, rtol=2e-3
+    )
+    cache = llama.make_cache(cfg, 1, 32)
+    for i, (k, v) in enumerate(kvs):
+        cache = cache.append(i, k, v)
+    cache = cache.advance(8)
+    tok = jnp.argmax(logits_all[:, -1], -1)
+    logits_d, cache = llama.decode_step(params, tok, cfg, cache, interpret=True)
+    full2 = llama.forward(
+        params, jnp.concatenate([prompt, tok[:, None]], 1), cfg, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_d), np.asarray(full2[:, -1]), atol=5e-3, rtol=5e-3
+    )

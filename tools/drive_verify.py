@@ -66,6 +66,13 @@ def main():
     )
     ok &= check("fa2 fwd in-kernel rope", out_r, want_r, 3e-2)
 
+    # 2b. logit softcap (Gemma-2 style) fwd
+    out_c = jax.jit(
+        lambda *a: flash_attention(*a, causal=True, logit_softcap=20.0)
+    )(qb * 3, kb * 3, vb)
+    want_c = mha_reference(q * 3, k * 3, v, causal=True, logit_softcap=20.0)
+    ok &= check("fa2 fwd logit softcap", out_c, want_c, 3e-2)
+
     # 3. grad through the Pallas backward (with rope)
     def loss(q_, k_, v_):
         o = flash_attention(
