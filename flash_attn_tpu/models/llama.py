@@ -45,11 +45,20 @@ class LlamaConfig:
     # Gemma-2-style attention logit softcapping, cap * tanh(s / cap)
     # (None = off); honored in-kernel on every attention path.
     attn_logit_softcap: float | None = None
+    # Qwen-2-style bias on the q/k/v projections: wq/wk/wv become
+    # ops/matmul.BiasedWeight nodes (any inner weight kind + bias [N]);
+    # quantized_matmul unwraps transparently on every path.
+    qkv_bias: bool = False
 
 
 LLAMA3_8B = LlamaConfig()
 LLAMA3_70B = LlamaConfig(
     hidden=8192, intermediate=28672, num_layers=80, num_heads=64, num_kv_heads=8
+)
+QWEN2_7B = LlamaConfig(
+    vocab_size=152064, hidden=3584, intermediate=18944, num_layers=28,
+    num_heads=28, num_kv_heads=4, head_dim=128, rope_theta=1000000.0,
+    rms_eps=1e-6, max_position=32768, qkv_bias=True,
 )
 LLAMA_TINY = LlamaConfig(
     vocab_size=512, hidden=128, intermediate=256, num_layers=2,
@@ -60,20 +69,30 @@ LLAMA_TINY = LlamaConfig(
 
 def init_params(cfg: LlamaConfig, key) -> dict:
     dtype = jnp.dtype(cfg.dtype)
-    keys = iter(jax.random.split(key, 3 + 7 * cfg.num_layers))
+    keys = iter(jax.random.split(key, 3 + 10 * cfg.num_layers))
 
     def w(kin, kout, scale=0.02):
         return jax.random.normal(next(keys), (kin, kout), dtype) * scale
 
     q_dim = cfg.num_heads * cfg.head_dim
     kv_dim = cfg.num_kv_heads * cfg.head_dim
+
+    def maybe_bias(weight, n):
+        if not cfg.qkv_bias:
+            return weight
+        from flash_attn_tpu.ops.matmul import BiasedWeight
+
+        return BiasedWeight(
+            weight, jax.random.normal(next(keys), (n,), dtype) * 0.02
+        )
+
     blocks = []
     for _ in range(cfg.num_layers):
         blocks.append({
             "attn_norm": jnp.ones((cfg.hidden,), dtype),
-            "wq": w(cfg.hidden, q_dim),
-            "wk": w(cfg.hidden, kv_dim),
-            "wv": w(cfg.hidden, kv_dim),
+            "wq": maybe_bias(w(cfg.hidden, q_dim), q_dim),
+            "wk": maybe_bias(w(cfg.hidden, kv_dim), kv_dim),
+            "wv": maybe_bias(w(cfg.hidden, kv_dim), kv_dim),
             "wo": w(q_dim, cfg.hidden),
             "mlp_norm": jnp.ones((cfg.hidden,), dtype),
             "w_gate": w(cfg.hidden, cfg.intermediate),
@@ -565,9 +584,12 @@ def quantize_weights(params, mode: str = "int8", group_size: int = 128,
     mode: 'int8' (per-column scales) or 'int4' (grouped Int4Weight).
     Embeddings / head stay float by default.
     """
+    from flash_attn_tpu.ops.matmul import BiasedWeight
     from flash_attn_tpu.ops.quant import quantize_int4, quantize_int8
 
     def quant(w):
+        if isinstance(w, BiasedWeight):
+            return BiasedWeight(quant(w.w), w.bias)
         if mode == "int8":
             vals, scale = quantize_int8(w, axes=(0,))
             return (vals, scale[0])
@@ -634,15 +656,25 @@ def convert_hf_model(model, dtype="bfloat16"):
         max_position=hf.max_position_embeddings,
         dtype=dtype,
         tie_embeddings=bool(getattr(hf, "tie_word_embeddings", False)),
+        qkv_bias="model.layers.0.self_attn.q_proj.bias" in sd,
     )
+
+    def proj(name):
+        w = arr(name + ".weight")
+        if cfg.qkv_bias and name + ".bias" in sd:
+            from flash_attn_tpu.ops.matmul import BiasedWeight
+
+            return BiasedWeight(w, arr(name + ".bias", transpose=False))
+        return w
+
     blocks = []
     for i in range(cfg.num_layers):
         p = f"model.layers.{i}."
         blocks.append({
             "attn_norm": arr(p + "input_layernorm.weight", transpose=False),
-            "wq": arr(p + "self_attn.q_proj.weight"),
-            "wk": arr(p + "self_attn.k_proj.weight"),
-            "wv": arr(p + "self_attn.v_proj.weight"),
+            "wq": proj(p + "self_attn.q_proj"),
+            "wk": proj(p + "self_attn.k_proj"),
+            "wv": proj(p + "self_attn.v_proj"),
             "wo": arr(p + "self_attn.o_proj.weight"),
             "mlp_norm": arr(p + "post_attention_layernorm.weight", transpose=False),
             "w_gate": arr(p + "mlp.gate_proj.weight"),

@@ -20,6 +20,7 @@ innermost, fp32 accumulator in VMEM scratch.
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -366,10 +367,36 @@ def matmul_w8a8(
     return out[:M, :N]
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BiasedWeight:
+    """A projection weight of ANY supported kind plus an output bias [N]
+    (Qwen-2-style qkv bias).  quantized_matmul unwraps it, so every model
+    path — float, int8, int4, w8a8, LoRA-composed — picks the bias up
+    transparently; weight-only quantization quantizes the inner ``w`` and
+    keeps the bias float."""
+
+    w: object
+    bias: jax.Array
+
+    def tree_flatten(self):
+        return (self.w, self.bias), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
 def quantized_matmul(x, w, *, out_dtype=None, interpret=None):
-    """Dispatch on weight type: Int4Weight, (int8, scales) weight-only
-    tuple, ('w8a8', int8, scales) activation+weight int8, or plain float
-    array (falls through to jnp.dot)."""
+    """Dispatch on weight type: BiasedWeight (any inner kind + bias),
+    Int4Weight, (int8, scales) weight-only tuple, ('w8a8', int8, scales)
+    activation+weight int8, or plain float array (falls through to
+    jnp.dot)."""
+    if isinstance(w, BiasedWeight):
+        y = quantized_matmul(x, w.w, out_dtype=out_dtype, interpret=interpret)
+        return (
+            y.astype(jnp.float32) + w.bias.astype(jnp.float32)
+        ).astype(y.dtype)
     if isinstance(w, Int4Weight):
         return matmul_int4(x, w, out_dtype=out_dtype, interpret=interpret)
     if isinstance(w, tuple) and len(w) == 3 and w[0] == "w8a8":

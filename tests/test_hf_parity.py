@@ -120,3 +120,80 @@ def test_weight_quant_ppl_delta():
         qp = ll.quantize_weights(params, mode=mode, group_size=32)
         nll = forward_nll(qp, cfg, toks, forward_fn=fwd)
         assert abs(nll - base) / max(base, 1e-6) < 0.08, (mode, nll, base)
+
+
+def test_qwen2_conversion_logits_and_greedy_match():
+    """Qwen-2 = Llama family + qkv bias (ops/matmul.BiasedWeight): the
+    conversion wraps q/k/v in BiasedWeight and the whole stack (forward,
+    prefill, cached decode) matches a random-init torch Qwen2ForCausalLM
+    token-exactly."""
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    from flash_attn_tpu.ops.matmul import BiasedWeight
+
+    torch.manual_seed(7)
+    hf_cfg = Qwen2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, use_sliding_window=False,
+    )
+    model = Qwen2ForCausalLM(hf_cfg).eval()
+    params, cfg = ll.convert_hf_model(model, dtype="float32")
+    assert cfg.qkv_bias
+    assert isinstance(params["blocks"][0]["wq"], BiasedWeight)
+
+    tokens = np.random.RandomState(8).randint(0, 256, size=(1, 16))
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+    got = np.asarray(ll.forward(params, jnp.asarray(tokens), cfg,
+                                interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-3, rtol=3e-3)
+
+    # greedy decode through prefill + cached flash-decode
+    prompt = np.random.RandomState(9).randint(0, 256, size=(1, 10))
+    steps = 6
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.tensor(prompt), max_new_tokens=steps, do_sample=False,
+            pad_token_id=0,
+        ).numpy()[0, prompt.shape[1]:]
+    logits_all, kvs = ll.prefill_with_kv(
+        params, jnp.asarray(prompt), jnp.arange(10)[None], cfg,
+        interpret=True,
+    )
+    cache = ll.make_cache(cfg, 1, 32)
+    for i, (k, v) in enumerate(kvs):
+        cache = cache.append(i, k, v)
+    cache = cache.advance(10)
+    tok = jnp.argmax(logits_all[:, -1], -1)
+    ours = [int(tok[0])]
+    for _ in range(steps - 1):
+        logits, cache = ll.decode_step(params, tok, cfg, cache,
+                                       interpret=True)
+        tok = jnp.argmax(logits, -1)
+        ours.append(int(tok[0]))
+    assert ours == hf_out.tolist(), (ours, hf_out.tolist())
+
+
+def test_qwen2_quantized_weights_keep_bias():
+    """Weight-only quantization recurses through BiasedWeight (inner weight
+    quantized, bias kept float) and stays usable end-to-end."""
+    from flash_attn_tpu.ops.matmul import BiasedWeight
+
+    cfg = ll.LlamaConfig(
+        vocab_size=128, hidden=64, intermediate=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16, max_position=64,
+        rope_theta=10000.0, dtype="float32", qkv_bias=True,
+    )
+    params = ll.init_params(cfg, jax.random.PRNGKey(11))
+    qp = ll.quantize_weights(params, mode="int8")
+    wq = qp["blocks"][0]["wq"]
+    assert isinstance(wq, BiasedWeight) and isinstance(wq.w, tuple)
+    toks = jax.random.randint(jax.random.PRNGKey(12), (1, 12), 0, 128)
+    full = ll.forward(params, toks, cfg, interpret=True)
+    qlog = ll.forward(qp, toks, cfg, interpret=True)
+    agree = float(np.mean(
+        np.argmax(np.asarray(full), -1) == np.argmax(np.asarray(qlog), -1)
+    ))
+    assert agree > 0.7, agree
