@@ -69,7 +69,9 @@ LLAMA_TINY = LlamaConfig(
 
 def init_params(cfg: LlamaConfig, key) -> dict:
     dtype = jnp.dtype(cfg.dtype)
-    keys = iter(jax.random.split(key, 3 + 10 * cfg.num_layers))
+    keys = iter(jax.random.split(
+        key, 3 + (10 if cfg.qkv_bias else 7) * cfg.num_layers
+    ))
 
     def w(kin, kout, scale=0.02):
         return jax.random.normal(next(keys), (kin, kout), dtype) * scale

@@ -23,7 +23,7 @@ from flash_attn_tpu.ops.varlen import cu_seqlens_to_segment_ids
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14)
 )
 def _flash_attention_core(
     q,
@@ -32,6 +32,7 @@ def _flash_attention_core(
     bias,
     segs,  # (q_segment_ids, kv_segment_ids, q_positions, kv_positions) or None
     rope,  # (rope_cos, rope_sin) or None — in-kernel q-side rotation
+    alibi,  # [H] slopes or None — in-kernel ALiBi bias
     causal: bool,
     scale: Optional[float],
     dropout_rate: float,
@@ -58,13 +59,14 @@ def _flash_attention_core(
         rope_cos=None if rope is None else rope[0],
         rope_sin=None if rope is None else rope[1],
         logit_softcap=logit_softcap,
+        alibi_slopes=alibi,
         config=config,
         interpret=interpret,
     )
     return out
 
 
-def _core_fwd(q, k, v, bias, segs, rope, causal, scale, dropout_rate,
+def _core_fwd(q, k, v, bias, segs, rope, alibi, causal, scale, dropout_rate,
               dropout_seed, window, logit_softcap, config, interpret):
     out, lse = flash_fwd(
         q, k, v,
@@ -79,17 +81,18 @@ def _core_fwd(q, k, v, bias, segs, rope, causal, scale, dropout_rate,
         rope_cos=None if rope is None else rope[0],
         rope_sin=None if rope is None else rope[1],
         logit_softcap=logit_softcap,
+        alibi_slopes=alibi,
         config=config, interpret=interpret,
     )
     # Residuals ≙ what the reference saves for flash_attn_bwd: q,k,v,out,lse
     # (flash_attn.h:68-74); the LSE replaces the caller-allocated
     # softmax_lse workspace.
-    return out, (q, k, v, bias, segs, rope, out, lse)
+    return out, (q, k, v, bias, segs, rope, alibi, out, lse)
 
 
 def _core_bwd(causal, scale, dropout_rate, dropout_seed, window,
               logit_softcap, config, interpret, res, dout):
-    q, k, v, bias, segs, rope, out, lse = res
+    q, k, v, bias, segs, rope, alibi, out, lse = res
     if _use_jnp_bwd() and dropout_rate == 0.0:
         # Debug-only O(S^2) reference backward (FATPU_JNP_BWD=1).  out was
         # produced from R(q), so rotate q here and pull dq back after.
@@ -102,6 +105,7 @@ def _core_bwd(causal, scale, dropout_rate, dropout_seed, window,
             q_for_bwd, k, v, out, lse, dout, bias=bias, segs=segs,
             causal=causal,
             scale=scale, window=window, logit_softcap=logit_softcap,
+            alibi_slopes=alibi,
             want_dbias=bias is not None,
         )
         if rope is not None:
@@ -125,6 +129,7 @@ def _core_bwd(causal, scale, dropout_rate, dropout_seed, window,
             rope_cos=None if rope is None else rope[0],
             rope_sin=None if rope is None else rope[1],
             logit_softcap=logit_softcap,
+            alibi_slopes=alibi,
             want_dbias=bias is not None,
             config=config, interpret=interpret,
         )
@@ -136,7 +141,8 @@ def _core_bwd(causal, scale, dropout_rate, dropout_seed, window,
     drope = None
     if rope is not None:
         drope = (jnp.zeros_like(rope[0]), jnp.zeros_like(rope[1]))
-    return dq, dk, dv, dbias, _int_cotangent(segs), drope
+    dalibi = None if alibi is None else jnp.zeros_like(alibi)
+    return dq, dk, dv, dbias, _int_cotangent(segs), drope, dalibi
 
 
 def _use_jnp_bwd() -> bool:
@@ -161,7 +167,8 @@ _flash_attention_core.defvjp(_core_fwd, _core_bwd)
 
 
 def _jnp_backward(q, k, v, out, lse, dout, *, bias, segs, causal, scale,
-                  window, want_dbias, logit_softcap=None):
+                  window, want_dbias, logit_softcap=None,
+                  alibi_slopes=None):
     """FA2 backward math from LSE residuals, in pure jnp (O(S^2) memory;
     the Pallas backward kernel supersedes this on the hot path).
 
@@ -187,6 +194,11 @@ def _jnp_backward(q, k, v, out, lse, dout, *, bias, segs, causal, scale,
     if logit_softcap is not None:
         s_tanh = jnp.tanh(s / logit_softcap)
         s = logit_softcap * s_tanh
+    if alibi_slopes is not None:
+        i = jnp.arange(seqlen_q)[:, None] + (seqlen_k - seqlen_q)
+        j = jnp.arange(seqlen_k)[None, :]
+        sl = jnp.asarray(alibi_slopes, jnp.float32)
+        s = s - sl[None, :, None, None] * jnp.abs(i - j)[None, None]
     b = reference.attention_bias(
         seqlen_q=seqlen_q, seqlen_k=seqlen_k, causal=causal,
         mask=bias,
@@ -253,6 +265,7 @@ def flash_attention(
     rope_cos: jax.Array | None = None,
     rope_sin: jax.Array | None = None,
     logit_softcap: float | None = None,
+    alibi_slopes: jax.Array | None = None,
     return_lse: bool = False,
     return_softmax: bool = False,
     config: FlashConfig | None = None,
@@ -271,6 +284,10 @@ def flash_attention(
     logit_softcap: Gemma-2-style score capping cap*tanh(s/cap) on the
     scaled scores (before bias/mask); differentiable.
 
+    alibi_slopes ([H] fp32): in-kernel ALiBi bias
+    -slope_h * |i + Sk - Sq - j| (ops/alibi.alibi_slopes for the standard
+    schedule); differentiable w.r.t. q/k/v (slopes are constants).
+
     return_softmax: also materialize the post-dropout probability matrix
     through the kernel (softmax_ptr debug hook, flash_attn.h:15,30);
     returns (out, lse, probs) and is fwd-only (not differentiable)."""
@@ -281,6 +298,10 @@ def flash_attention(
     rope = None
     if rope_cos is not None:
         rope = (rope_cos, rope_sin)
+    alibi = (
+        None if alibi_slopes is None
+        else jnp.asarray(alibi_slopes, jnp.float32)
+    )
     if return_softmax:
         return flash_fwd(
             q, k, v, bias=mask,
@@ -289,7 +310,7 @@ def flash_attention(
             causal=causal, scale=scale, dropout_rate=dropout_rate,
             dropout_seed=dropout_seed, window=window,
             rope_cos=rope_cos, rope_sin=rope_sin,
-            logit_softcap=logit_softcap,
+            logit_softcap=logit_softcap, alibi_slopes=alibi,
             config=config, interpret=interpret, return_softmax=True,
         )
     if return_lse:
@@ -300,12 +321,12 @@ def flash_attention(
             causal=causal, scale=scale, dropout_rate=dropout_rate,
             dropout_seed=dropout_seed, window=window,
             rope_cos=rope_cos, rope_sin=rope_sin,
-            logit_softcap=logit_softcap,
+            logit_softcap=logit_softcap, alibi_slopes=alibi,
             config=config, interpret=interpret,
         )
         return out, lse
     return _flash_attention_core(
-        q, k, v, mask, segs, rope, causal, scale, float(dropout_rate),
+        q, k, v, mask, segs, rope, alibi, causal, scale, float(dropout_rate),
         dropout_seed if isinstance(dropout_seed, int) else int(dropout_seed),
         window,
         None if logit_softcap is None else float(logit_softcap),

@@ -49,7 +49,7 @@ def _recompute_p_ds(
     q, k, v, dout, lse_row, delta_row, *,
     row0, col0, block_q, block_k, seqlen_q, seqlen_k, shift,
     causal, window, has_segs, qs, ks, has_pos, qp, kp, has_bias, bias, scale,
-    softcap, dropout_rate, seed_ref, b, h,
+    softcap, alibi, dropout_rate, seed_ref, b, h,
 ):
     """Shared tile math: returns (p_drop, ds_qk, ds_bias) fp32 [bq, bk].
 
@@ -72,6 +72,12 @@ def _recompute_p_ds(
         s = s + bias
 
     row = row0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    if alibi is not None:
+        # additive constant w.r.t. q/k/v: no chain-rule factor on ds
+        colb = col0 + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        s = s - alibi * jnp.abs(row + shift - colb).astype(s.dtype)
     col = col0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     # Padded q rows (row >= seqlen_q) carry lse = NEG_INF; exp(s - lse)
     # would overflow there, so they must be masked out elementwise.
@@ -119,13 +125,13 @@ def _recompute_p_ds(
 def _dq_kernel(
     seed_ref,
     q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref, bias_ref, qseg_ref, kseg_ref,
-    qpos_ref, kpos_ref, rope_ref,
+    qpos_ref, kpos_ref, rope_ref, alibi_ref,
     dq_ref,
     dq_scratch,
     *,
     seqlen_q, seqlen_k, block_q, block_k, num_k_blocks,
     causal, window, scale, softcap, dropout_rate, has_bias, has_segs,
-    has_pos, has_rope, out_dtype,
+    has_pos, has_rope, has_alibi, out_dtype,
 ):
     b, h, qi, ki = (pl.program_id(i) for i in range(4))
     shift = seqlen_k - seqlen_q
@@ -159,6 +165,7 @@ def _dq_kernel(
             has_bias=has_bias,
             bias=bias_ref[0, 0].astype(jnp.float32) if has_bias else None,
             scale=scale, softcap=softcap,
+            alibi=alibi_ref[0, 0, 0] if has_alibi else None,
             dropout_rate=dropout_rate, seed_ref=seed_ref,
             b=b, h=h,
         )
@@ -185,13 +192,13 @@ def _dq_kernel(
 def _dkv_kernel(
     seed_ref,
     q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref, bias_ref, qseg_ref, kseg_ref,
-    qpos_ref, kpos_ref, rope_ref,
+    qpos_ref, kpos_ref, rope_ref, alibi_ref,
     dk_ref, dv_ref, ds_ref,
     dk_scratch, dv_scratch,
     *,
     seqlen_q, seqlen_k, block_q, block_k, num_q_blocks,
     causal, window, scale, softcap, dropout_rate, has_bias, has_segs,
-    has_pos, has_rope, out_dtype, want_ds,
+    has_pos, has_rope, has_alibi, out_dtype, want_ds,
 ):
     b, h, ki, qi = (pl.program_id(i) for i in range(4))
     shift = seqlen_k - seqlen_q
@@ -225,6 +232,7 @@ def _dkv_kernel(
             has_bias=has_bias,
             bias=bias_ref[0, 0].astype(jnp.float32) if has_bias else None,
             scale=scale, softcap=softcap,
+            alibi=alibi_ref[0, 0, 0] if has_alibi else None,
             dropout_rate=dropout_rate, seed_ref=seed_ref,
             b=b, h=h,
         )
@@ -276,6 +284,7 @@ def flash_bwd(
     rope_cos=None,
     rope_sin=None,
     logit_softcap=None,
+    alibi_slopes=None,
     want_dbias=False,
     config: FlashConfig | None = None,
     interpret: bool | None = None,
@@ -366,6 +375,14 @@ def flash_bwd(
         qpos = jnp.zeros((batch, block_q, 1), jnp.int32)
         kpos = jnp.zeros((batch, 1, block_k), jnp.int32)
 
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        alibi = jnp.asarray(alibi_slopes, jnp.float32).reshape(
+            num_heads, 1, 1
+        )
+    else:
+        alibi = jnp.zeros((1, 1, 1), jnp.float32)
+
     has_rope = rope_cos is not None
     if has_rope:
         if rope_sin is None:
@@ -444,6 +461,9 @@ def flash_bwd(
             qi, ki = order(x, y)
             return (b, cq(qi, ki), 0) if has_rope else (0, 0, 0)
 
+        def alibimap(b, h, x, y, *_):
+            return (h, 0, 0) if has_alibi else (0, 0, 0)
+
         return [
             pl.BlockSpec((1, 1, block_q, head_dim), qmap),      # q
             pl.BlockSpec((1, 1, block_k, head_dim), kmap),      # k
@@ -457,6 +477,7 @@ def flash_bwd(
             pl.BlockSpec((1, block_q, 1), qposmap),             # qpos
             pl.BlockSpec((1, 1, block_k), kposmap),             # kpos
             pl.BlockSpec((1, block_q, head_dim), ropemap),      # rope table
+            pl.BlockSpec((1, 1, 1), alibimap),                  # alibi slope
         ]
 
     common_kwargs = dict(
@@ -466,10 +487,10 @@ def flash_bwd(
         softcap=None if logit_softcap is None else float(logit_softcap),
         dropout_rate=float(dropout_rate),
         has_bias=has_bias, has_segs=has_segs, has_pos=has_pos,
-        has_rope=has_rope,
+        has_rope=has_rope, has_alibi=has_alibi,
     )
     args = (seed, qt, kt, vt, dot, lse_p, delta_p, bias_f, qseg, kseg, qpos,
-            kpos, rope_cs)
+            kpos, rope_cs, alibi)
 
     gemm_flops = 2 * batch * num_heads * seqlen_q * seqlen_k * head_dim
     if causal:

@@ -218,6 +218,7 @@ def _fwd_kernel(
     qpos_ref,
     kpos_ref,
     rope_ref,
+    alibi_ref,  # [1, 1, 1] per-head slope (or dummy)
     # outputs (+ optional probs outputs), then scratch
     out_ref,
     lse_ref,
@@ -234,6 +235,7 @@ def _fwd_kernel(
     has_segs: bool,
     has_pos: bool,
     has_rope: bool,
+    has_alibi: bool,
     softcap: float | None,
     use_exp2: bool,
     clamped: bool,
@@ -343,6 +345,22 @@ def _fwd_kernel(
             # clamp so user -inf bias entries become finite NEG_INF (keeps
             # the fully-masked-row algebra NaN-free)
             s = jnp.maximum(s + bias_ref[0, 0].astype(jnp.float32), NEG_INF)
+
+        if has_alibi:
+            # ALiBi: s -= slope_h * |i + shift - j| (upstream flash-attn
+            # alibi_slopes semantic, causal and non-causal).  Applied in
+            # _body (not _apply_mask) so the maskless causal fast path
+            # keeps the bias; the slope arrives as a [1,1,1] per-head
+            # block (4-byte DMA per head change).
+            rowa = (
+                qi * block_q + shift
+                + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+            )
+            cola = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1
+            )
+            dist = jnp.abs(rowa - cola).astype(s.dtype)
+            s = s - alibi_ref[0, 0, 0].astype(s.dtype) * dist
 
         if soft_bf16:
             # softmax in bf16: one cast here, then every [bq, bk]-wide VPU
@@ -501,6 +519,7 @@ def flash_fwd(
     rope_cos: jax.Array | None = None,
     rope_sin: jax.Array | None = None,
     logit_softcap: float | None = None,
+    alibi_slopes: jax.Array | None = None,
     config: FlashConfig | None = None,
     interpret: bool | None = None,
     causal_dma_skip: bool = True,
@@ -517,6 +536,10 @@ def flash_fwd(
 
     logit_softcap: Gemma-2-style score capping, cap * tanh(s / cap),
     applied to the scaled scores before bias/mask.
+
+    alibi_slopes ([H] fp32): per-head ALiBi bias
+    -slope_h * |i + Sk - Sq - j| added in-kernel (ops/alibi.alibi_slopes
+    builds the standard schedule) — no O(S^2) bias tensor.
 
     q_positions/kv_positions ([B,Sq]/[B,Sk] int32): when given, positions
     mask attention to kv_pos <= q_pos — the in-kernel form of per-sequence
@@ -675,6 +698,20 @@ def flash_fwd(
         else M(lambda b, h, qi, ki: (0, 0, 0)),
     )
 
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        al = jnp.asarray(alibi_slopes, jnp.float32).reshape(num_heads, 1, 1)
+        if base2:
+            al = al * LOG2E  # bias must live in base-2 score units too
+        alibi_spec = pl.BlockSpec(
+            (1, 1, 1), M(lambda b, h, qi, ki: (h, 0, 0))
+        )
+    else:
+        al = jnp.zeros((1, 1, 1), jnp.float32)
+        alibi_spec = pl.BlockSpec(
+            (1, 1, 1), M(lambda b, h, qi, ki: (0, 0, 0))
+        )
+
     has_rope = rope_cos is not None
     if has_rope:
         if rope_sin is None:
@@ -745,6 +782,7 @@ def flash_fwd(
         has_segs=has_segs,
         has_pos=has_pos,
         has_rope=has_rope,
+        has_alibi=has_alibi,
         softcap=eff_softcap,
         use_exp2=base2,
         clamped=clamped,
@@ -786,6 +824,7 @@ def flash_fwd(
                 qpos_spec,
                 kpos_spec,
                 rope_spec,
+                alibi_spec,
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, block_q, head_dim), M(lambda b, h, qi, ki: (b, h, qi, 0))),
@@ -822,7 +861,7 @@ def flash_fwd(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=batch * num_heads * seqlen_q * seqlen_k
         ),
         interpret=interpret,
-    )(seed, tri, qt, kt, vt, bias, qseg, kseg, qpos, kpos, rope_cs)
+    )(seed, tri, qt, kt, vt, bias, qseg, kseg, qpos, kpos, rope_cs, al)
 
     out, lse = results[0], results[1]
     out = jnp.swapaxes(out[:, :, :seqlen_q, :], 1, 2)  # BHSD -> BSHD

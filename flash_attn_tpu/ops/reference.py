@@ -98,6 +98,7 @@ def mha_reference(
     dropout_rate: float = 0.0,
     dropout_rng: jax.Array | None = None,
     logit_softcap: float | None = None,
+    alibi_slopes=None,
     return_lse: bool = False,
     return_softmax: bool = False,
 ):
@@ -139,6 +140,12 @@ def mha_reference(
     if logit_softcap is not None:
         # Gemma-2-style capping on the scaled scores, before bias/mask
         scores = logit_softcap * jnp.tanh(scores / logit_softcap)
+    if alibi_slopes is not None:
+        # upstream flash-attn semantic: -slope_h * |i + Sk - Sq - j|
+        i = jnp.arange(seqlen_q)[:, None] + (seqlen_k - seqlen_q)
+        j = jnp.arange(seqlen_k)[None, :]
+        sl = jnp.asarray(alibi_slopes, jnp.float32)
+        scores = scores - sl[None, :, None, None] * jnp.abs(i - j)[None, None]
     bias = attention_bias(
         seqlen_q=seqlen_q,
         seqlen_k=seqlen_k,

@@ -504,3 +504,58 @@ def test_logit_softcap_grad_matches_oracle():
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
             err_msg=name,
         )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_alibi_matches_oracle(causal):
+    """In-kernel ALiBi == capped oracle (upstream flash-attn
+    -slope*|i+Sk-Sq-j| semantic), incl. rectangular shapes."""
+    from flash_attn_tpu.ops.alibi import alibi_slopes
+
+    q, k, v = make_qkv(jax.random.PRNGKey(80), 2, 150, 200, 6, 2, 64,
+                       jnp.float32)
+    sl = jnp.asarray(alibi_slopes(6))
+    out, lse = flash_fwd(q, k, v, causal=causal, alibi_slopes=sl,
+                         interpret=True)
+    ref_out, ref_lse = mha_reference(q, k, v, causal=causal,
+                                     alibi_slopes=sl, return_lse=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-4, rtol=2e-4)
+    fin = np.isfinite(np.asarray(ref_lse))
+    np.testing.assert_allclose(np.asarray(lse)[fin],
+                               np.asarray(ref_lse)[fin], rtol=1e-3, atol=1e-3)
+
+
+def test_alibi_grad_matches_oracle():
+    from flash_attn_tpu.ops.alibi import alibi_slopes
+    from flash_attn_tpu.ops.attention import flash_attention
+
+    q, k, v = make_qkv(jax.random.PRNGKey(81), 1, 160, 160, 4, 2, 32,
+                       jnp.float32)
+    sl = jnp.asarray(alibi_slopes(4))
+
+    def loss_kernel(q_, k_, v_):
+        o = flash_attention(q_, k_, v_, causal=True, alibi_slopes=sl,
+                            interpret=True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_oracle(q_, k_, v_):
+        o = mha_reference(q_, k_, v_, causal=True, alibi_slopes=sl)
+        return jnp.sum(o ** 2)
+
+    g0 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g1 = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_alibi_slope_schedule():
+    from flash_attn_tpu.ops.alibi import alibi_slopes
+
+    s8 = alibi_slopes(8)
+    # power-of-2 schedule: geometric with ratio 2^-1 for n=8
+    np.testing.assert_allclose(s8, [2.0 ** -(i + 1) for i in range(8)],
+                               rtol=1e-6)
+    s6 = alibi_slopes(6)
+    assert s6.shape == (6,) and np.all(s6 > 0) and np.all(np.diff(s6[:4]) < 0)
