@@ -173,7 +173,10 @@ def bench_prefill_8b(chip_peaks, softmax_mode="online"):
     }
 
 
-def bench_decode(chip_peaks, mode="int8", softmax_mode="online"):
+def bench_decode(chip_peaks, mode="int8", softmax_mode=None):
+    """softmax_mode=None measures the production default (clamped for fp8
+    KV, online otherwise — ops/decode._default_softmax_mode); explicit
+    modes are labeled comparison rows."""
     import jax
     import jax.numpy as jnp
 
@@ -210,7 +213,7 @@ def bench_decode(chip_peaks, mode="int8", softmax_mode="online"):
             softmax_mode=softmax_mode,
         ).astype(jnp.bfloat16)
         consts = (kq, vq, ks, vs)
-    tag = f"decode_{mode}" + ("" if softmax_mode == "online" else "_clamped")
+    tag = f"decode_{mode}" + ("" if softmax_mode is None else f"_{softmax_mode}")
     ideal = kv_bytes / (chip_peaks[2] * 1e9)
     t, info = chain_step_seconds(
         step, q, consts, n=32, floor_s=ideal / _MAX_PLAUSIBLE_FRAC
@@ -341,15 +344,16 @@ def bench_paged_decode(chip_peaks, contiguous_us=None, mode="int8"):
     return out
 
 
-def bench_llama8b_decode(chip_peaks):
+def bench_llama8b_decode(chip_peaks, kv_mode="int8"):
     """Measured (not extrapolated) Llama-8B decode tokens/s/chip.
 
     Builds 1- and 2-layer slices with true 8B layer dims (int8 weights,
-    int8 KV, B=8, 8k ctx), times the full jitted decode_step (attention +
-    MLP + head + greedy sample) via the paired-chain estimator, and
-    composes t(32 layers) = 32 * t_layer + t_nonlayer.  Slices stay small
-    because the remote-compile helper dies on 4-layer-sized payloads.
-    BASELINE headline: tokens/sec/chip.
+    ``kv_mode`` KV, B=8, 8k ctx), times the full jitted decode_step
+    (attention + MLP + head + greedy sample) via the paired-chain
+    estimator, and composes t(32 layers) = 32 * t_layer + t_nonlayer.
+    Slices stay small because the remote-compile helper dies on
+    4-layer-sized payloads.  BASELINE headline: tokens/sec/chip; config 1
+    names FP8 KV, so both KV modes are measured.
     """
     import jax
     import jax.numpy as jnp
@@ -367,7 +371,7 @@ def bench_llama8b_decode(chip_peaks):
         )
         params = llama.init_params(cfg, jax.random.PRNGKey(0))
         params = llama.quantize_weights(params, mode="int8")
-        cache = llama.make_cache(cfg, B, S, mode="int8")
+        cache = llama.make_cache(cfg, B, S, mode=kv_mode)
         cache = cache.advance(S - 512)  # decode near full context
         tok0 = jnp.ones((B,), jnp.int32)
 
@@ -404,11 +408,12 @@ def bench_llama8b_decode(chip_peaks):
     t_layer = max(t2 - t1, 1e-9)
     t_nonlayer = max(t1 - t_layer, 0.0)
     t32 = 32 * t_layer + t_nonlayer
+    tag = "llama8b" if kv_mode == "int8" else f"llama8b_{kv_mode}kv"
     return {
-        "llama8b_step_ms_2layer": round(t2 * 1e3, 3),
-        "llama8b_layer_us": round(t_layer * 1e6, 1),
-        "llama8b_step_ms_32layer_est": round(t32 * 1e3, 2),
-        "llama8b_tokens_per_s_chip": round(B / t32, 1),
+        f"{tag}_step_ms_2layer": round(t2 * 1e3, 3),
+        f"{tag}_layer_us": round(t_layer * 1e6, 1),
+        f"{tag}_step_ms_32layer_est": round(t32 * 1e3, 2),
+        f"{tag}_tokens_per_s_chip": round(B / t32, 1),
     }
 
 
@@ -492,13 +497,13 @@ def _run_bench():
             details.update(bench_decode(peaks, mode))
         except Exception as e:  # pragma: no cover
             details[f"decode_{mode}_error"] = repr(e)[:200]
-    # clamped softmax_mode (no running max — ops/decode.py contract):
-    # labeled detail rows alongside the online-softmax defaults above
-    for mode in ("fp8", "int8"):
+    # non-default softmax modes as labeled comparison rows (the default
+    # rows above resolve per KV dtype: fp8 -> clamped, int8 -> online)
+    for mode, sm in (("fp8", "online"), ("int8", "clamped")):
         try:
-            details.update(bench_decode(peaks, mode, softmax_mode="clamped"))
+            details.update(bench_decode(peaks, mode, softmax_mode=sm))
         except Exception as e:  # pragma: no cover
-            details[f"decode_{mode}_clamped_error"] = repr(e)[:200]
+            details[f"decode_{mode}_{sm}_error"] = repr(e)[:200]
     try:
         details.update(bench_flash_bwd(peaks))
     except Exception as e:  # pragma: no cover
@@ -521,6 +526,10 @@ def _run_bench():
         details.update(bench_llama8b_decode(peaks))
     except Exception as e:  # pragma: no cover
         details["llama8b_error"] = repr(e)[:200]
+    try:
+        details.update(bench_llama8b_decode(peaks, kv_mode="fp8"))
+    except Exception as e:  # pragma: no cover
+        details["llama8b_fp8kv_error"] = repr(e)[:200]
 
     # Headline = BASELINE config 1: Llama-8B-shaped decode with FP8 KV.
     frac = details.get("decode_fp8_roofline_frac", 0.0)

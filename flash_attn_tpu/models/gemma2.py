@@ -215,7 +215,8 @@ def prefill_with_kv(params, tokens, positions, cfg: Gemma2Config, *,
         attn = flash_attention(
             q, k, v, causal=True, scale=scale, window=_wnd(cfg, i),
             logit_softcap=cfg.attn_logit_softcap,
-            rope_cos=cos, rope_sin=sin, interpret=interpret,
+            rope_cos=cos, rope_sin=sin,
+            softmax_mode="clamped", interpret=interpret,
         )
         attn = _proj(
             attn.reshape(b, s, cfg.num_heads * cfg.head_dim), blk["wo"],

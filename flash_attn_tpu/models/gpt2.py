@@ -138,7 +138,8 @@ def prefill(params, tokens, cfg: GPT2Config, cache: KVCache, *, interpret=None):
         k = _split_heads(k, cfg.num_heads)
         v = _split_heads(v, cfg.num_heads)
         cache = cache.append(i, k, v)
-        attn = flash_attention(q, k, v, causal=True, interpret=interpret)
+        attn = flash_attention(q, k, v, causal=True,
+                               softmax_mode="clamped", interpret=interpret)
         attn = attn.reshape(b, s, cfg.hidden)
         x = x + _dense(attn, blk["attn"]["proj"])
         h = _layer_norm(x, blk["ln_2"])
@@ -246,7 +247,8 @@ def prefill_chunk(params, tokens, cfg: GPT2Config, cache: KVCache, slot,
         kc, vc = cache.slot_kv_float(i, slot, dtype=x.dtype)
         attn = flash_attention(
             _split_heads(q, cfg.num_heads), kc, vc,
-            q_positions=qpos, kv_positions=kvpos, interpret=interpret,
+            q_positions=qpos, kv_positions=kvpos,
+            softmax_mode="clamped", interpret=interpret,
         )
         x = x + _dense(attn.reshape(b, c, cfg.hidden), blk["attn"]["proj"])
         h = _layer_norm(x, blk["ln_2"])
@@ -306,7 +308,10 @@ def prefill_with_kv(params, tokens, positions, cfg: GPT2Config, *, interpret=Non
         k = _split_heads(k, cfg.num_heads)
         v = _split_heads(v, cfg.num_heads)
         kvs.append((k, v))
-        attn = flash_attention(q, k, v, causal=True, interpret=interpret)
+        # inference-only: clamped softmax (exact in-contract; see
+        # FlashConfig.softmax_mode)
+        attn = flash_attention(q, k, v, causal=True,
+                               softmax_mode="clamped", interpret=interpret)
         x = x + _dense(attn.reshape(b, s, cfg.hidden), blk["attn"]["proj"])
         h = _layer_norm(x, blk["ln_2"])
         m = jax.nn.gelu(_dense(h, blk["mlp"]["fc"]), approximate=True)
@@ -336,7 +341,7 @@ def prefill_packed(params, tokens, positions, segment_ids, cfg: GPT2Config,
             q, k, v,
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
             q_positions=positions, kv_positions=positions,
-            interpret=interpret,
+            softmax_mode="clamped", interpret=interpret,
         )
         x = x + _dense(attn.reshape(b, t, cfg.hidden), blk["attn"]["proj"])
         h = _layer_norm(x, blk["ln_2"])

@@ -219,8 +219,13 @@ def prefill_with_kv(params, tokens, positions, cfg: LlamaConfig, *, interpret=No
             b, s, cfg.num_kv_heads, cfg.head_dim)
         k = apply_rope(k, cos, sin)
         kvs.append((k, v))
+        # inference-only path: clamped softmax (no running max; exact for
+        # in-contract scores — see FlashConfig.softmax_mode) is ~22% faster
+        # at the 8B prefill shape.  Training (forward/_block_attn) keeps
+        # the online default.
         attn = flash_attention(q, k, v, causal=True, window=_wnd(cfg), logit_softcap=cfg.attn_logit_softcap,
                                rope_cos=cos, rope_sin=sin,
+                               softmax_mode="clamped",
                                interpret=interpret)
         x = x + _proj_l(
             attn.reshape(b, s, cfg.num_heads * cfg.head_dim), blk, lblk,
@@ -255,6 +260,7 @@ def prefill_chunk(params, tokens, cfg: LlamaConfig, cache: KVCache, slot,
         attn = flash_attention(
             q, kc, vc, q_positions=qpos, kv_positions=kvpos,
             window=_wnd(cfg), logit_softcap=cfg.attn_logit_softcap, rope_cos=cos, rope_sin=sin,
+            softmax_mode="clamped",
             interpret=interpret,
         )
         x = x + _proj(
@@ -351,6 +357,7 @@ def prefill_packed(params, tokens, positions, segment_ids, cfg: LlamaConfig,
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
             q_positions=positions, kv_positions=positions,
             rope_cos=cos, rope_sin=sin,
+            softmax_mode="clamped",
             interpret=interpret,
         )
         x = x + _proj(

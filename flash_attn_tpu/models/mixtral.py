@@ -171,6 +171,7 @@ def prefill_with_kv(params, tokens, positions, cfg: MixtralConfig, *,
         )
         attn = flash_attention(q, k, v, causal=True, window=wnd,
                                rope_cos=cos, rope_sin=sin,
+                               softmax_mode="clamped",
                                interpret=interpret)
         x = x + _proj(
             attn.reshape(b, s, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
@@ -202,7 +203,7 @@ def prefill_packed(params, tokens, positions, segment_ids, cfg: MixtralConfig,
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
             q_positions=positions, kv_positions=positions,
             rope_cos=cos, rope_sin=sin,
-            interpret=interpret,
+            softmax_mode="clamped", interpret=interpret,
         )
         x = x + _proj(
             attn.reshape(b, t, cfg.num_heads * cfg.head_dim), blk["wo"], interpret

@@ -142,6 +142,18 @@ def _default_block_k(kv_dtype) -> int:
     return 2048 if kv_dtype.itemsize == 1 else 512
 
 
+def _default_softmax_mode(kv_dtype) -> str:
+    """Measured per-mode defaults (v5e, 8B/8k decode shape, tune_r2s):
+    fp8 KV is stats-bound — clamped mode (no running max) lifts it from
+    0.73 to 1.01 of the HBM roofline at block_k=2048 — while int8 measured
+    *better* online (0.83 vs 0.80; its half-GEMM packed path hides the
+    stats pass differently).  Clamped is exact for natural-units logits
+    below 27 with fp8 KV (see FlashConfig.softmax_mode contract), which
+    every sane model satisfies; pass softmax_mode="online" to force the
+    running-max path for out-of-contract scores."""
+    return "clamped" if jnp.issubdtype(kv_dtype, jnp.floating) and kv_dtype.itemsize == 1 else "online"
+
+
 def flash_decode(
     q: jax.Array,
     k: jax.Array,
@@ -157,7 +169,7 @@ def flash_decode(
     block_k: int | None = None,
     return_lse: bool = False,
     kv_layout: str = "bshd",
-    softmax_mode: str = "online",
+    softmax_mode: str | None = None,
     window: int | None = None,
     logit_softcap: float | None = None,
 ):
@@ -179,12 +191,13 @@ def flash_decode(
         ``window`` positions of the cache (Mistral-style).  Blocks entirely
         below the window skip their DMA via the clamped index maps, so a
         windowed decode over a long cache streams only ~window bytes.
-      softmax_mode: "online" (default) or "clamped" — drop the running max
+      softmax_mode: "online" or "clamped" — clamped drops the running max
         entirely (p = 2^min(s2, 80), base-2 scores; fp8 ceiling 40).  Exact
         for natural-units attention logits below 55 (27 with fp8 KV) — see
-        FlashConfig.softmax_mode for the contract.  Honored on the BHSD
-        kernel path (the perf path); the BSHD/oracle paths always run
-        online softmax.
+        FlashConfig.softmax_mode for the contract.  None (default) resolves
+        per KV dtype: clamped for fp8 caches (measured 1.01 vs 0.73 of
+        roofline), online otherwise.  Honored on the BHSD kernel path (the
+        perf path); the BSHD/oracle paths always run online softmax.
 
     Returns out [B, H, D] in q.dtype; with return_lse also lse [B, H] fp32
     (the merge residual for sharded/distributed decode, flash_attn.h:16).
@@ -202,6 +215,8 @@ def flash_decode(
         interpret = jax.default_backend() == "cpu"
     if block_k is None:
         block_k = _default_block_k(k.dtype)
+    if softmax_mode is None:
+        softmax_mode = _default_softmax_mode(k.dtype)
     if kv_length is None:
         kv_length = jnp.full((batch,), seqlen_k, jnp.int32)
 
@@ -249,7 +264,7 @@ def flash_decode_chunk(
     block_k: int | None = None,
     return_lse: bool = False,
     kv_layout: str = "bhsd",
-    softmax_mode: str = "online",
+    softmax_mode: str | None = None,
     window: int | None = None,
     logit_softcap: float | None = None,
 ):
@@ -287,6 +302,8 @@ def flash_decode_chunk(
         interpret = jax.default_backend() == "cpu"
     if block_k is None:
         block_k = _default_block_k(k.dtype)
+    if softmax_mode is None:
+        softmax_mode = _default_softmax_mode(k.dtype)
 
     if use_kernel and kv_layout == "bhsd":
         # (hk, t, g)-major virtual-head order so each kv head's rows stay

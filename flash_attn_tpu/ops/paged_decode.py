@@ -240,7 +240,7 @@ def paged_flash_decode(
     scale: float | None = None,
     interpret: bool | None = None,
     return_lse: bool = False,
-    softmax_mode: str = "online",
+    softmax_mode: str | None = None,
     chunk: int = 1,
     window: int | None = None,
     scales_permuted: bool = False,
@@ -260,6 +260,10 @@ def paged_flash_decode(
     stores fp8 scales pre-permuted (True); natural-order scales are
     permuted/unpermuted here at call time to match the selected kernel.
     """
+    if softmax_mode is None:
+        from flash_attn_tpu.ops.decode import _default_softmax_mode
+
+        softmax_mode = _default_softmax_mode(k_pages.dtype)
     if softmax_mode not in ("online", "clamped"):
         raise ValueError(f"unknown softmax_mode {softmax_mode!r}")
     if window is not None and window < 1:
@@ -418,7 +422,7 @@ def paged_flash_decode_chunk(
     scale: float | None = None,
     interpret: bool | None = None,
     return_lse: bool = False,
-    softmax_mode: str = "online",
+    softmax_mode: str | None = None,
     window: int | None = None,
     scales_permuted: bool = False,
     logit_softcap: float | None = None,
