@@ -106,10 +106,10 @@ def paged_fp8_sweep():
                 ksl = _permute_scale_lanes(ksl, page)
                 vsl = _permute_scale_lanes(vsl, page)
             pool = pool._replace(
-                k_pages=pool.k_pages.at[0, 1:].set(kp),
-                v_pages=pool.v_pages.at[0, 1:].set(vp),
-                k_scale=pool.k_scale.at[0, 1:].set(ksl),
-                v_scale=pool.v_scale.at[0, 1:].set(vsl),
+                k_pages=(pool.k_pages[0].at[1:].set(kp),),
+                v_pages=(pool.v_pages[0].at[1:].set(vp),),
+                k_scale=(pool.k_scale[0].at[1:].set(ksl),),
+                v_scale=(pool.v_scale[0].at[1:].set(vsl),),
                 length=jnp.full((B,), S, jnp.int32),
             )
             consts = (

@@ -159,7 +159,7 @@ class InferenceEngine:
                     f"capacity {capacity} not divisible by mesh axis "
                     f"{kv_shard_axis}={mesh.shape[kv_shard_axis]}"
                 )
-            kv_s = NamedSharding(mesh, P(None, None, None, kv_shard_axis, None))
+            kv_s = NamedSharding(mesh, P(None, None, kv_shard_axis, None))
             rep = NamedSharding(mesh, P())
             self.cache = KVCache(
                 jax.device_put(self.cache.k, kv_s),
@@ -372,27 +372,33 @@ class InferenceEngine:
         logits_all, kvs = self.adapter.prefill_packed(
             params, tokens, positions, segids
         )
-        k_buf, v_buf = cache.k, cache.v
-        ks_buf, vs_buf = cache.k_scale, cache.v_scale
+        k_buf, v_buf = list(cache.k), list(cache.v)
+        ks_buf = None if cache.k_scale is None else list(cache.k_scale)
+        vs_buf = None if cache.v_scale is None else list(cache.v_scale)
         for layer, (k, v) in enumerate(kvs):
             kq, ks, vq, vs = quantize_kv(k[0], v[0], cache.mode)
             # scatter packed tokens to (slot, position); padding rows carry
             # out-of-range indices and are dropped
-            k_buf = k_buf.at[layer, slot_map, :, pos_map].set(
-                kq.astype(k_buf.dtype), mode="drop"
+            k_buf[layer] = k_buf[layer].at[slot_map, :, pos_map].set(
+                kq.astype(k_buf[layer].dtype), mode="drop"
             )
-            v_buf = v_buf.at[layer, slot_map, :, pos_map].set(
-                vq.astype(v_buf.dtype), mode="drop"
+            v_buf[layer] = v_buf[layer].at[slot_map, :, pos_map].set(
+                vq.astype(v_buf[layer].dtype), mode="drop"
             )
             if cache.mode != "none":
-                ks_buf = ks_buf.at[layer, slot_map, :, pos_map].set(
+                ks_buf[layer] = ks_buf[layer].at[slot_map, :, pos_map].set(
                     ks, mode="drop"
                 )
-                vs_buf = vs_buf.at[layer, slot_map, :, pos_map].set(
+                vs_buf[layer] = vs_buf[layer].at[slot_map, :, pos_map].set(
                     vs, mode="drop"
                 )
         length = cache.length.at[slots].set(lens, mode="drop")
-        new_cache = KVCache(k_buf, v_buf, ks_buf, vs_buf, length, cache.mode)
+        new_cache = KVCache(
+            tuple(k_buf), tuple(v_buf),
+            None if ks_buf is None else tuple(ks_buf),
+            None if vs_buf is None else tuple(vs_buf),
+            length, cache.mode,
+        )
         last = logits_all[0, jnp.maximum(ends - 1, 0)]  # [max_b, V]
         return last, new_cache
 
@@ -542,21 +548,23 @@ def _insert_slot_kv(cache: KVCache, layer: int, slot, k, v) -> KVCache:
     BHSD-layout cache."""
     from flash_attn_tpu.ops.quant import quantize_kv
 
+    from flash_attn_tpu.engine.kv_cache import _tset
+
     kq, ks, vq, vs = quantize_kv(k, v, cache.mode)
 
     def put(buf, new):
-        # new [S, Hk, c] -> [Hk, S, c]; buf [L, B, Hk, S, c]
+        # new [S, Hk, c] -> [Hk, S, c]; buf [B, Hk, S, c]
         new = jnp.swapaxes(new, 0, 1)
         return jax.lax.dynamic_update_slice(
-            buf, new[None, None].astype(buf.dtype), (layer, slot, 0, 0, 0)
+            buf, new[None].astype(buf.dtype), (slot, 0, 0, 0)
         )
 
-    knew = put(cache.k, kq)
-    vnew = put(cache.v, vq)
+    knew = _tset(cache.k, layer, put(cache.k[layer], kq))
+    vnew = _tset(cache.v, layer, put(cache.v[layer], vq))
     ksn, vsn = cache.k_scale, cache.v_scale
     if cache.mode != "none":
-        ksn = put(cache.k_scale, ks)
-        vsn = put(cache.v_scale, vs)
+        ksn = _tset(cache.k_scale, layer, put(cache.k_scale[layer], ks))
+        vsn = _tset(cache.v_scale, layer, put(cache.v_scale[layer], vs))
     return KVCache(knew, vnew, ksn, vsn, cache.length, cache.mode)
 
 

@@ -18,6 +18,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
+from flash_attn_tpu.engine.kv_cache import _tset
 from flash_attn_tpu.ops.paged_decode import paged_flash_decode
 from flash_attn_tpu.ops.quant import quantize_kv
 
@@ -25,12 +26,16 @@ from flash_attn_tpu.ops.quant import quantize_kv
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class PagedKVPool:
-    """Per-layer paged pool. Page 0 is reserved as the null page."""
+    """Per-layer paged pool. Page 0 is reserved as the null page.
 
-    k_pages: jax.Array  # [L, num_pages, Hk, page, D]
-    v_pages: jax.Array
-    k_scale: jax.Array | None  # [L, num_pages, Hk, 1, page] (lane-dense)
-    v_scale: jax.Array | None
+    Pages are stored as PER-LAYER tuples (not one stacked [L, ...] array):
+    the stacked layout forced a whole-pool slice per layer to feed each
+    pallas_call (see engine/kv_cache.py for the measured cost)."""
+
+    k_pages: tuple  # L x [num_pages, Hk, page, D]
+    v_pages: tuple
+    k_scale: tuple | None  # L x [num_pages, Hk, 1, page] (lane-dense)
+    v_scale: tuple | None
     block_table: jax.Array  # [B, max_pages] int32 page ids (0 = unassigned)
     length: jax.Array  # [B] int32 tokens in cache
     mode: str = "none"
@@ -47,7 +52,7 @@ class PagedKVPool:
 
     @property
     def page_size(self):
-        return self.k_pages.shape[3]
+        return self.k_pages[0].shape[2]
 
     @property
     def scales_permuted(self):
@@ -78,7 +83,7 @@ class PagedKVPool:
 
     @property
     def num_pages(self):
-        return self.k_pages.shape[1]
+        return self.k_pages[0].shape[0]
 
     @property
     def max_pages(self):
@@ -93,15 +98,15 @@ class PagedKVPool:
             store = jnp.float8_e4m3fn
         else:
             store = dtype
-        shape = (num_layers, num_pages, num_kv_heads, page_size, head_dim)
-        k = jnp.zeros(shape, store)
-        v = jnp.zeros(shape, store)
+        shape = (num_pages, num_kv_heads, page_size, head_dim)
+        k = tuple(jnp.zeros(shape, store) for _ in range(num_layers))
+        v = tuple(jnp.zeros(shape, store) for _ in range(num_layers))
         if mode == "none":
             ks = vs = None
         else:
-            sshape = (num_layers, num_pages, num_kv_heads, 1, page_size)
-            ks = jnp.ones(sshape, jnp.float32)
-            vs = jnp.ones(sshape, jnp.float32)
+            sshape = (num_pages, num_kv_heads, 1, page_size)
+            ks = tuple(jnp.ones(sshape, jnp.float32) for _ in range(num_layers))
+            vs = tuple(jnp.ones(sshape, jnp.float32) for _ in range(num_layers))
         return cls(
             k, v, ks, vs,
             jnp.zeros((batch, max_pages), jnp.int32),
@@ -152,16 +157,18 @@ class PagedKVPool:
                 new[..., 0]
             )
 
-        k_pages = self.k_pages.at[layer].set(scatter(self.k_pages[layer], kq))
-        v_pages = self.v_pages.at[layer].set(scatter(self.v_pages[layer], vq))
+        k_pages = _tset(self.k_pages, layer, scatter(self.k_pages[layer], kq))
+        v_pages = _tset(self.v_pages, layer, scatter(self.v_pages[layer], vq))
         out = self._replace(k_pages=k_pages, v_pages=v_pages)
         if self.mode != "none":
             out = out._replace(
-                k_scale=self.k_scale.at[layer].set(
-                    scatter_scale(self.k_scale[layer], ks)
+                k_scale=_tset(
+                    self.k_scale, layer,
+                    scatter_scale(self.k_scale[layer], ks),
                 ),
-                v_scale=self.v_scale.at[layer].set(
-                    scatter_scale(self.v_scale[layer], vs)
+                v_scale=_tset(
+                    self.v_scale, layer,
+                    scatter_scale(self.v_scale[layer], vs),
                 ),
             )
         return out
@@ -188,16 +195,18 @@ class PagedKVPool:
                 new[..., 0]
             )
 
-        k_pages = self.k_pages.at[layer].set(scatter(self.k_pages[layer], kq))
-        v_pages = self.v_pages.at[layer].set(scatter(self.v_pages[layer], vq))
+        k_pages = _tset(self.k_pages, layer, scatter(self.k_pages[layer], kq))
+        v_pages = _tset(self.v_pages, layer, scatter(self.v_pages[layer], vq))
         out = self._replace(k_pages=k_pages, v_pages=v_pages)
         if self.mode != "none":
             out = out._replace(
-                k_scale=self.k_scale.at[layer].set(
-                    scatter_scale(self.k_scale[layer], ks)
+                k_scale=_tset(
+                    self.k_scale, layer,
+                    scatter_scale(self.k_scale[layer], ks),
                 ),
-                v_scale=self.v_scale.at[layer].set(
-                    scatter_scale(self.v_scale[layer], vs)
+                v_scale=_tset(
+                    self.v_scale, layer,
+                    scatter_scale(self.v_scale[layer], vs),
                 ),
             )
         return out
