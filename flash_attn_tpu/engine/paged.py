@@ -265,7 +265,7 @@ class PagedKVPool:
 
 def paged_decode_attention(pool: PagedKVPool, layer: int, q, *, scale=None,
                            interpret=None, window=None,
-                           softmax_mode="online", logit_softcap=None):
+                           softmax_mode=None, logit_softcap=None):
     """q [B, H, D] -> out [B, H, D] attending to the paged cache via the
     scalar-prefetch kernel (no gather)."""
     return paged_flash_decode(

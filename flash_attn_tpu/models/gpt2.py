@@ -30,6 +30,15 @@ class GPT2Config:
     num_heads: int = 12
     hidden: int = 768
     dtype: str = "float32"
+    # Softmax statistics mode for the inference paths (prefill/decode_multi
+    # prefill kernels).  "clamped" (no running max) assumes attention logits
+    # stay under ~55 nats; GPT-2 has no qk-norm or softcap, and GPT-2-class
+    # checkpoints are documented to grow large attention-sink logits, so the
+    # contract is NOT architecturally guaranteed — validate a real
+    # checkpoint once with ``max_attention_logit`` (below) and set
+    # softmax_mode="online" if it probes above ~50 nats.  Training always
+    # runs online regardless.
+    softmax_mode: str = "clamped"
 
     @property
     def head_dim(self):
@@ -125,6 +134,42 @@ def forward(params, tokens, cfg: GPT2Config, *, interpret=None):
     )
 
 
+def max_attention_logit(params, tokens, cfg: GPT2Config) -> float:
+    """Checkpoint-validation probe for the clamped-softmax contract: the
+    maximum |scaled attention logit| over all layers/heads for a calibration
+    batch (O(S^2) memory — use a ~1k-token probe).  GPT-2 checkpoints can
+    carry attention-sink logits; run this once per real checkpoint and keep
+    cfg.softmax_mode="clamped" only if the result is comfortably below ~50
+    (clamped is exact for natural-units logits <= 55)."""
+    b, s = tokens.shape
+    x = params["wte"][tokens] + params["wpe"][jnp.arange(s)]
+    worst = jnp.float32(0.0)
+    scale = cfg.head_dim ** -0.5
+    for blk in params["blocks"]:
+        h = _layer_norm(x, blk["ln_1"])
+        qkv = _dense(h, blk["attn"]["qkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, cfg.num_heads).astype(jnp.float32)
+        k = _split_heads(k, cfg.num_heads).astype(jnp.float32)
+        v = _split_heads(v, cfg.num_heads)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        causal = jnp.tril(jnp.ones((s, s), bool))
+        worst = jnp.maximum(
+            worst, jnp.max(jnp.abs(jnp.where(causal, scores, 0.0)))
+        )
+        attn = flash_attention(
+            q.astype(x.dtype), k.astype(x.dtype), v, causal=True,
+            interpret=True,
+        ).reshape(b, s, cfg.hidden)
+        x = x + _dense(attn, blk["attn"]["proj"])
+        h = _layer_norm(x, blk["ln_2"])
+        x = x + _dense(
+            jax.nn.gelu(_dense(h, blk["mlp"]["fc"]), approximate=True),
+            blk["mlp"]["proj"],
+        )
+    return float(worst)
+
+
 def prefill(params, tokens, cfg: GPT2Config, cache: KVCache, *, interpret=None):
     """Run the prompt through the model, filling the KV cache.  Returns
     (logits_last [B, V], cache)."""
@@ -139,7 +184,7 @@ def prefill(params, tokens, cfg: GPT2Config, cache: KVCache, *, interpret=None):
         v = _split_heads(v, cfg.num_heads)
         cache = cache.append(i, k, v)
         attn = flash_attention(q, k, v, causal=True,
-                               softmax_mode="clamped", interpret=interpret)
+                               softmax_mode=cfg.softmax_mode, interpret=interpret)
         attn = attn.reshape(b, s, cfg.hidden)
         x = x + _dense(attn, blk["attn"]["proj"])
         h = _layer_norm(x, blk["ln_2"])
@@ -248,7 +293,7 @@ def prefill_chunk(params, tokens, cfg: GPT2Config, cache: KVCache, slot,
         attn = flash_attention(
             _split_heads(q, cfg.num_heads), kc, vc,
             q_positions=qpos, kv_positions=kvpos,
-            softmax_mode="clamped", interpret=interpret,
+            softmax_mode=cfg.softmax_mode, interpret=interpret,
         )
         x = x + _dense(attn.reshape(b, c, cfg.hidden), blk["attn"]["proj"])
         h = _layer_norm(x, blk["ln_2"])
@@ -311,7 +356,7 @@ def prefill_with_kv(params, tokens, positions, cfg: GPT2Config, *, interpret=Non
         # inference-only: clamped softmax (exact in-contract; see
         # FlashConfig.softmax_mode)
         attn = flash_attention(q, k, v, causal=True,
-                               softmax_mode="clamped", interpret=interpret)
+                               softmax_mode=cfg.softmax_mode, interpret=interpret)
         x = x + _dense(attn.reshape(b, s, cfg.hidden), blk["attn"]["proj"])
         h = _layer_norm(x, blk["ln_2"])
         m = jax.nn.gelu(_dense(h, blk["mlp"]["fc"]), approximate=True)
@@ -341,7 +386,7 @@ def prefill_packed(params, tokens, positions, segment_ids, cfg: GPT2Config,
             q, k, v,
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
             q_positions=positions, kv_positions=positions,
-            softmax_mode="clamped", interpret=interpret,
+            softmax_mode=cfg.softmax_mode, interpret=interpret,
         )
         x = x + _dense(attn.reshape(b, t, cfg.hidden), blk["attn"]["proj"])
         h = _layer_norm(x, blk["ln_2"])

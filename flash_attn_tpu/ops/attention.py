@@ -22,8 +22,25 @@ from flash_attn_tpu.ops.flash_fwd import FlashConfig, flash_fwd
 from flash_attn_tpu.ops.varlen import cu_seqlens_to_segment_ids
 
 
+def _fwd_config(config, softmax_mode, q, k):
+    """Forward-only config override: applies ``softmax_mode`` on top of the
+    (heuristic or explicit) FORWARD block config.  Kept separate from the
+    ``config`` threaded into the backward so a softmax_mode override never
+    smuggles fwd-sized blocks into flash_bwd (whose get_bwd_config holds
+    more live tiles and must pick its own shapes)."""
+    if softmax_mode is None:
+        return config
+    import dataclasses
+
+    if config is None:
+        from flash_attn_tpu.utils.autotune import get_config
+
+        config = get_config(q.shape[1], k.shape[1], q.shape[3], q.dtype)
+    return dataclasses.replace(config, softmax_mode=softmax_mode)
+
+
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15)
 )
 def _flash_attention_core(
     q,
@@ -40,8 +57,10 @@ def _flash_attention_core(
     window,
     logit_softcap,
     config,
+    softmax_mode,
     interpret,
 ):
+    config = _fwd_config(config, softmax_mode, q, k)
     out, _ = flash_fwd(
         q,
         k,
@@ -67,9 +86,11 @@ def _flash_attention_core(
 
 
 def _core_fwd(q, k, v, bias, segs, rope, alibi, causal, scale, dropout_rate,
-              dropout_seed, window, logit_softcap, config, interpret):
+              dropout_seed, window, logit_softcap, config, softmax_mode,
+              interpret):
     out, lse = flash_fwd(
         q, k, v,
+        config=_fwd_config(config, softmax_mode, q, k),
         bias=bias,
         q_segment_ids=None if segs is None else segs[0],
         kv_segment_ids=None if segs is None else segs[1],
@@ -82,7 +103,7 @@ def _core_fwd(q, k, v, bias, segs, rope, alibi, causal, scale, dropout_rate,
         rope_sin=None if rope is None else rope[1],
         logit_softcap=logit_softcap,
         alibi_slopes=alibi,
-        config=config, interpret=interpret,
+        interpret=interpret,
     )
     # Residuals ≙ what the reference saves for flash_attn_bwd: q,k,v,out,lse
     # (flash_attn.h:68-74); the LSE replaces the caller-allocated
@@ -91,7 +112,11 @@ def _core_fwd(q, k, v, bias, segs, rope, alibi, causal, scale, dropout_rate,
 
 
 def _core_bwd(causal, scale, dropout_rate, dropout_seed, window,
-              logit_softcap, config, interpret, res, dout):
+              logit_softcap, config, softmax_mode, interpret, res, dout):
+    # softmax_mode shaped only the forward (see _fwd_config); the backward
+    # keeps ``config`` as the caller passed it (usually None) so flash_bwd
+    # resolves its own get_bwd_config block shapes.
+    del softmax_mode
     q, k, v, bias, segs, rope, alibi, out, lse = res
     if _use_jnp_bwd() and dropout_rate == 0.0:
         # Debug-only O(S^2) reference backward (FATPU_JNP_BWD=1).  out was
@@ -300,14 +325,6 @@ def flash_attention(
     through the kernel (softmax_ptr debug hook, flash_attn.h:15,30);
     returns (out, lse, probs) and is fwd-only (not differentiable)."""
     _validate(q, k, v, mask)
-    if softmax_mode is not None:
-        import dataclasses
-
-        if config is None:
-            from flash_attn_tpu.utils.autotune import get_config
-
-            config = get_config(q.shape[1], k.shape[1], q.shape[3], q.dtype)
-        config = dataclasses.replace(config, softmax_mode=softmax_mode)
     segs = None
     if q_segment_ids is not None or q_positions is not None:
         segs = (q_segment_ids, kv_segment_ids, q_positions, kv_positions)
@@ -327,7 +344,8 @@ def flash_attention(
             dropout_seed=dropout_seed, window=window,
             rope_cos=rope_cos, rope_sin=rope_sin,
             logit_softcap=logit_softcap, alibi_slopes=alibi,
-            config=config, interpret=interpret, return_softmax=True,
+            config=_fwd_config(config, softmax_mode, q, k),
+            interpret=interpret, return_softmax=True,
         )
     if return_lse:
         out, lse = flash_fwd(
@@ -338,7 +356,8 @@ def flash_attention(
             dropout_seed=dropout_seed, window=window,
             rope_cos=rope_cos, rope_sin=rope_sin,
             logit_softcap=logit_softcap, alibi_slopes=alibi,
-            config=config, interpret=interpret,
+            config=_fwd_config(config, softmax_mode, q, k),
+            interpret=interpret,
         )
         return out, lse
     return _flash_attention_core(
@@ -346,7 +365,7 @@ def flash_attention(
         dropout_seed if isinstance(dropout_seed, int) else int(dropout_seed),
         window,
         None if logit_softcap is None else float(logit_softcap),
-        config, interpret,
+        config, softmax_mode, interpret,
     )
 
 

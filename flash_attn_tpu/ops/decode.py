@@ -142,16 +142,25 @@ def _default_block_k(kv_dtype) -> int:
     return 2048 if kv_dtype.itemsize == 1 else 512
 
 
-def _default_softmax_mode(kv_dtype) -> str:
+def _default_softmax_mode(kv_dtype, logit_softcap=None) -> str:
     """Measured per-mode defaults (v5e, 8B/8k decode shape, tune_r2s):
     fp8 KV is stats-bound — clamped mode (no running max) lifts it from
     0.73 to 1.01 of the HBM roofline at block_k=2048 — while int8 measured
     *better* online (0.83 vs 0.80; its half-GEMM packed path hides the
     stats pass differently).  Clamped is exact for natural-units logits
     below 27 with fp8 KV (see FlashConfig.softmax_mode contract), which
-    every sane model satisfies; pass softmax_mode="online" to force the
-    running-max path for out-of-contract scores."""
-    return "clamped" if jnp.issubdtype(kv_dtype, jnp.floating) and kv_dtype.itemsize == 1 else "online"
+    every sane model satisfies UNLESS it declares a higher logit bound:
+    a softcap cap C means post-softcap logits legitimately reach C nats
+    (Gemma-2 uses C=50 > 27.7), so when ``logit_softcap`` exceeds the fp8
+    clamped ceiling the default falls back to online rather than silently
+    saturating scores in (27.7, C].  Pass softmax_mode explicitly to
+    override either way."""
+    fp8 = jnp.issubdtype(kv_dtype, jnp.floating) and kv_dtype.itemsize == 1
+    if not fp8:
+        return "online"
+    if logit_softcap is not None and logit_softcap * LOG2E >= CLAMP2_DEC_FP8:
+        return "online"
+    return "clamped"
 
 
 def flash_decode(
@@ -216,7 +225,7 @@ def flash_decode(
     if block_k is None:
         block_k = _default_block_k(k.dtype)
     if softmax_mode is None:
-        softmax_mode = _default_softmax_mode(k.dtype)
+        softmax_mode = _default_softmax_mode(k.dtype, logit_softcap)
     if kv_length is None:
         kv_length = jnp.full((batch,), seqlen_k, jnp.int32)
 
@@ -303,7 +312,7 @@ def flash_decode_chunk(
     if block_k is None:
         block_k = _default_block_k(k.dtype)
     if softmax_mode is None:
-        softmax_mode = _default_softmax_mode(k.dtype)
+        softmax_mode = _default_softmax_mode(k.dtype, logit_softcap)
 
     if use_kernel and kv_layout == "bhsd":
         # (hk, t, g)-major virtual-head order so each kv head's rows stay

@@ -263,7 +263,7 @@ def paged_flash_decode(
     if softmax_mode is None:
         from flash_attn_tpu.ops.decode import _default_softmax_mode
 
-        softmax_mode = _default_softmax_mode(k_pages.dtype)
+        softmax_mode = _default_softmax_mode(k_pages.dtype, logit_softcap)
     if softmax_mode not in ("online", "clamped"):
         raise ValueError(f"unknown softmax_mode {softmax_mode!r}")
     if window is not None and window < 1:
