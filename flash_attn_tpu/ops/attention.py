@@ -377,11 +377,14 @@ def flash_attention_varlen(
     cu_seqlens_k: jax.Array,
     *,
     causal: bool = False,
+    mask: jax.Array | None = None,
     scale: float | None = None,
     dropout_rate: float = 0.0,
     dropout_seed: int | jax.Array = 0,
     return_lse: bool = False,
+    return_softmax: bool = False,
     config: FlashConfig | None = None,
+    softmax_mode: str | None = None,
     interpret: bool | None = None,
 ):
     """Varlen (packed ragged batch) flash attention ≙ flash_attn_varlen_fwd
@@ -391,6 +394,17 @@ def flash_attention_varlen(
     prefix sums (flash_attn.h:41-42).  Converted at this edge to segment ids
     over a singleton batch; causal masking is per-sequence (each packed
     sequence is causal within itself).
+
+    mask: optional additive attention bias over the PACKED token axes —
+    [total_q, total_k], or broadcastable with a leading head axis
+    [H, total_q, total_k] (≙ the reference varlen fwd's attn_mask + mask_dims,
+    flash_attn.h:65-66; its `const void*` mask_dims there is a typo for
+    int64 dims, see SURVEY.md §2.1).  Cross-sequence entries are dead: the
+    segment-id mask wins regardless of the bias value.
+
+    return_softmax: also materialize the post-dropout probability matrix
+    (softmax_ptr debug hook, flash_attn.h:45,59); returns (out, lse, probs)
+    with probs [H, total_q, total_k]; fwd-only (not differentiable).
     """
     if q.ndim != 3:
         raise ValueError(f"varlen q must be [total_q, H, D], got {q.shape}")
@@ -416,14 +430,30 @@ def flash_attention_varlen(
         kpos_arg = kpos[None]
         causal = False
 
+    mask_arg = None
+    if mask is not None:
+        if mask.ndim == 2:
+            mask_arg = mask[None, None]  # [1, 1, total_q, total_k]
+        elif mask.ndim == 3:
+            mask_arg = mask[None]  # [1, H, total_q, total_k]
+        else:
+            raise ValueError(
+                "varlen mask must be [total_q, total_k] or "
+                f"[H, total_q, total_k], got {mask.shape}"
+            )
+
     out = flash_attention(
         q[None], k[None], v[None],
-        causal=causal,
+        causal=causal, mask=mask_arg,
         q_segment_ids=qseg, kv_segment_ids=kseg,
         q_positions=qpos_arg, kv_positions=kpos_arg,
         scale=scale, dropout_rate=dropout_rate, dropout_seed=dropout_seed,
-        return_lse=return_lse, config=config, interpret=interpret,
+        return_lse=return_lse, return_softmax=return_softmax,
+        config=config, softmax_mode=softmax_mode, interpret=interpret,
     )
+    if return_softmax:
+        out_, lse, probs = out
+        return out_[0], lse[0], probs[0]
     if return_lse:
         return out[0][0], out[1][0]
     return out[0]

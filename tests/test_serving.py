@@ -23,8 +23,12 @@ def server():
         params, gpt2.make_adapter(cfg, interpret=True),
         max_batch=2, capacity=64, cache_dtype=jnp.dtype(cfg.dtype),
     )
-    scfg = ServingConfig(port=8479)
+    # port=0: ephemeral OS-assigned port, so parallel pytest workers (and
+    # concurrent CI runs) never collide; the bound port is read back from
+    # the server socket.
+    scfg = ServingConfig(port=0)
     srv, worker = serve(eng, scfg, block=False)
+    scfg.port = srv.server_address[1]
     yield scfg, cfg, params
     srv.shutdown()
     worker.stop_flag.set()

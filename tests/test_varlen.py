@@ -54,6 +54,55 @@ def test_varlen_rect_q_shorter_than_k():
         start += kn
 
 
+def test_varlen_additive_mask():
+    """attn_mask parity for the varlen fwd (flash_attn.h:65-66): an additive
+    bias over the packed token axes, checked per sequence against the oracle
+    with the corresponding mask sub-block."""
+    lens = [50, 78]
+    total = 128
+    q, cu = packed(jax.random.PRNGKey(10), lens, 4, 64, total)
+    k, _ = packed(jax.random.PRNGKey(11), lens, 4, 64, total)
+    v, _ = packed(jax.random.PRNGKey(12), lens, 4, 64, total)
+    mask = jax.random.normal(jax.random.PRNGKey(13), (total, total)) * 0.5
+    out = flash_attention_varlen(
+        q, k, v, cu, cu, causal=True, mask=mask, interpret=True
+    )
+    start = 0
+    for n in lens:
+        sl = slice(start, start + n)
+        want = mha_reference(
+            q[None, sl], k[None, sl], v[None, sl], causal=True,
+            mask=mask[sl, sl][None, None],
+        )[0]
+        np.testing.assert_allclose(
+            np.asarray(out[sl]), np.asarray(want), atol=2e-4, rtol=2e-4
+        )
+        start += n
+
+
+def test_varlen_return_softmax():
+    """softmax_ptr debug hook on the varlen path (flash_attn.h:45,59):
+    returned probs rows reproduce the output and stay inside segments."""
+    lens = [30, 34]
+    total = 64
+    q, cu = packed(jax.random.PRNGKey(14), lens, 2, 32, total)
+    k, _ = packed(jax.random.PRNGKey(15), lens, 2, 32, total)
+    v, _ = packed(jax.random.PRNGKey(16), lens, 2, 32, total)
+    out, lse, probs = flash_attention_varlen(
+        q, k, v, cu, cu, causal=True, return_softmax=True, interpret=True
+    )
+    assert probs.shape == (2, total, total)
+    # probs @ v reproduces out
+    recon = jnp.einsum("hqk,khd->qhd", probs, v.astype(jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(recon), np.asarray(out), atol=2e-4, rtol=2e-4
+    )
+    # no probability mass crosses sequence boundaries
+    pn = np.asarray(probs)
+    assert np.abs(pn[:, : lens[0], lens[0] :]).max() == 0.0
+    assert np.abs(pn[:, lens[0] :, : lens[0]]).max() == 0.0
+
+
 def test_varlen_grad_runs():
     lens = [30, 34]
     q, cu = packed(jax.random.PRNGKey(6), lens, 2, 32, 64)
