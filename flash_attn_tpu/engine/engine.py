@@ -146,6 +146,10 @@ class InferenceEngine:
         self.cache = KVCache.create(
             adapter.num_layers, max_batch, capacity, adapter.num_kv_heads,
             adapter.head_dim, dtype=cache_dtype, mode=kv_mode,
+            # natural scale-lane order when the capacity axis is sharded:
+            # shard-local decode can't interpret permuted chunks that
+            # straddle shard boundaries
+            scale_perm_chunk=None if mesh is not None else "auto",
         )
         if mesh is not None:
             # Sequence-sharded KV (BASELINE configs 3-4): the capacity axis
@@ -160,16 +164,19 @@ class InferenceEngine:
                     f"{kv_shard_axis}={mesh.shape[kv_shard_axis]}"
                 )
             kv_s = NamedSharding(mesh, P(None, None, kv_shard_axis, None))
+            # lane-dense scales carry S on the LAST axis
+            sc_s = NamedSharding(mesh, P(None, None, None, kv_shard_axis))
             rep = NamedSharding(mesh, P())
             self.cache = KVCache(
                 jax.device_put(self.cache.k, kv_s),
                 jax.device_put(self.cache.v, kv_s),
                 None if self.cache.k_scale is None
-                else jax.device_put(self.cache.k_scale, kv_s),
+                else jax.device_put(self.cache.k_scale, sc_s),
                 None if self.cache.v_scale is None
-                else jax.device_put(self.cache.v_scale, kv_s),
+                else jax.device_put(self.cache.v_scale, sc_s),
                 jax.device_put(self.cache.length, rep),
                 self.cache.mode,
+                self.cache.scale_perm_chunk,
             )
         self.key = jax.random.PRNGKey(rng_seed)
         self.next_token = np.zeros((max_batch,), np.int32)
@@ -204,6 +211,7 @@ class InferenceEngine:
         cache = KVCache(
             cache.k, cache.v, cache.k_scale, cache.v_scale,
             cache.length.at[slot].set(true_len), cache.mode,
+            cache.scale_perm_chunk,
         )
         # logits at the last *real* token of the padded prompt
         logits = logits_all[0, true_len - 1]
@@ -225,6 +233,7 @@ class InferenceEngine:
         cache = KVCache(
             cache.k, cache.v, cache.k_scale, cache.v_scale,
             cache.length.at[slot].set(true_len), cache.mode,
+            cache.scale_perm_chunk,
         )
         return logits_all[0, true_len - 1], cache
 
@@ -386,10 +395,13 @@ class InferenceEngine:
                 vq.astype(v_buf[layer].dtype), mode="drop"
             )
             if cache.mode != "none":
-                ks_buf[layer] = ks_buf[layer].at[slot_map, :, pos_map].set(
+                # lane-dense scales: scatter to axis 3 through the store
+                # permutation (out-of-range padding lanes still drop)
+                lane_map = cache._scale_lane(pos_map)
+                ks_buf[layer] = ks_buf[layer].at[slot_map, :, :, lane_map].set(
                     ks, mode="drop"
                 )
-                vs_buf[layer] = vs_buf[layer].at[slot_map, :, pos_map].set(
+                vs_buf[layer] = vs_buf[layer].at[slot_map, :, :, lane_map].set(
                     vs, mode="drop"
                 )
         length = cache.length.at[slots].set(lens, mode="drop")
@@ -397,7 +409,7 @@ class InferenceEngine:
             tuple(k_buf), tuple(v_buf),
             None if ks_buf is None else tuple(ks_buf),
             None if vs_buf is None else tuple(vs_buf),
-            length, cache.mode,
+            length, cache.mode, cache.scale_perm_chunk,
         )
         last = logits_all[0, jnp.maximum(ends - 1, 0)]  # [max_b, V]
         return last, new_cache
@@ -536,6 +548,7 @@ class InferenceEngine:
         self.cache = KVCache(
             self.cache.k, self.cache.v, self.cache.k_scale,
             self.cache.v_scale, jnp.asarray(new_len), self.cache.mode,
+            self.cache.scale_perm_chunk,
         )
 
     def _next_key(self):
@@ -563,9 +576,18 @@ def _insert_slot_kv(cache: KVCache, layer: int, slot, k, v) -> KVCache:
     vnew = _tset(cache.v, layer, put(cache.v[layer], vq))
     ksn, vsn = cache.k_scale, cache.v_scale
     if cache.mode != "none":
-        ksn = _tset(cache.k_scale, layer, put(cache.k_scale[layer], ks))
-        vsn = _tset(cache.v_scale, layer, put(cache.v_scale[layer], vs))
-    return KVCache(knew, vnew, ksn, vsn, cache.length, cache.mode)
+        # lane-dense scales: [S, Hk, 1] lands on (permuted) lanes 0..S-1
+        lanes = cache._scale_lane(jnp.arange(ks.shape[0]))
+        ksn = _tset(
+            cache.k_scale, layer,
+            cache.k_scale[layer].at[slot, :, :, lanes].set(ks),
+        )
+        vsn = _tset(
+            cache.v_scale, layer,
+            cache.v_scale[layer].at[slot, :, :, lanes].set(vs),
+        )
+    return KVCache(knew, vnew, ksn, vsn, cache.length, cache.mode,
+                   cache.scale_perm_chunk)
 
 
 class PagedInferenceEngine:

@@ -252,6 +252,7 @@ def decode_step(params, token, cfg: Gemma2Config, cache: KVCache, *,
             kv_length=cache.length + 1, kv_layout="bhsd", scale=scale,
             window=_dec_wnd(cfg, i),
             logit_softcap=cfg.attn_logit_softcap, interpret=interpret,
+            **cache.scale_args(),
         )
         attn = _proj(
             attn.reshape(b, 1, cfg.num_heads * cfg.head_dim), blk["wo"],

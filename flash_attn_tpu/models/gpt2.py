@@ -216,7 +216,7 @@ def decode_step(params, token, cfg: GPT2Config, cache: KVCache, *, interpret=Non
             kc, vc, k_scale=ks, v_scale=vs,
             kv_length=cache.length + 1,
             kv_layout="bhsd",
-            interpret=interpret,
+            interpret=interpret, **cache.scale_args(),
         )  # [B, H, D]
         x = x + _dense(attn.reshape(b, 1, cfg.hidden), blk["attn"]["proj"])
         h = _layer_norm(x, blk["ln_2"])
@@ -254,7 +254,7 @@ def decode_multi(params, tokens, cfg: GPT2Config, cache: KVCache, *,
             kc, vc, k_scale=ks, v_scale=vs,
             kv_length=cache.length + t,
             kv_layout="bhsd",
-            interpret=interpret,
+            interpret=interpret, **cache.scale_args(),
         )  # [B, T, H, D]
         x = x + _dense(attn.reshape(b, t, cfg.hidden), blk["attn"]["proj"])
         h = _layer_norm(x, blk["ln_2"])

@@ -396,7 +396,7 @@ def decode_step(params, token, cfg: LlamaConfig, cache: KVCache, *, interpret=No
             q[:, 0], kc, vc, k_scale=ks, v_scale=vs,
             kv_length=cache.length + 1, kv_layout="bhsd", interpret=interpret,
             window=cfg.sliding_window,
-            logit_softcap=cfg.attn_logit_softcap,
+            logit_softcap=cfg.attn_logit_softcap, **cache.scale_args(),
         )
         x = x + _proj_l(
             attn.reshape(b, 1, cfg.num_heads * cfg.head_dim), blk, lblk,
@@ -434,7 +434,7 @@ def decode_multi(params, tokens, cfg: LlamaConfig, cache: KVCache, *,
         attn = flash_decode_chunk(
             q, kc, vc, k_scale=ks, v_scale=vs, kv_length=cache.length + t,
             kv_layout="bhsd", interpret=interpret, window=cfg.sliding_window,
-            logit_softcap=cfg.attn_logit_softcap,
+            logit_softcap=cfg.attn_logit_softcap, **cache.scale_args(),
         )
         x = x + _proj(
             attn.reshape(b, t, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
@@ -462,10 +462,16 @@ def decode_step_sharded(params, token, cfg: LlamaConfig, cache: KVCache,
     n_shards = mesh.shape[axis_name]
     cap = cache.capacity
     assert cap % n_shards == 0, (cap, n_shards)
+    if cache.scale_perm_chunk and (cap // n_shards) % cache.scale_perm_chunk:
+        raise ValueError(
+            "permuted scale chunks straddle shard boundaries: create the "
+            "cache with scale_perm_chunk=None for sequence-sharded decode"
+        )
     quantized = cache.mode != "none"
     dec = make_sharded_decode(
         mesh, axis_name=axis_name, interpret=interpret,
         quantized=quantized, kv_layout="bhsd",
+        scale_layout="lanes", scales_perm_chunk=cache.scale_perm_chunk,
     )
 
     b = token.shape[0]

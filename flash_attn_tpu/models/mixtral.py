@@ -231,7 +231,7 @@ def decode_step(params, token, cfg: MixtralConfig, cache: KVCache, *,
         attn = flash_decode(
             q[:, 0], kc, vc, k_scale=ks, v_scale=vs,
             kv_length=cache.length + 1, kv_layout="bhsd", interpret=interpret,
-            window=cfg.sliding_window,
+            window=cfg.sliding_window, **cache.scale_args(),
         )
         x = x + _proj(
             attn.reshape(b, 1, cfg.num_heads * cfg.head_dim), blk["wo"], interpret
@@ -264,7 +264,7 @@ def decode_multi(params, tokens, cfg: MixtralConfig, cache: KVCache, *,
         attn = flash_decode_chunk(
             q, kc, vc, k_scale=ks, v_scale=vs, kv_length=cache.length + t,
             kv_layout="bhsd", interpret=interpret,
-            window=cfg.sliding_window,
+            window=cfg.sliding_window, **cache.scale_args(),
         )
         x = x + _proj(
             attn.reshape(b, t, cfg.num_heads * cfg.head_dim), blk["wo"], interpret

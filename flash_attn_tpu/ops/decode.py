@@ -133,6 +133,37 @@ def _permute_scale_lanes(s, block_k):
     return r.reshape(*lead, S)
 
 
+def _depermute_scale_lanes(s, block_k):
+    """Inverse of _permute_scale_lanes: evens-then-odds chunks back to the
+    natural interleaved position order."""
+    lead = s.shape[:-1]
+    S = s.shape[-1]
+    r = s.reshape(*lead, S // block_k, 2, block_k // 2)
+    r = jnp.swapaxes(r, -1, -2)
+    return r.reshape(*lead, S)
+
+
+def _check_scale_layout(scale_layout, kv_layout, k_scale, v_scale):
+    if scale_layout not in ("kv", "lanes"):
+        raise ValueError(f"unknown scale_layout {scale_layout!r}")
+    if (
+        scale_layout == "lanes"
+        and kv_layout != "bhsd"
+        and (k_scale is not None or v_scale is not None)
+    ):
+        raise ValueError("scale_layout='lanes' requires kv_layout='bhsd'")
+
+
+def _lanes_to_kv(s, perm_chunk):
+    """Lane-dense [B, Hk, 1, S] scales back to the broadcastable-to-k
+    [B, Hk, S, 1] layout (oracle / non-kernel paths)."""
+    if s is None:
+        return None
+    if perm_chunk:
+        s = _depermute_scale_lanes(s, perm_chunk)
+    return jnp.swapaxes(s, 2, 3)
+
+
 def _default_block_k(kv_dtype) -> int:
     """Measured per-mode defaults (v5e, 8B decode shape, same-session sweep):
     1-byte KV wants wide 2048 blocks — fewer grid steps amortize per-block
@@ -181,6 +212,8 @@ def flash_decode(
     softmax_mode: str | None = None,
     window: int | None = None,
     logit_softcap: float | None = None,
+    scale_layout: str = "kv",
+    scales_perm_chunk: int | None = None,
 ):
     """Single-token decode attention over a (possibly quantized) KV cache.
 
@@ -207,6 +240,15 @@ def flash_decode(
         per KV dtype: clamped for fp8 caches (measured 1.01 vs 0.73 of
         roofline), online otherwise.  Honored on the BHSD kernel path (the
         perf path); the BSHD/oracle paths always run online softmax.
+      scale_layout: "kv" (default) — scales shaped like k/v with trailing
+        dim 1 ([B, S, Hk, 1] / [B, Hk, S, 1] per kv_layout); or "lanes" —
+        the kernel-native lane-dense [B, Hk, 1, S] fp32 layout the KVCache
+        stores (zero per-step reshapes on the hot path; bhsd only).
+      scales_perm_chunk: lane-dense scales are stored pre-permuted to the
+        packed-fp8 decode's evens-then-odds row order in chunks of this
+        size (engine caches use ops.kv_append.PACKED_CHUNK); None =
+        natural position order.  When it matches the resolved block_k the
+        hot path does zero per-step scale shuffles.
 
     Returns out [B, H, D] in q.dtype; with return_lse also lse [B, H] fp32
     (the merge residual for sharded/distributed decode, flash_attn.h:16).
@@ -233,13 +275,18 @@ def flash_decode(
         raise ValueError(f"unknown softmax_mode {softmax_mode!r}")
     if window is not None and window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    _check_scale_layout(scale_layout, kv_layout, k_scale, v_scale)
     if use_kernel and kv_layout == "bhsd":
         return _decode_kernel_call_bhsd(
             q, k, v, kv_length, scale=scale, k_scale=k_scale, v_scale=v_scale,
             block_k=block_k, interpret=interpret, return_lse=return_lse,
             num_splits=num_splits, softmax_mode=softmax_mode, window=window,
-            logit_softcap=logit_softcap,
+            logit_softcap=logit_softcap, scale_layout=scale_layout,
+            scales_perm_chunk=scales_perm_chunk,
         )
+    if scale_layout == "lanes":
+        k_scale = _lanes_to_kv(k_scale, scales_perm_chunk)
+        v_scale = _lanes_to_kv(v_scale, scales_perm_chunk)
     if kv_layout == "bhsd":
         k = jnp.swapaxes(k, 1, 2)
         v = jnp.swapaxes(v, 1, 2)
@@ -276,6 +323,8 @@ def flash_decode_chunk(
     softmax_mode: str | None = None,
     window: int | None = None,
     logit_softcap: float | None = None,
+    scale_layout: str = "kv",
+    scales_perm_chunk: int | None = None,
 ):
     """Multi-token ("chunk") decode: T new tokens per sequence against a
     (possibly quantized) KV cache, causal within the chunk.  This is the
@@ -313,6 +362,7 @@ def flash_decode_chunk(
         block_k = _default_block_k(k.dtype)
     if softmax_mode is None:
         softmax_mode = _default_softmax_mode(k.dtype, logit_softcap)
+    _check_scale_layout(scale_layout, kv_layout, k_scale, v_scale)
 
     if use_kernel and kv_layout == "bhsd":
         # (hk, t, g)-major virtual-head order so each kv head's rows stay
@@ -329,6 +379,7 @@ def flash_decode_chunk(
             interpret=interpret, return_lse=return_lse,
             num_splits=num_splits, chunk=chunk, softmax_mode=softmax_mode,
             window=window, logit_softcap=logit_softcap,
+            scale_layout=scale_layout, scales_perm_chunk=scales_perm_chunk,
         )
         out = res[0] if return_lse else res
 
@@ -345,6 +396,9 @@ def flash_decode_chunk(
             return out, unshuffle(res[1])
         return out
 
+    if scale_layout == "lanes":
+        k_scale = _lanes_to_kv(k_scale, scales_perm_chunk)
+        v_scale = _lanes_to_kv(v_scale, scales_perm_chunk)
     if kv_layout == "bhsd":
         k = jnp.swapaxes(k, 1, 2)
         v = jnp.swapaxes(v, 1, 2)
@@ -885,7 +939,8 @@ def _decode_kernel_bhsd(
 def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
                              block_k, interpret, return_lse=False,
                              num_splits=1, chunk=1, softmax_mode="online",
-                             window=None, logit_softcap=None):
+                             window=None, logit_softcap=None,
+                             scale_layout="kv", scales_perm_chunk=None):
     batch, num_heads, head_dim = q.shape
     _, num_heads_k, seqlen_k, _ = k.shape
 
@@ -917,6 +972,23 @@ def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
         # per scale — 128x DMA inflation that dwarfed the int8 KV savings).
         if s is None:
             return jnp.zeros((1, num_heads_k, 1, 1), jnp.float32)
+        if scale_layout == "lanes":
+            # already kernel-native [B, Hk, 1, S]; the engine's hot path —
+            # with the store-order permutation matching the resolved
+            # block_k this is a zero-reshape passthrough.
+            s = s.astype(jnp.float32)
+            if packed_fp8 and scales_perm_chunk == block_k:
+                return jnp.pad(
+                    s, ((0, 0), (0, 0), (0, 0), (0, sk_p - seqlen_k))
+                )
+            if scales_perm_chunk:
+                # stored order doesn't match this call's block_k: undo the
+                # store permutation (pre-pad: stored S is a chunk multiple)
+                s = _depermute_scale_lanes(s, scales_perm_chunk)
+            s = jnp.pad(s, ((0, 0), (0, 0), (0, 0), (0, sk_p - seqlen_k)))
+            if packed_fp8:
+                s = _permute_scale_lanes(s, block_k)
+            return s
         s = jnp.broadcast_to(s, (batch, num_heads_k, seqlen_k, 1)).astype(jnp.float32)
         s = jnp.swapaxes(s, 2, 3)  # [B, Hk, 1, S]
         s = jnp.pad(s, ((0, 0), (0, 0), (0, 0), (0, sk_p - seqlen_k)))

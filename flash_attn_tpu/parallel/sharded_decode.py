@@ -34,6 +34,8 @@ def sharded_decode(
     scale: float | None = None,
     interpret: bool | None = None,
     kv_layout: str = "bshd",
+    scale_layout: str = "kv",
+    scales_perm_chunk: int | None = None,
 ):
     """Shard-local body (inside shard_map).
 
@@ -50,7 +52,8 @@ def sharded_decode(
         kv_length=shard_kv_length,
         k_scale=k_scale, v_scale=v_scale,
         scale=scale, interpret=interpret, return_lse=True,
-        kv_layout=kv_layout,
+        kv_layout=kv_layout, scale_layout=scale_layout,
+        scales_perm_chunk=scales_perm_chunk,
     )  # out [B,H,D], lse [B,H]
 
     # softmax-style exact merge across shards: two psums + a pmax.
@@ -71,13 +74,19 @@ def shard_lengths(length: jax.Array, n_shards: int, shard_size: int):
 
 
 def make_sharded_decode(mesh, *, axis_name="sp", scale=None, interpret=None,
-                        quantized=False, kv_layout="bshd"):
+                        quantized=False, kv_layout="bshd",
+                        scale_layout="kv", scales_perm_chunk=None):
     """shard_map wrapper: global k/v [B, S, Hk, D] ('bshd') or
     [B, Hk, S, D] ('bhsd') sharded on S over ``axis_name``;
-    kv_length_per_shard [n_shards, B] (see shard_lengths)."""
+    kv_length_per_shard [n_shards, B] (see shard_lengths).
+
+    scale_layout='lanes' (the KVCache layout, [B, Hk, 1, S]) shards scales
+    on the last axis; scales_perm_chunk must divide the per-shard length
+    (llama.decode_step_sharded validates)."""
     body = functools.partial(
         sharded_decode, axis_name=axis_name, scale=scale,
-        interpret=interpret, kv_layout=kv_layout,
+        interpret=interpret, kv_layout=kv_layout, scale_layout=scale_layout,
+        scales_perm_chunk=scales_perm_chunk,
     )
     if kv_layout == "bhsd":
         kv_spec = P(None, None, axis_name, None)
@@ -86,11 +95,16 @@ def make_sharded_decode(mesh, *, axis_name="sp", scale=None, interpret=None,
     len_spec = P(axis_name, None)
 
     if quantized:
+        if scale_layout == "lanes":
+            sc_spec = P(None, None, None, axis_name)
+        else:
+            sc_spec = kv_spec
+
         def fn(q, k, v, ks, vs, lens):
             return body(
                 q, k, v, shard_kv_length=lens[0], k_scale=ks, v_scale=vs
             )
-        in_specs = (P(), kv_spec, kv_spec, kv_spec, kv_spec, len_spec)
+        in_specs = (P(), kv_spec, kv_spec, sc_spec, sc_spec, len_spec)
     else:
         def fn(q, k, v, lens):
             return body(q, k, v, shard_kv_length=lens[0])
