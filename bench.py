@@ -344,16 +344,21 @@ def bench_paged_decode(chip_peaks, contiguous_us=None, mode="int8"):
     return out
 
 
-def bench_llama8b_decode(chip_peaks, kv_mode="int8"):
+def bench_llama8b_decode(chip_peaks, kv_modes=("int8", "fp8")):
     """Measured (not extrapolated) Llama-8B decode tokens/s/chip.
 
-    Builds 1- and 2-layer slices with true 8B layer dims (int8 weights,
-    ``kv_mode`` KV, B=8, 8k ctx), times the full jitted decode_step
-    (attention + MLP + head + greedy sample) via the paired-chain
-    estimator, and composes t(32 layers) = 32 * t_layer + t_nonlayer.
+    Builds 1- and 2-layer slices with true 8B layer dims (int8 weights
+    incl. the LM head, ``kv_modes`` KV, B=8, 8k ctx), times the full jitted
+    decode_step (attention + MLP + head + greedy sample) via the
+    paired-chain estimator, and composes t(32) = 32 * t_layer + t_nonlayer.
     Slices stay small because the remote-compile helper dies on
     4-layer-sized payloads.  BASELINE headline: tokens/sec/chip; config 1
-    names FP8 KV, so both KV modes are measured.
+    names FP8 KV.
+
+    All (mode, layers) chains are built up front and timed INTERLEAVED
+    over the measurement rounds: sequential per-mode timing let relay /
+    session drift masquerade as a mode difference (round-2's fp8-slower
+    artifact; benchmarks/r3_mode_interleave_probe.py).
     """
     import jax
     import jax.numpy as jnp
@@ -362,7 +367,7 @@ def bench_llama8b_decode(chip_peaks, kv_mode="int8"):
 
     B, S = 8, 8192
 
-    def step_time(num_layers):
+    def build(kv_mode, num_layers):
         cfg = llama.LlamaConfig(
             vocab_size=32768, hidden=4096, intermediate=14336,
             num_layers=num_layers, num_heads=32, num_kv_heads=8,
@@ -370,7 +375,11 @@ def bench_llama8b_decode(chip_peaks, kv_mode="int8"):
             dtype="bfloat16",
         )
         params = llama.init_params(cfg, jax.random.PRNGKey(0))
-        params = llama.quantize_weights(params, mode="int8")
+        # int8 head too: the bf16 head streams 268 MB/step (the single
+        # biggest non-layer op in the r3 device trace, fusion.97)
+        params = llama.quantize_weights(
+            params, mode="int8", skip=("tok_emb",)
+        )
         cache = llama.make_cache(cfg, B, S, mode=kv_mode)
         cache = cache.advance(S - 512)  # decode near full context
         tok0 = jnp.ones((B,), jnp.int32)
@@ -396,25 +405,40 @@ def bench_llama8b_decode(chip_peaks, kv_mode="int8"):
             float(f(params, tok0, cache))
             return lambda: float(f(params, tok0, cache))
 
-        n = 16
-        run_n = chained(n)
-        run_2n = chained(2 * n)
-        t_n = _median_time(run_n, 5)
-        t_2n = _median_time(run_2n, 5)
-        return max((t_2n - t_n) / n, 1e-9)
+        return chained(16), chained(32)
 
-    t1 = step_time(1)
-    t2 = step_time(2)
-    t_layer = max(t2 - t1, 1e-9)
-    t_nonlayer = max(t1 - t_layer, 0.0)
-    t32 = 32 * t_layer + t_nonlayer
-    tag = "llama8b" if kv_mode == "int8" else f"llama8b_{kv_mode}kv"
-    return {
-        f"{tag}_step_ms_2layer": round(t2 * 1e3, 3),
-        f"{tag}_layer_us": round(t_layer * 1e6, 1),
-        f"{tag}_step_ms_32layer_est": round(t32 * 1e3, 2),
-        f"{tag}_tokens_per_s_chip": round(B / t32, 1),
+    chains = {
+        (mode, L): build(mode, L) for mode in kv_modes for L in (1, 2)
     }
+    samples = {k: ([], []) for k in chains}
+    for _ in range(7):
+        for k, (run_n, run_2n) in chains.items():
+            t0 = time.perf_counter()
+            run_n()
+            samples[k][0].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            run_2n()
+            samples[k][1].append(time.perf_counter() - t0)
+
+    out = {}
+    for mode in kv_modes:
+        def step_time(L):
+            a, b = samples[(mode, L)]
+            return max((float(np.median(b)) - float(np.median(a))) / 16, 1e-9)
+
+        t1 = step_time(1)
+        t2 = step_time(2)
+        t_layer = max(t2 - t1, 1e-9)
+        t_nonlayer = max(t1 - t_layer, 0.0)
+        t32 = 32 * t_layer + t_nonlayer
+        tag = "llama8b" if mode == "int8" else f"llama8b_{mode}kv"
+        out.update({
+            f"{tag}_step_ms_2layer": round(t2 * 1e3, 3),
+            f"{tag}_layer_us": round(t_layer * 1e6, 1),
+            f"{tag}_step_ms_32layer_est": round(t32 * 1e3, 2),
+            f"{tag}_tokens_per_s_chip": round(B / t32, 1),
+        })
+    return out
 
 
 def main():
@@ -526,10 +550,6 @@ def _run_bench():
         details.update(bench_llama8b_decode(peaks))
     except Exception as e:  # pragma: no cover
         details["llama8b_error"] = repr(e)[:200]
-    try:
-        details.update(bench_llama8b_decode(peaks, kv_mode="fp8"))
-    except Exception as e:  # pragma: no cover
-        details["llama8b_fp8kv_error"] = repr(e)[:200]
 
     # Headline = BASELINE config 1: Llama-8B-shaped decode with FP8 KV.
     frac = details.get("decode_fp8_roofline_frac", 0.0)

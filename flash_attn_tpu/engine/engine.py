@@ -122,7 +122,17 @@ class InferenceEngine:
         mesh=None,
         kv_shard_axis: str = "sp",
         lora_bank=None,
+        decode_burst: int = 1,
     ):
+        """decode_burst: decode up to this many tokens per device dispatch
+        (one jitted lax.scan instead of one host round-trip per token —
+        multi-step scheduling).  A burst fires only when the waiting queue
+        is empty and every active slot has >= burst tokens of budget and KV
+        headroom, so admission latency and max_tokens stay exact; a slot
+        hitting EOS mid-burst discards its tail tokens (the over-appended
+        KV is masked by length once the slot is reused).  Production knob
+        for host-latency-dominated deployments (the axon relay pays ~30 ms
+        per dispatch; burst=8 cuts per-token host cost 8x)."""
         self.params = params
         self.adapter = adapter
         self.lora_bank = lora_bank
@@ -190,13 +200,27 @@ class InferenceEngine:
 
         self.metrics = EngineMetrics(kv_capacity=max_batch * capacity)
         self.adapter_ids = np.zeros((max_batch,), np.int32)
-        self._prefill_jit = jax.jit(self._prefill_one, static_argnums=())
-        self._decode_jit = jax.jit(self._decode_batch)
+        self._prefill_jit = jax.jit(self._prefill_one, donate_argnums=(2,))
+        self._decode_jit = jax.jit(self._decode_batch, donate_argnums=(2,))
+        self.decode_burst = max(1, int(decode_burst))
+        if self.decode_burst > 1:
+            if spec is not None or lora_bank is not None:
+                raise ValueError(
+                    "decode_burst does not compose with speculative "
+                    "decoding or LoRA banks"
+                )
+            self._burst_jit = jax.jit(
+                self._decode_burst_body, donate_argnums=(2,)
+            )
         if lora_bank is not None:
-            self._prefill_lora_jit = jax.jit(self._prefill_one_lora)
-            self._decode_lora_jit = jax.jit(self._decode_batch_lora)
+            self._prefill_lora_jit = jax.jit(
+                self._prefill_one_lora, donate_argnums=(2,)
+            )
+            self._decode_lora_jit = jax.jit(
+                self._decode_batch_lora, donate_argnums=(2,)
+            )
         self._chunk_jit = (
-            jax.jit(adapter.prefill_chunk)
+            jax.jit(adapter.prefill_chunk, donate_argnums=(2,))
             if adapter.prefill_chunk is not None
             else None
         )
@@ -221,6 +245,21 @@ class InferenceEngine:
         logits, cache = self.adapter.decode_step(params, tokens, cache)
         toks = sample(logits, key, self.sampling)
         return toks, cache
+
+    def _decode_burst_body(self, params, tokens, cache: KVCache, key):
+        """decode_burst tokens per slot in ONE dispatch (lax.scan over
+        decode steps; host sees only the final cache + all sampled
+        tokens)."""
+        keys = jax.random.split(key, self.decode_burst)
+
+        def step(carry, k):
+            tok, c = carry
+            logits, c = self.adapter.decode_step(params, tok, c)
+            tok = sample(logits, k, self.sampling)
+            return (tok, c), tok
+
+        (_, cache), toks = jax.lax.scan(step, (tokens, cache), keys)
+        return toks, cache  # toks [burst, B]
 
     def _prefill_one_lora(self, params, tokens, cache, slot, true_len,
                           bank, aid):
@@ -353,7 +392,9 @@ class InferenceEngine:
             off += n
 
         if not hasattr(self, "_packed_jit"):
-            self._packed_jit = jax.jit(self._prefill_packed_body)
+            self._packed_jit = jax.jit(
+                self._prefill_packed_body, donate_argnums=(6,)
+            )
         last_logits, self.cache = self._packed_jit(
             self.params, jnp.asarray(tokens), jnp.asarray(positions),
             jnp.asarray(segids), jnp.asarray(slot_map), jnp.asarray(pos_map),
@@ -471,6 +512,29 @@ class InferenceEngine:
             ):
                 self._do_spec_decode_step(slots, t0)
                 return
+        if self.decode_burst > 1 and self._burst_ok(slots):
+            toks, self.cache = self._burst_jit(
+                self.params, jnp.asarray(self.next_token), self.cache,
+                self._next_key(),
+            )
+            toks = np.asarray(toks)  # [burst, B]
+            self.metrics.record_decode(
+                len(slots) * self.decode_burst, _time.perf_counter() - t0
+            )
+            self.metrics.kv_tokens_in_use = int(
+                np.asarray(self.cache.length).sum()
+            )
+            for slot in slots:
+                for i in range(self.decode_burst):
+                    tok = int(toks[i, slot])
+                    if self.sched.step_done(slot, tok):
+                        # EOS/max mid-burst: the slot's tail tokens are
+                        # discarded (over-appended KV is masked by length
+                        # once the slot is reused)
+                        self.metrics.completed_requests += 1
+                        break
+                    self.next_token[slot] = tok
+            return
         if self.lora_bank is not None:
             toks, self.cache = self._decode_lora_jit(
                 self.params, jnp.asarray(self.next_token), self.cache,
@@ -494,6 +558,22 @@ class InferenceEngine:
                 continue
             self.metrics.completed_requests += 1
 
+    def _burst_ok(self, slots) -> bool:
+        """Burst only when it can't hurt latency or correctness: no
+        waiting requests (admission isn't delayed), no mid-chunked-prefill
+        slots, and every active slot has burst tokens of budget and KV
+        headroom."""
+        if self.sched.waiting or self._prefilling:
+            return False
+        lens = np.asarray(self.cache.length)
+        for s in slots:
+            req = self.sched.active[s]
+            if len(req.generated) + self.decode_burst > req.max_tokens:
+                return False
+            if int(lens[s]) + self.decode_burst > self.capacity:
+                return False
+        return True
+
     def _do_spec_decode_step(self, slots, t0):
         """One speculative decode round: draft K tokens per slot on the
         host, verify [current, drafts] in ONE decode_multi sweep, emit the
@@ -514,7 +594,9 @@ class InferenceEngine:
         lens_before = np.asarray(self.cache.length).copy()
 
         if not hasattr(self, "_verify_jit"):
-            self._verify_jit = jax.jit(self.adapter.decode_multi)
+            self._verify_jit = jax.jit(
+                self.adapter.decode_multi, donate_argnums=(2,)
+            )
         logits, self.cache = self._verify_jit(
             self.params, jnp.asarray(tok_in), self.cache
         )

@@ -661,3 +661,26 @@ def test_paged_pool_fp8_permuted_scales():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4
     )
+
+
+def test_engine_decode_burst_matches_greedy(tiny):
+    """decode_burst > 1 (multi-step scheduling: several decode steps per
+    dispatch) emits exactly the same greedy tokens as burst=1, including
+    EOS mid-burst and heterogeneous max_tokens."""
+    cfg, params = tiny
+    prompts = [list(range(1, 9)), [3, 1, 4, 1, 5]]
+    outs = []
+    for burst in (1, 4):
+        eng = InferenceEngine(
+            params, gpt2.make_adapter(cfg, interpret=True),
+            max_batch=2, capacity=64, cache_dtype=jnp.dtype(cfg.dtype),
+            decode_burst=burst,
+        )
+        reqs = [
+            eng.submit(prompts[0], max_tokens=10),
+            eng.submit(prompts[1], max_tokens=7),
+        ]
+        eng.run()
+        assert all(r.done for r in reqs)
+        outs.append([list(r.generated) for r in reqs])
+    assert outs[0] == outs[1]
