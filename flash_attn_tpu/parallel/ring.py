@@ -6,9 +6,14 @@ merging per step with the LSE algebra (ops/lse.py) — the quantity the
 reference exposes as softmax_lse (flash_attn.h:16) is exactly what makes
 this exact, not approximate.
 
-Used inside ``shard_map`` over the sequence axis; XLA overlaps the ppermute
-with the flash kernel of the next step (double buffering happens at the XLA
-scheduling level; an explicit Pallas RDMA ring is a later optimisation).
+Used inside ``shard_map`` over the sequence axis, with EXPLICIT double
+buffering: each scan step issues the ppermute of its KV buffers before the
+attention kernel that consumes the local copies, so the async-collective
+split (start before the kernel, done at the carry) keeps step i+1's ICI
+transfer in flight under step i's compute — SURVEY.md §5 "explicit overlap
+via shard_map + ppermute double-buffering".  (A Pallas RDMA ring with
+per-block pltpu.make_async_remote_copy remains the further step; it needs
+real multi-chip ICI to validate, which this environment lacks.)
 
 Causal handling: global block positions decide each step's mask — earlier KV
 blocks attend fully, the diagonal block causally, later blocks are skipped
@@ -52,6 +57,14 @@ def _ring_scan_fwd(q, k, v, *, axis_name, causal, scale, interpret):
 
     def step(carry, _):
         out, lse, kc, vc, kv_idx = carry
+        # Double buffering, explicitly: the transfer of this step's KV to
+        # the neighbor is issued BEFORE the attention kernel that consumes
+        # the local copy, so XLA's async-collective split (ppermute-start
+        # here, ppermute-done at the carry) keeps the ICI transfer for step
+        # i+1 in flight under step i's compute.  The incoming buffers
+        # (kn, vn) are the spare of a classic two-buffer rotation.
+        kn = jax.lax.ppermute(kc, axis_name, perm)
+        vn = jax.lax.ppermute(vc, axis_name, perm)
 
         def attend_full(_):
             o, l = flash_fwd(q, kc, vc, scale=scale, interpret=interpret)
@@ -84,10 +97,8 @@ def _ring_scan_fwd(q, k, v, *, axis_name, causal, scale, interpret):
             jnp.swapaxes(o_i, 1, 2),  # [B,H,S,D]
             lse_i,
         )
-        kc = jax.lax.ppermute(kc, axis_name, perm)
-        vc = jax.lax.ppermute(vc, axis_name, perm)
         kv_idx = (kv_idx - 1) % n
-        return (out_new, lse_new, kc, vc, kv_idx), None
+        return (out_new, lse_new, kn, vn, kv_idx), None
 
     out0 = jnp.zeros((batch, num_heads, s_loc, head_dim), jnp.float32)
     lse0 = jnp.full((batch, num_heads, s_loc), NEG_INF, jnp.float32)
@@ -123,6 +134,11 @@ def _ring_core_bwd(axis_name, causal, scale, interpret, res, dout):
 
     def step(carry, _):
         dq, kc, vc, dkc, dvc, kv_idx = carry
+        # kv transfers issue before the recompute kernels (double buffering,
+        # as in the forward); dk/dv accumulators can't — they depend on this
+        # step's grads — so only the 2 independent transfers overlap compute.
+        kn = jax.lax.ppermute(kc, axis_name, perm)
+        vn = jax.lax.ppermute(vc, axis_name, perm)
 
         def grads_full(_):
             g = flash_bwd(
@@ -154,16 +170,12 @@ def _ring_core_bwd(axis_name, causal, scale, interpret, res, dout):
             dq_i, dk_i, dv_i = grads_full(None)
 
         dq = dq + dq_i
-        dkc = dkc + dk_i
-        dvc = dvc + dv_i
-        # rotate the KV shard together with its gradient accumulators; after
-        # a full loop each (dk, dv) is back on its home device.
-        kc = jax.lax.ppermute(kc, axis_name, perm)
-        vc = jax.lax.ppermute(vc, axis_name, perm)
-        dkc = jax.lax.ppermute(dkc, axis_name, perm)
-        dvc = jax.lax.ppermute(dvc, axis_name, perm)
+        # rotate the gradient accumulators with the KV shard; after a full
+        # loop each (dk, dv) is back on its home device.
+        dkc = jax.lax.ppermute(dkc + dk_i, axis_name, perm)
+        dvc = jax.lax.ppermute(dvc + dv_i, axis_name, perm)
         kv_idx = (kv_idx - 1) % n
-        return (dq, kc, vc, dkc, dvc, kv_idx), None
+        return (dq, kn, vn, dkc, dvc, kv_idx), None
 
     dq0 = jnp.zeros(q.shape, jnp.float32)
     dk0 = jnp.zeros(kv_shape, jnp.float32)

@@ -188,3 +188,49 @@ def test_chunked_cross_entropy_matches_dense():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gh), np.asarray(ghw),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_moe_ep_a2a_matches_dense_oracle():
+    """Capacity-based all_to_all EP dispatch == dense oracle when capacity
+    is generous enough that no (token, expert) slot drops."""
+    from flash_attn_tpu.parallel.mesh import MeshConfig, make_mesh
+    from flash_attn_tpu.parallel.moe import make_moe_ffn_a2a, moe_ffn_reference
+
+    mesh = make_mesh(MeshConfig(tp=4))
+    T, H, F, E = 16, 32, 64, 8
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    x = jax.random.normal(ks[0], (T, H))
+    router_w = jax.random.normal(ks[1], (H, E))
+    w_gate = jax.random.normal(ks[2], (E, H, F)) * 0.1
+    w_up = jax.random.normal(ks[3], (E, H, F)) * 0.1
+    w_down = jax.random.normal(ks[4], (E, F, H)) * 0.1
+
+    want = moe_ffn_reference(x, router_w, w_gate, w_up, w_down, top_k=2)
+    # worst case: all T*k local choices land on one expert
+    fn = make_moe_ffn_a2a(mesh, axis_name="tp", top_k=2, capacity=T * 2)
+    got = jax.jit(fn)(x, router_w, w_gate, w_up, w_down)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_moe_ep_a2a_capacity_drop():
+    """With capacity 1 per expert, overflowing (token, expert) slots drop
+    (GShard overflow rule): output stays finite and differs from the
+    no-drop result only for dropped slots."""
+    from flash_attn_tpu.parallel.mesh import MeshConfig, make_mesh
+    from flash_attn_tpu.parallel.moe import make_moe_ffn_a2a
+
+    mesh = make_mesh(MeshConfig(tp=4))
+    T, H, F, E = 16, 32, 64, 8
+    ks = jax.random.split(jax.random.PRNGKey(2), 5)
+    x = jax.random.normal(ks[0], (T, H))
+    router_w = jax.random.normal(ks[1], (H, E))
+    w_gate = jax.random.normal(ks[2], (E, H, F)) * 0.1
+    w_up = jax.random.normal(ks[3], (E, H, F)) * 0.1
+    w_down = jax.random.normal(ks[4], (E, F, H)) * 0.1
+
+    fn = make_moe_ffn_a2a(mesh, axis_name="tp", top_k=2, capacity=1)
+    got = jax.jit(fn)(x, router_w, w_gate, w_up, w_down)
+    assert got.shape == (T, H)
+    assert bool(jnp.all(jnp.isfinite(got)))
