@@ -441,6 +441,101 @@ def bench_llama8b_decode(chip_peaks, kv_modes=("int8", "fp8")):
     return out
 
 
+def bench_ppl_delta(chip_peaks):
+    """Quality-contract numbers at true 8B layer dims (BASELINE.md row 3:
+    "perplexity delta bounded at same KV bit-width"; SURVEY.md §4.2).
+
+    Synthetic-but-structured setup: random-init Llama (8B layer dims, 2
+    layers — relay payload limit), greedy continuation generated by the
+    float model from a fixed prompt, then teacher-forced NLL of that
+    continuation re-scored under each (weight, KV) quantization mode via
+    prefill_chunk + a scanned decode_step — the exact engine decode path,
+    so KV quantize-on-append and fused dequant are in the loop.  Real-
+    checkpoint ppl requires weights this zero-egress environment cannot
+    fetch; the ladder still bounds the numerical damage of every mode.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from flash_attn_tpu.models import llama
+
+    P, T = 128, 32
+    cfg = llama.LlamaConfig(
+        vocab_size=32768, hidden=4096, intermediate=14336,
+        num_layers=2, num_heads=32, num_kv_heads=8,
+        head_dim=128, max_position=P + T + 64, rope_theta=500000.0,
+        dtype="bfloat16",
+    )
+    base_params = llama.init_params(cfg, jax.random.PRNGKey(7))
+    prompt = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (1, P)),
+        jnp.int32,
+    )
+
+    def gen(params, kv_mode):
+        cache = llama.make_cache(cfg, 1, P + T + 1, mode=kv_mode)
+
+        @jax.jit
+        def f(params_, prompt_, cache_):
+            logits, cache_ = llama.prefill_chunk(
+                params_, prompt_, cfg, cache_, 0, 0
+            )
+            cache_ = cache_.set_length(0, P)
+            last = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+
+            def step(carry, _):
+                tok, c = carry
+                lg, c = llama.decode_step(params_, tok[None], cfg, c)
+                return (jnp.argmax(lg[0]).astype(jnp.int32), c), tok
+
+            (_, _), toks = jax.lax.scan(step, (last, cache_), None, length=T)
+            return toks
+
+        return f(params, prompt, cache)
+
+    cont = gen(base_params, "none")  # float-model greedy continuation [T]
+
+    def nll(params, kv_mode):
+        cache = llama.make_cache(cfg, 1, P + T + 1, mode=kv_mode)
+
+        @jax.jit
+        def f(params_, prompt_, cont_, cache_):
+            logits, cache_ = llama.prefill_chunk(
+                params_, prompt_, cfg, cache_, 0, 0
+            )
+            cache_ = cache_.set_length(0, P)
+
+            def step(carry, t):
+                lg, c = carry
+                logp = jax.nn.log_softmax(lg.astype(jnp.float32))
+                lg2, c = llama.decode_step(params_, t[None], cfg, c)
+                return (lg2[0], c), -logp[t]
+
+            (_, _), nlls = jax.lax.scan(
+                step, (logits[0, -1], cache_), cont_
+            )
+            return jnp.mean(nlls)
+
+        return float(f(params, prompt, cont, cache))
+
+    out = {}
+    base = nll(base_params, "none")
+    out["ppl_nll_bf16_none"] = round(base, 5)
+    ladder = [("bf16", "int8"), ("bf16", "fp8")]
+    wq = {"bf16": base_params}
+    for wmode in ("int8", "int4"):
+        wq[wmode] = llama.quantize_weights(
+            base_params, mode=wmode, skip=("tok_emb",)
+        )
+        ladder.append((wmode, "none"))
+    ladder.append(("int8", "fp8"))
+    for wmode, kv in ladder:
+        v = nll(wq[wmode], kv)
+        out[f"ppl_nll_{wmode}_{kv}"] = round(v, 5)
+        out[f"ppl_delta_{wmode}_{kv}"] = round(v - base, 5)
+    return out
+
+
 def main():
     import os
     import subprocess
@@ -550,6 +645,10 @@ def _run_bench():
         details.update(bench_llama8b_decode(peaks))
     except Exception as e:  # pragma: no cover
         details["llama8b_error"] = repr(e)[:200]
+    try:
+        details.update(bench_ppl_delta(peaks))
+    except Exception as e:  # pragma: no cover
+        details["ppl_error"] = repr(e)[:200]
 
     # Headline = BASELINE config 1: Llama-8B-shaped decode with FP8 KV.
     frac = details.get("decode_fp8_roofline_frac", 0.0)

@@ -253,6 +253,24 @@ def flash_decode(
     Returns out [B, H, D] in q.dtype; with return_lse also lse [B, H] fp32
     (the merge residual for sharded/distributed decode, flash_attn.h:16).
     """
+    if jnp.float16 in (q.dtype, k.dtype):
+        # fp16 computes as bf16 (no f16 in Mosaic; see flash_fwd)
+        cast = lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float16 else x
+        res = flash_decode(
+            cast(q), cast(k), cast(v), kv_length=kv_length, scale=scale,
+            num_splits=num_splits, k_scale=k_scale, v_scale=v_scale,
+            interpret=interpret, use_kernel=use_kernel, block_k=block_k,
+            return_lse=return_lse, kv_layout=kv_layout,
+            softmax_mode=softmax_mode, window=window,
+            logit_softcap=logit_softcap, scale_layout=scale_layout,
+            scales_perm_chunk=scales_perm_chunk,
+        )
+        if q.dtype != jnp.float16:
+            return res
+        if return_lse:
+            return res[0].astype(jnp.float16), res[1]
+        return res.astype(jnp.float16)
+
     batch, num_heads, head_dim = q.shape
     if kv_layout == "bhsd":
         seqlen_k = k.shape[2]
@@ -348,6 +366,24 @@ def flash_decode_chunk(
 
     Returns out [B, T, H, D] (q.dtype); with return_lse also lse [B, T, H].
     """
+    if jnp.float16 in (q.dtype, k.dtype):
+        # fp16 computes as bf16 (no f16 in Mosaic; see flash_fwd)
+        cast = lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float16 else x
+        res = flash_decode_chunk(
+            cast(q), cast(k), cast(v), kv_length=kv_length, scale=scale,
+            num_splits=num_splits, k_scale=k_scale, v_scale=v_scale,
+            interpret=interpret, use_kernel=use_kernel, block_k=block_k,
+            return_lse=return_lse, kv_layout=kv_layout,
+            softmax_mode=softmax_mode, window=window,
+            logit_softcap=logit_softcap, scale_layout=scale_layout,
+            scales_perm_chunk=scales_perm_chunk,
+        )
+        if q.dtype != jnp.float16:
+            return res
+        if return_lse:
+            return res[0].astype(jnp.float16), res[1]
+        return res.astype(jnp.float16)
+
     batch, chunk, num_heads, head_dim = q.shape
     if kv_layout == "bhsd":
         num_heads_k = k.shape[1]
@@ -943,6 +979,30 @@ def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
                              scale_layout="kv", scales_perm_chunk=None):
     batch, num_heads, head_dim = q.shape
     _, num_heads_k, seqlen_k, _ = k.shape
+
+    if num_heads == num_heads_k and head_dim < 128 and chunk == 1:
+        # MHA (group=1) with head_dim < 128: Mosaic cannot lower the
+        # [Hk, 1, D] batched QK dot (probed: g=1 D=64 fails both as a
+        # reshape+dot and as 2-D dots with an empty non-contracting set,
+        # while g>=4 at D=64 and g=1 at D=128 lower fine).  Ride the GQA
+        # path with a replicated fake group of 8: q is KB-sized next to
+        # the KV stream and the MXU is idle in decode, so the 8x
+        # replication is noise; rows are identical and row 0 is returned.
+        rep = 8
+        res = _decode_kernel_call_bhsd(
+            jnp.repeat(q, rep, axis=1), k, v, kv_length, scale=scale,
+            k_scale=k_scale, v_scale=v_scale, block_k=block_k,
+            interpret=interpret, return_lse=return_lse,
+            num_splits=num_splits, chunk=chunk, softmax_mode=softmax_mode,
+            window=window, logit_softcap=logit_softcap,
+            scale_layout=scale_layout, scales_perm_chunk=scales_perm_chunk,
+        )
+        unrep = lambda x: x.reshape(
+            batch, num_heads, rep, *x.shape[2:]
+        )[:, :, 0]
+        if return_lse:
+            return unrep(res[0]), unrep(res[1])
+        return unrep(res)
 
     block_k = min(block_k, max(-(-seqlen_k // 128) * 128, 128))
     num_splits = max(1, min(num_splits, -(-seqlen_k // block_k)))

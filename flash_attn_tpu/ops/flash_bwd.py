@@ -296,6 +296,22 @@ def flash_bwd(
     the kernels rotate q blocks at load for the recompute, and the emitted
     dq is already pulled back to un-rotated q space (in-kernel inverse
     rotation at the dq finalize).  K must be pre-rotated by the caller."""
+    if q.dtype == jnp.float16:
+        # fp16 computes as bf16 (no f16 in Mosaic; see flash_fwd) and the
+        # grads cast back to the caller's fp16.
+        f16 = lambda x: x.astype(jnp.bfloat16)
+        res = flash_bwd(
+            f16(q), f16(k), f16(v), f16(out), lse, f16(dout), bias=bias,
+            q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+            q_positions=q_positions, kv_positions=kv_positions,
+            causal=causal, scale=scale, dropout_rate=dropout_rate,
+            dropout_seed=dropout_seed, window=window, rope_cos=rope_cos,
+            rope_sin=rope_sin, logit_softcap=logit_softcap,
+            alibi_slopes=alibi_slopes, want_dbias=want_dbias,
+            config=config, interpret=interpret,
+        )
+        return tuple(g.astype(jnp.float16) for g in res[:3]) + tuple(res[3:])
+
     if config is None:
         from flash_attn_tpu.utils.autotune import get_bwd_config
 

@@ -550,6 +550,26 @@ def flash_fwd(
     hook, flash_attn.h:15,30) — O(Sq*Sk) memory, testing/debug only.
     Returns (out, lse, probs).
     """
+    if q.dtype == jnp.float16:
+        # TPU has no IEEE-fp16 datapath (Mosaic rejects 'f16'; bf16 is the
+        # hardware half type).  fp16 — the reference's non-bf16 half,
+        # flash_attn.h:31 — computes as bf16 with the usual fp32
+        # accumulators; outputs cast back.  Input rounding fp16->bf16 is
+        # ~2^-8 relative, inside the half-precision test tolerance.
+        res = flash_fwd(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), bias=bias,
+            q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+            q_positions=q_positions, kv_positions=kv_positions,
+            causal=causal, scale=scale, dropout_rate=dropout_rate,
+            dropout_seed=dropout_seed, window=window, rope_cos=rope_cos,
+            rope_sin=rope_sin, logit_softcap=logit_softcap,
+            alibi_slopes=alibi_slopes, config=config, interpret=interpret,
+            causal_dma_skip=causal_dma_skip, return_softmax=return_softmax,
+        )
+        out16 = res[0].astype(jnp.float16)
+        return (out16, *res[1:])
+
     batch, seqlen_q, num_heads, head_dim = q.shape
     if config is None:
         from flash_attn_tpu.utils.autotune import get_config

@@ -406,3 +406,20 @@ def test_paged_decode_logit_softcap():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_decode_fp16():
+    """fp16 q/cache through the decode kernel (flash_attn.h:31 dtype pair)."""
+    q, k, v = setup(jax.random.PRNGKey(40), 2, 512, 4, 4, 64)
+    q16, k16, v16 = (x.astype(jnp.float16) for x in (q, k, v))
+    lens = jnp.asarray([300, 512], jnp.int32)
+    got = flash_decode(
+        q16, jnp.swapaxes(k16, 1, 2), jnp.swapaxes(v16, 1, 2),
+        kv_length=lens, kv_layout="bhsd", interpret=True,
+    )
+    want = oracle(q16.astype(jnp.float32), k16.astype(jnp.float32),
+                  v16.astype(jnp.float32), kv_length=lens)
+    assert got.dtype == jnp.float16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), atol=2e-3, rtol=2e-3
+    )

@@ -351,3 +351,12 @@ def test_bwd_inkernel_rope_matches_materialized():
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq2), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(dk2), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv2), atol=1e-4)
+
+
+def test_bwd_fp16():
+    """fp16 gradients vs the fp32-oracle vjp (the reference dtype pair is
+    exactly {fp16, bf16} via is_bf16, flash_attn.h:31)."""
+    q, k, v, dout = make_qkv(
+        jax.random.PRNGKey(30), 2, 128, 128, 2, 2, 64, dtype=jnp.float16
+    )
+    check_grads(q, k, v, dout, atol=2e-2, causal=True)

@@ -33,18 +33,23 @@ def check(q, k, v, *, lse_rtol=1e-5, **kw):
         np.asarray(out, np.float32), np.asarray(ref_out, np.float32),
         atol=tol * 10, rtol=tol * 10,
     )
-    # LSE in fp32: tight check (finite rows only; -inf rows must agree exactly)
+    # LSE in fp32: tight check (finite rows only; -inf rows must agree
+    # exactly).  fp16 computes as bf16 on TPU (no f16 in Mosaic) so its
+    # LSE carries half-precision input rounding, not fp32 tightness.
     ref_lse = np.asarray(ref_lse)
     got_lse = np.asarray(lse)
     finite = np.isfinite(ref_lse)
-    np.testing.assert_allclose(got_lse[finite], ref_lse[finite], rtol=1e-3, atol=1e-3)
+    ltol = max(1e-3, tol * 10)
+    np.testing.assert_allclose(got_lse[finite], ref_lse[finite], rtol=ltol, atol=ltol)
     assert np.all(got_lse[~finite] <= -1e29)
     return out, lse
 
 
-@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16, jnp.float16])
 @pytest.mark.parametrize("causal", [False, True])
 def test_dense_basic(dtype, causal):
+    # fp16 is in the set because the reference dtype pair is exactly
+    # {fp16, bf16} (is_bf16, flash_attn.h:31)
     q, k, v = make_qkv(jax.random.PRNGKey(0), 2, 256, 256, 4, 4, 64, dtype)
     check(q, k, v, causal=causal)
 
