@@ -55,7 +55,11 @@ class FlashConfig:
     vmem_limit_bytes: int | None = None
     # Base-2 softmax: fold log2(e) into the q pre-scale and use the VPU's
     # native 2^x for p/alpha (the FA2 trick); lse converts back at finalize.
-    exp2: bool = False
+    # Default ON: the r3 honest-estimator sweep measured 124.2 vs 111.3
+    # TF/s (0.630 vs 0.565 of peak) at the 8B prefill shape with identical
+    # oracle error (benchmarks/r3_fwd_softmax_sweep2.py; the round-2
+    # "neutral" reading came from the jitterier session).
+    exp2: bool = True
     # Causal-only: route fully-live (below-diagonal) blocks through a
     # maskless body via top-level pl.when, so the [bq, bk] compare+select
     # runs only on diagonal-straddling blocks.  (An *inner* lax.cond around

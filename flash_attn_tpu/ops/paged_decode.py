@@ -47,18 +47,13 @@ NEG_INF = -1e30
 def _paged_decode_kernel(
     tbl_ref,    # scalar prefetch [B, max_pages]
     len_ref,    # scalar prefetch [B]
+    clamp_ref,  # scalar prefetch [2, B] (last live page, first live page)
     q_ref,      # [1, H, D]
-    k_ref,      # [1, Hk, page, D]   (page selected by index map via table)
-    v_ref,
-    ks_ref,     # [1, Hk, 1, page] (or dummy)
-    vs_ref,
-    o_ref,      # [1, H, D]
-    lse_ref,    # [1, H, 1]
-    m_scratch,
-    l_scratch,
-    acc_scratch,
-    *,
+    *refs,      # G k blocks, G v blocks, G ks blocks, G vs blocks
+                # (each [1, Hk, page, D] / [1, Hk, 1, page], page selected
+                # by its index map via the table), then outputs + scratch
     page: int,
+    group_pages: int,
     num_page_steps: int,
     num_heads: int,
     num_heads_k: int,
@@ -72,8 +67,15 @@ def _paged_decode_kernel(
     window: int | None = None,
     softcap: float | None = None,
 ):
+    G = group_pages
+    k_refs = refs[:G]
+    v_refs = refs[G:2 * G]
+    ks_refs = refs[2 * G:3 * G]
+    vs_refs = refs[3 * G:4 * G]
+    o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = refs[4 * G:]
     b, pi = pl.program_id(0), pl.program_id(1)
     group = num_heads // num_heads_k
+    rows = page * G  # KV rows per grid step
 
     @pl.when(pi == 0)
     def _init():
@@ -100,32 +102,44 @@ def _paged_decode_kernel(
             compute_dtype,
         )
         qg = q.reshape(num_heads_k, group, q.shape[-1])
-        if packed_fp8:
-            # Packed-pair e4m3 decode (ops/decode._packed_e4m3_halves) + two
-            # half-GEMMs on the (evens, odds) planes — 2.3x the per-element
-            # bit-decode; scores land in packed (evens-then-odds) page-row
-            # order, which the pool's PRE-PERMUTED scale pages and the mask's
-            # column permute below both match.
-            k_ev, k_od = _packed_e4m3_halves(k_ref[0])  # [Hk, page/2, D] x2
-            s_ev = sdot(qg, k_ev, (((2,), (2,)), ((0,), (0,))))
-            s_od = sdot(qg, k_od, (((2,), (2,)), ((0,), (0,))))
-            s = jnp.concatenate([s_ev, s_od], axis=-1)  # [Hk, g, page]
-        else:
-            k = _fast_cast(k_ref[0], compute_dtype)  # [Hk, page, D]
-            s = sdot(qg, k, (((2,), (2,)), ((0,), (0,))))  # [Hk, g, page]
-        if has_k_scale:
-            s = s * ks_ref[0].astype(jnp.float32)  # [Hk, 1, page]
-        s = s.reshape(num_heads, page)
+        # one QK dot per sub-page, scores concatenated along the lane axis:
+        # the G-pages-per-step grid amortizes the per-step stat passes and
+        # scratch traffic over G*page rows (small pages previously paid the
+        # fixed per-step cost per page — the page=256 2x cliff), while the
+        # score concat is the CHEAP concat (16K elems vs the 512K-elem KV
+        # concat the packed-fp8 decode already avoids).
+        parts = []
+        for j in range(G):
+            if packed_fp8:
+                # Packed-pair e4m3 decode (ops/decode._packed_e4m3_halves) +
+                # two half-GEMMs on the (evens, odds) planes — 2.3x the
+                # per-element bit-decode; scores land in packed
+                # (evens-then-odds) page-row order, which the pool's
+                # PRE-PERMUTED scale pages and the mask's column permute
+                # below both match.
+                k_ev, k_od = _packed_e4m3_halves(k_refs[j][0])
+                s_ev = sdot(qg, k_ev, (((2,), (2,)), ((0,), (0,))))
+                s_od = sdot(qg, k_od, (((2,), (2,)), ((0,), (0,))))
+                sj = jnp.concatenate([s_ev, s_od], axis=-1)  # [Hk, g, page]
+            else:
+                kj = _fast_cast(k_refs[j][0], compute_dtype)  # [Hk, page, D]
+                sj = sdot(qg, kj, (((2,), (2,)), ((0,), (0,))))
+            if has_k_scale:
+                sj = sj * ks_refs[j][0].astype(jnp.float32)  # [Hk, 1, page]
+            parts.append(sj)
+        s = parts[0] if G == 1 else jnp.concatenate(parts, axis=-1)
+        s = s.reshape(num_heads, rows)
         if softcap is not None:
             # cap the TRUE scaled scores (post k_scale / fp8-rebias
             # cancellation); base-2 (clamped) mode pre-scales the cap
             s = softcap * jnp.tanh(s / softcap)
 
         if need_mask:
-            r = jax.lax.broadcasted_iota(jnp.int32, (num_heads, page), 1)
+            r = jax.lax.broadcasted_iota(jnp.int32, (num_heads, rows), 1)
             if packed_fp8:
-                r = _perm_cols(r, page)  # scores follow packed row order
-            col = pi * page + r
+                # scores follow packed row order WITHIN each page chunk
+                r = (r // page) * page + _perm_cols(r % page, page)
+            col = pi * rows + r
             if chunk > 1:
                 # Chunk mode (paged_flash_decode_chunk): rows are virtual
                 # heads in (hk, t, g) order; chunk token t attends to
@@ -174,34 +188,42 @@ def _paged_decode_kernel(
             m_scratch[:, :1] = m_new
         l_scratch[:, :1] = l_new
 
-        pg = p.reshape(num_heads_k, group, page)
-        if has_v_scale:
-            pg = pg * vs_ref[0].astype(jnp.float32)
-        if packed_fp8:
-            v_ev, v_od = _packed_e4m3_halves(v_ref[0])  # [Hk, page/2, D] x2
-            half = page // 2
-            pc = pg.astype(compute_dtype)
-            o = sdot(pc[:, :, :half], v_ev, (((2,), (1,)), ((0,), (0,))))
-            o = o + sdot(pc[:, :, half:], v_od, (((2,), (1,)), ((0,), (0,))))
-            d_out = v_ev.shape[-1]
-        else:
-            v = _fast_cast(v_ref[0], compute_dtype)  # [Hk, page, D]
-            o = sdot(pg.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))))
-            d_out = v.shape[-1]
+        pg = p.reshape(num_heads_k, group, rows)
+        o = None
+        for j in range(G):
+            pj = pg[:, :, j * page:(j + 1) * page]
+            if has_v_scale:
+                pj = pj * vs_refs[j][0].astype(jnp.float32)
+            if packed_fp8:
+                v_ev, v_od = _packed_e4m3_halves(v_refs[j][0])
+                half = page // 2
+                pc = pj.astype(compute_dtype)
+                oj = sdot(pc[:, :, :half], v_ev, (((2,), (1,)), ((0,), (0,))))
+                oj = oj + sdot(
+                    pc[:, :, half:], v_od, (((2,), (1,)), ((0,), (0,)))
+                )
+                d_out = v_ev.shape[-1]
+            else:
+                vj = _fast_cast(v_refs[j][0], compute_dtype)  # [Hk, page, D]
+                oj = sdot(
+                    pj.astype(compute_dtype), vj, (((2,), (1,)), ((0,), (0,)))
+                )
+                d_out = vj.shape[-1]
+            o = oj if o is None else o + oj
         o = o.reshape(num_heads, d_out)
         if clamped:
             acc_scratch[...] = acc_scratch[...] + o
         else:
             acc_scratch[...] = acc_scratch[...] * alpha + o
 
-    # mask generation only on the page straddling kv_len; fully-valid pages
-    # (the common case) take the maskless body.  In chunk mode a page is
+    # mask generation only on the step straddling kv_len; fully-valid steps
+    # (the common case) take the maskless body.  In chunk mode a step is
     # maskless only if valid for the strictest row (t=0).
-    live = pi * page < kv_len
-    full = (pi + 1) * page <= kv_len - (chunk - 1)
+    live = pi * rows < kv_len
+    full = (pi + 1) * rows <= kv_len - (chunk - 1)
     if window is not None:
-        live &= (pi + 1) * page > kv_len - (chunk - 1) - window
-        full &= pi * page >= kv_len - window
+        live &= (pi + 1) * rows > kv_len - (chunk - 1) - window
+        full &= pi * rows >= kv_len - window
     pl.when(live & full)(lambda: _body(False))
     pl.when(live & ~full)(lambda: _body(True))
 
@@ -306,26 +328,52 @@ def paged_flash_decode(
         k_scale = fix(k_scale) if has_ks else None
         v_scale = fix(v_scale) if has_vs else None
 
-    # Dead page steps (beyond a sequence's length, or below its sliding
-    # window) clamp to the nearest live page so Mosaic sees an unchanged
-    # block index and skips the DMA.
-    def page_map(b, pi, tbl_ref, len_ref):
-        last_live = jnp.maximum(
-            (len_ref[b] + page - 1) // page - 1, 0
+    # G pages per grid step: small pages previously paid the per-step fixed
+    # costs (stat passes, scratch traffic, DMA issue) once per page — the
+    # measured page=256 cliff (0.454 of roofline vs 0.95+ at 512).  Group
+    # enough pages per step to reach the contiguous kernel's block size;
+    # the pool rides in G times with per-sub-page index maps, so each step
+    # still DMAs exactly the (scattered) pages the sequence owns.
+    target_rows = 2048 if k_pages.dtype.itemsize == 1 else 512
+    group_pages = max(1, min(target_rows // page, max_pages))
+    mp = -(-max_pages // group_pages) * group_pages
+    if mp != max_pages:
+        block_table = jnp.pad(block_table, ((0, 0), (0, mp - max_pages)))
+    num_steps = mp // group_pages
+
+    # Host-precomputed page clamps: dead page steps (beyond a sequence's
+    # length, or below its sliding window) clamp to the nearest live page so
+    # Mosaic sees an unchanged block index and skips the DMA.  Precomputing
+    # [2, B] on the host removes the scalar divides the index maps used to
+    # run per grid step per operand (the contiguous kernel's kv_clamp
+    # finding).
+    last_live = jnp.maximum(
+        (kv_length.astype(jnp.int32) + page - 1) // page - 1, 0
+    )
+    if window is None:
+        first_live = jnp.zeros_like(last_live)
+    else:
+        first_live = (
+            jnp.maximum(kv_length.astype(jnp.int32) - (chunk - 1) - window, 0)
+            // page
         )
-        pc = pi
-        if window is not None:
-            first_live = jnp.maximum(
-                len_ref[b] - (chunk - 1) - window, 0
-            ) // page
-            pc = jnp.maximum(pc, first_live)
-        return (tbl_ref[b, jnp.minimum(pc, last_live)], 0, 0, 0)
+    page_clamp = jnp.stack([last_live, first_live])  # [2, B]
 
-    kv_spec = pl.BlockSpec((1, num_heads_k, page, head_dim), page_map)
+    def page_map(j):
+        def m(b, pi, tbl_ref, len_ref, clamp_ref):
+            pc = pi * group_pages + j
+            if window is not None:
+                pc = jnp.maximum(pc, clamp_ref[1, b])
+            return (tbl_ref[b, jnp.minimum(pc, clamp_ref[0, b])], 0, 0, 0)
 
-    def scale_spec(has):
+        return m
+
+    def kv_spec(j):
+        return pl.BlockSpec((1, num_heads_k, page, head_dim), page_map(j))
+
+    def scale_spec(has, j):
         if has:
-            return pl.BlockSpec((1, num_heads_k, 1, page), page_map)
+            return pl.BlockSpec((1, num_heads_k, 1, page), page_map(j))
         return pl.BlockSpec(
             (1, num_heads_k, 1, 1), lambda b, pi, *_: (0, 0, 0, 0)
         )
@@ -333,11 +381,13 @@ def paged_flash_decode(
     dummy = jnp.zeros((1, num_heads_k, 1, 1), jnp.float32)
     ks = k_scale if has_ks else dummy
     vs = v_scale if has_vs else dummy
+    G = group_pages
 
     kernel = functools.partial(
         _paged_decode_kernel,
         page=page,
-        num_page_steps=max_pages,
+        group_pages=G,
+        num_page_steps=num_steps,
         num_heads=num_heads,
         num_heads_k=num_heads_k,
         scale=float(scale),
@@ -358,16 +408,16 @@ def paged_flash_decode(
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(batch, max_pages),
+            num_scalar_prefetch=3,
+            grid=(batch, num_steps),
             in_specs=[
                 pl.BlockSpec(
                     (1, num_heads, head_dim), lambda b, pi, *_: (b, 0, 0)
                 ),
-                kv_spec,
-                kv_spec,
-                scale_spec(has_ks),
-                scale_spec(has_vs),
+                *[kv_spec(j) for j in range(G)],
+                *[kv_spec(j) for j in range(G)],
+                *[scale_spec(has_ks, j) for j in range(G)],
+                *[scale_spec(has_vs, j) for j in range(G)],
             ],
             out_specs=[
                 pl.BlockSpec(
@@ -399,11 +449,12 @@ def paged_flash_decode(
     )(
         block_table.astype(jnp.int32),
         kv_length.astype(jnp.int32),
+        page_clamp,
         q,
-        k_pages,
-        v_pages,
-        ks,
-        vs,
+        *([k_pages] * G),
+        *([v_pages] * G),
+        *([ks] * G),
+        *([vs] * G),
     )
     if return_lse:
         return out, lse[..., 0]

@@ -1,16 +1,18 @@
-"""Pipeline parallelism: GPipe-style microbatched stage execution (B8 PP).
+"""Pipeline parallelism: SPMD ring pipeline over a mesh axis (B8 PP).
 
-Stages are closures over their own (stage-sharded) params; the microbatch
-loop runs as a host-level Python loop over jitted stage steps with
-device_put transfers between stage meshes — the simple, correct form.  For
-single-mesh SPMD pipelines, `pipeline_spmd` runs the loop inside one jit with
-``ppermute`` rotation over a 'pp' axis (compile-friendly, used by the
-multichip dry-run tests).
+``pipeline_spmd`` is THE pipeline form here: every device holds one stage's
+params, the whole fill-drain schedule runs inside one jit, and activations
+rotate on the 'pp' axis with ``ppermute`` — so XLA overlaps each tick's
+stage compute with the ring transfer, and multi-host lowering is just a
+bigger mesh.  (A host-level per-stage loop with device_put between stage
+meshes — round 2's ``pipeline_apply`` — was not a pipeline at all: each
+stage blocked on the previous transfer with no microbatch overlap, so it
+was removed rather than dressed up.)
 """
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -21,32 +23,6 @@ def split_layers(params_blocks: Sequence, num_stages: int):
     n = len(params_blocks)
     per = -(-n // num_stages)
     return [params_blocks[i * per : (i + 1) * per] for i in range(num_stages)]
-
-
-def pipeline_apply(
-    stages: Sequence[Callable],
-    x: jax.Array,
-    *,
-    num_microbatches: int,
-):
-    """Run x [B, ...] through sequential stages with microbatching.
-
-    stages: list of fns h -> h (already closed over their params, jitted by
-    the caller).  Returns the final activations in original batch order.
-    1F schedule (inference/forward): microbatch i enters stage s as soon as
-    stage s-1 produced it — XLA's async dispatch gives the overlap.
-    """
-    batch = x.shape[0]
-    if batch % num_microbatches:
-        raise ValueError(f"batch {batch} not divisible by {num_microbatches} microbatches")
-    mbs = jnp.split(x, num_microbatches, axis=0)
-    outs = []
-    for mb in mbs:
-        h = mb
-        for stage in stages:
-            h = stage(h)
-        outs.append(h)
-    return jnp.concatenate(outs, axis=0)
 
 
 def pipeline_spmd(stage_fn, params_stacked, x, *, axis_name: str,

@@ -374,8 +374,10 @@ def test_inkernel_rope_matches_outside_rotation(dtype):
         atol=tol * 10, rtol=tol * 10,
     )
     fin = np.isfinite(np.asarray(lse_ref))
+    # kernel-vs-kernel on bf16 inputs: the exp2 LOG2E pre-fold shifts which
+    # way a handful of bf16 roundings land between the two rotation orders
     np.testing.assert_allclose(
-        np.asarray(lse_in)[fin], np.asarray(lse_ref)[fin], rtol=1e-3, atol=1e-3
+        np.asarray(lse_in)[fin], np.asarray(lse_ref)[fin], rtol=3e-3, atol=3e-3
     )
 
 

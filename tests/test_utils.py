@@ -52,16 +52,9 @@ def test_checkpoint_roundtrip(tmp_path):
     assert restored["nested"]["b"].dtype == jnp.bfloat16
 
 
-def test_pipeline_apply_matches_sequential():
-    from flash_attn_tpu.parallel.pp import pipeline_apply, split_layers
+def test_split_layers():
+    from flash_attn_tpu.parallel.pp import split_layers
 
-    layers = [lambda h, i=i: h * 2.0 + i for i in range(4)]
-    x = jnp.arange(8.0).reshape(8, 1)
-    want = x
-    for l in layers:
-        want = l(want)
-    got = pipeline_apply(layers, x, num_microbatches=4)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
     stages = split_layers(list(range(7)), 3)
     assert [len(s) for s in stages] == [3, 3, 1]
 
