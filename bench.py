@@ -348,7 +348,10 @@ def bench_paged_decode(chip_peaks, contiguous_us=None, mode="int8"):
     return out
 
 
-def bench_llama8b_decode(chip_peaks, kv_modes=("int8", "fp8")):
+def bench_llama8b_decode(
+    chip_peaks,
+    modes=(("int8", "int8"), ("int8", "fp8"), ("int4", "fp8")),
+):
     """Measured (not extrapolated) Llama-8B decode tokens/s/chip.
 
     Builds 1- and 2-layer slices with true 8B layer dims (int8 weights
@@ -371,7 +374,8 @@ def bench_llama8b_decode(chip_peaks, kv_modes=("int8", "fp8")):
 
     B, S = 8, 8192
 
-    def build(kv_mode, num_layers):
+    def build(wkv, num_layers):
+        w_mode, kv_mode = wkv
         cfg = llama.LlamaConfig(
             vocab_size=32768, hidden=4096, intermediate=14336,
             num_layers=num_layers, num_heads=32, num_kv_heads=8,
@@ -379,10 +383,10 @@ def bench_llama8b_decode(chip_peaks, kv_modes=("int8", "fp8")):
             dtype="bfloat16",
         )
         params = llama.init_params(cfg, jax.random.PRNGKey(0))
-        # int8 head too: the bf16 head streams 268 MB/step (the single
-        # biggest non-layer op in the r3 device trace, fusion.97)
+        # quantized head too: the bf16 head streams 268 MB/step (the
+        # single biggest non-layer op in the r3 device trace, fusion.97)
         params = llama.quantize_weights(
-            params, mode="int8", skip=("tok_emb",)
+            params, mode=w_mode, skip=("tok_emb",)
         )
         cache = llama.make_cache(cfg, B, S, mode=kv_mode)
         cache = cache.advance(S - 512)  # decode near full context
@@ -412,7 +416,7 @@ def bench_llama8b_decode(chip_peaks, kv_modes=("int8", "fp8")):
         return chained(16), chained(32)
 
     chains = {
-        (mode, L): build(mode, L) for mode in kv_modes for L in (1, 2)
+        (wkv, L): build(wkv, L) for wkv in modes for L in (1, 2)
     }
     samples = {k: ([], []) for k in chains}
     for _ in range(7):
@@ -425,9 +429,11 @@ def bench_llama8b_decode(chip_peaks, kv_modes=("int8", "fp8")):
             samples[k][1].append(time.perf_counter() - t0)
 
     out = {}
-    for mode in kv_modes:
+    for wkv in modes:
+        w_mode, kv_mode = wkv
+
         def step_time(L):
-            a, b = samples[(mode, L)]
+            a, b = samples[(wkv, L)]
             return max((float(np.median(b)) - float(np.median(a))) / 16, 1e-9)
 
         t1 = step_time(1)
@@ -435,7 +441,12 @@ def bench_llama8b_decode(chip_peaks, kv_modes=("int8", "fp8")):
         t_layer = max(t2 - t1, 1e-9)
         t_nonlayer = max(t1 - t_layer, 0.0)
         t32 = 32 * t_layer + t_nonlayer
-        tag = "llama8b" if mode == "int8" else f"llama8b_{mode}kv"
+        if wkv == ("int8", "int8"):
+            tag = "llama8b"
+        elif wkv == ("int8", "fp8"):
+            tag = "llama8b_fp8kv"
+        else:
+            tag = f"llama8b_{w_mode}w_{kv_mode}kv"
         out.update({
             f"{tag}_step_ms_2layer": round(t2 * 1e3, 3),
             f"{tag}_layer_us": round(t_layer * 1e6, 1),
@@ -445,7 +456,67 @@ def bench_llama8b_decode(chip_peaks, kv_modes=("int8", "fp8")):
     return out
 
 
-def bench_ppl_delta(chip_peaks):
+def bench_engine(chip_peaks, raw_tokens_per_s=None):
+    """Served (engine-level) throughput on chip — VERDICT r2 item 3: the
+    continuous-batching engine driven end-to-end (prefill + decode +
+    scheduler + sampler), not just the raw decode_step.
+
+    Llama 8B-dims 2-layer slice, 8 slots, one shared prompt bucket (one
+    prefill compile), decode_burst=64 so the ~33 ms relay round-trip
+    amortizes over 64 decode steps per dispatch (multi-step scheduling —
+    the same knob a production host uses against dispatch latency).
+    Reports engine_tokens_per_s and the overhead ratio vs the raw
+    decode-step number measured by bench_llama8b_decode on the SAME
+    2-layer config.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from flash_attn_tpu.engine.engine import InferenceEngine
+    from flash_attn_tpu.models import llama
+
+    B, S = 8, 8192
+    cfg = llama.LlamaConfig(
+        vocab_size=32768, hidden=4096, intermediate=14336,
+        num_layers=2, num_heads=32, num_kv_heads=8,
+        head_dim=128, max_position=S, rope_theta=500000.0,
+        dtype="bfloat16",
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    params = llama.quantize_weights(params, mode="int8", skip=("tok_emb",))
+    eng = InferenceEngine(
+        params, llama.make_adapter(cfg, interpret=False),
+        max_batch=B, capacity=S, kv_mode="int8",
+        cache_dtype=jnp.bfloat16, decode_burst=64,
+    )
+    prompt = list(range(1, 65))  # one 64-token bucket for all slots
+    gen_tokens = 512
+
+    # warm: compile prefill + burst graphs on a short run
+    for _ in range(B):
+        eng.submit(prompt, max_tokens=65)
+    eng.run()
+
+    reqs = [eng.submit(prompt, max_tokens=gen_tokens) for _ in range(B)]
+    t0 = time.perf_counter()
+    eng.run()
+    wall = time.perf_counter() - t0
+    toks = sum(len(r.generated) for r in reqs)
+    eng_tps = toks / wall
+    out = {
+        "engine_tokens_per_s_2layer": round(eng_tps, 1),
+        "engine_wall_s": round(wall, 3),
+        "engine_decode_burst": 64,
+    }
+    if raw_tokens_per_s:
+        out["engine_vs_raw_ratio"] = round(raw_tokens_per_s / eng_tps, 3)
+    m = eng.metrics.snapshot() if hasattr(eng.metrics, "snapshot") else {}
+    if isinstance(m, dict) and "decode_tokens_per_s" in m:
+        out["engine_metric_decode_tps"] = round(m["decode_tokens_per_s"], 1)
+    return out
+
+
+def bench_ppl_delta(chip_peaks, dims=None):
     """Quality-contract numbers at true 8B layer dims (BASELINE.md row 3:
     "perplexity delta bounded at same KV bit-width"; SURVEY.md §4.2).
 
@@ -464,12 +535,15 @@ def bench_ppl_delta(chip_peaks):
     from flash_attn_tpu.models import llama
 
     P, T = 128, 32
+    CAP = 256  # decode-append capacity (multiple of the append block, 32)
     cfg = llama.LlamaConfig(
         vocab_size=32768, hidden=4096, intermediate=14336,
         num_layers=2, num_heads=32, num_kv_heads=8,
-        head_dim=128, max_position=P + T + 64, rope_theta=500000.0,
+        head_dim=128, max_position=CAP, rope_theta=500000.0,
         dtype="bfloat16",
     )
+    if dims:
+        cfg = llama.LlamaConfig(**{**cfg.__dict__, **dims})
     base_params = llama.init_params(cfg, jax.random.PRNGKey(7))
     prompt = jnp.asarray(
         np.random.default_rng(0).integers(0, cfg.vocab_size, (1, P)),
@@ -477,7 +551,7 @@ def bench_ppl_delta(chip_peaks):
     )
 
     def gen(params, kv_mode):
-        cache = llama.make_cache(cfg, 1, P + T + 1, mode=kv_mode)
+        cache = llama.make_cache(cfg, 1, CAP, mode=kv_mode)
 
         @jax.jit
         def f(params_, prompt_, cache_):
@@ -500,7 +574,7 @@ def bench_ppl_delta(chip_peaks):
     cont = gen(base_params, "none")  # float-model greedy continuation [T]
 
     def nll(params, kv_mode):
-        cache = llama.make_cache(cfg, 1, P + T + 1, mode=kv_mode)
+        cache = llama.make_cache(cfg, 1, CAP, mode=kv_mode)
 
         @jax.jit
         def f(params_, prompt_, cont_, cache_):
@@ -653,6 +727,15 @@ def _run_bench():
         details.update(bench_ppl_delta(peaks))
     except Exception as e:  # pragma: no cover
         details["ppl_error"] = repr(e)[:200]
+    try:
+        # raw 2-layer decode-step throughput for the overhead ratio:
+        # tokens/s at the 2-layer step time measured above
+        raw2 = None
+        if "llama8b_step_ms_2layer" in details:
+            raw2 = 8 / (details["llama8b_step_ms_2layer"] / 1e3)
+        details.update(bench_engine(peaks, raw_tokens_per_s=raw2))
+    except Exception as e:  # pragma: no cover
+        details["engine_error"] = repr(e)[:200]
 
     # Headline = BASELINE config 1: Llama-8B-shaped decode with FP8 KV.
     frac = details.get("decode_fp8_roofline_frac", 0.0)
