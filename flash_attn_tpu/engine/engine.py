@@ -698,6 +698,7 @@ class PagedInferenceEngine:
         sampling: SamplingParams | None = None,
         rng_seed: int = 0,
         prefix_cache: bool = False,
+        decode_burst: int = 1,
     ):
         from flash_attn_tpu.engine.paged import PagedKVPool
         from flash_attn_tpu.runtime.abi import PagePool
@@ -726,8 +727,17 @@ class PagedInferenceEngine:
 
         self.metrics = EngineMetrics(kv_capacity=(num_pages - 1) * page_size)
         self._pending_pages: dict[int, list[int]] = {}
-        self._decode_jit = jax.jit(self._decode_batch)
-        self._prefill_jit = jax.jit(self._prefill_one)
+        self._decode_jit = jax.jit(self._decode_batch, donate_argnums=(2,))
+        self._prefill_jit = jax.jit(self._prefill_one, donate_argnums=(2,))
+        # multi-step scheduling, same contract as InferenceEngine's
+        # decode_burst: pages for prompt+max_tokens are acquired at
+        # admission, so a burst bounded by each slot's remaining budget can
+        # never overrun its pages.
+        self.decode_burst = max(1, int(decode_burst))
+        if self.decode_burst > 1:
+            self._burst_jit = jax.jit(
+                self._decode_burst_body, donate_argnums=(2,)
+            )
         # prefix caching (engine/prefix_cache.py): shared prompt prefixes
         # reuse resident pages; cache-owned pages live under the pseudo-slot
         # ``max_batch`` so request releases never free them.
@@ -741,7 +751,9 @@ class PagedInferenceEngine:
             self._slot_prefix: dict[int, tuple] = {}
             self._slot_pages: dict[int, list[int]] = {}
             self._slot_refs: dict[int, tuple] = {}
-            self._prefill_suffix_jit = jax.jit(self._prefill_suffix)
+            self._prefill_suffix_jit = jax.jit(
+                self._prefill_suffix, donate_argnums=(2,)
+            )
 
     def _pages_needed(self, req: Request) -> int:
         total = len(req.prompt) + req.max_tokens
@@ -769,6 +781,18 @@ class PagedInferenceEngine:
     def _decode_batch(self, params, tokens, pool, key):
         logits, pool = self.adapter.decode_step_paged(params, tokens, pool)
         toks = sample(logits, key, self.sampling)
+        return toks, pool
+
+    def _decode_burst_body(self, params, tokens, pool, key):
+        keys = jax.random.split(key, self.decode_burst)
+
+        def step(carry, k):
+            tok, pl_ = carry
+            logits, pl_ = self.adapter.decode_step_paged(params, tok, pl_)
+            tok = sample(logits, k, self.sampling)
+            return (tok, pl_), tok
+
+        (_, pool), toks = jax.lax.scan(step, (tokens, pool), keys)
         return toks, pool
 
     # --- host loop ---
@@ -906,6 +930,27 @@ class PagedInferenceEngine:
 
         t0 = _time.perf_counter()
         slots = self.sched.active_slots()
+        if self.decode_burst > 1 and self._burst_ok(slots):
+            toks, self.pool = self._burst_jit(
+                self.params, jnp.asarray(self.next_token), self.pool,
+                self._next_key(),
+            )
+            toks = np.asarray(toks)  # [burst, B]
+            self.metrics.record_decode(
+                len(slots) * self.decode_burst, _time.perf_counter() - t0
+            )
+            self.metrics.kv_tokens_in_use = int(
+                np.asarray(self.pool.length).sum()
+            )
+            for slot in slots:
+                for i in range(self.decode_burst):
+                    tok = int(toks[i, slot])
+                    if self.sched.step_done(slot, tok):
+                        self._release(slot)
+                        self.metrics.completed_requests += 1
+                        break
+                    self.next_token[slot] = tok
+            return
         toks, self.pool = self._decode_jit(
             self.params, jnp.asarray(self.next_token), self.pool,
             self._next_key(),
@@ -920,6 +965,15 @@ class PagedInferenceEngine:
             else:
                 self._release(slot)
                 self.metrics.completed_requests += 1
+
+    def _burst_ok(self, slots) -> bool:
+        if self.sched.waiting:
+            return False
+        for s in slots:
+            req = self.sched.active[s]
+            if len(req.generated) + self.decode_burst > req.max_tokens:
+                return False
+        return True
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)

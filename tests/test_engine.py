@@ -684,3 +684,28 @@ def test_engine_decode_burst_matches_greedy(tiny):
         assert all(r.done for r in reqs)
         outs.append([list(r.generated) for r in reqs])
     assert outs[0] == outs[1]
+
+
+def test_paged_engine_decode_burst_matches(tiny):
+    """PagedInferenceEngine with decode_burst emits the same greedy tokens
+    as burst=1 (pages for prompt+max_tokens are admission-reserved, so a
+    budget-bounded burst can't overrun them)."""
+    from flash_attn_tpu.engine.engine import PagedInferenceEngine
+
+    cfg, params = tiny
+    prompts = [[1, 2, 3, 4, 5], [7, 8, 9]]
+    outs = []
+    for burst in (1, 3):
+        eng = PagedInferenceEngine(
+            params, gpt2.make_adapter(cfg, interpret=True),
+            max_batch=2, capacity=64, page_size=16,
+            cache_dtype=jnp.dtype(cfg.dtype), decode_burst=burst,
+        )
+        reqs = [
+            eng.submit(prompts[0], max_tokens=8),
+            eng.submit(prompts[1], max_tokens=5),
+        ]
+        eng.run()
+        assert all(r.done for r in reqs)
+        outs.append([list(r.generated) for r in reqs])
+    assert outs[0] == outs[1]
