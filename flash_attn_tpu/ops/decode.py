@@ -169,7 +169,14 @@ def _default_block_k(kv_dtype) -> int:
     1-byte KV wants wide 2048 blocks — fewer grid steps amortize per-block
     work (fp8 0.88 vs 0.83 roofline at 1024; int8 0.95 vs 0.84 at 512) —
     while 2-byte KV peaks at 512 (0.95; a 2048 bf16 block pair blows the
-    16 MB VMEM scoped limit and 1024 measures 0.86)."""
+    16 MB VMEM scoped limit and 1024 measures 0.86).  A shipped autotune
+    entry for the current chip (utils/autotune_table.json, key
+    ``dec:<dtype>``) overrides the static value."""
+    from flash_attn_tpu.utils.autotune import get_decode_block_k
+
+    tuned = get_decode_block_k(kv_dtype)
+    if tuned is not None:
+        return tuned
     return 2048 if kv_dtype.itemsize == 1 else 512
 
 

@@ -267,6 +267,7 @@ def paged_flash_decode(
     window: int | None = None,
     scales_permuted: bool = False,
     logit_softcap: float | None = None,
+    target_rows: int | None = None,
 ):
     """Single-token decode attention over a paged KV pool.
 
@@ -281,6 +282,9 @@ def paged_flash_decode(
     ``scales_permuted`` declares the caller's scale layout: PagedKVPool
     stores fp8 scales pre-permuted (True); natural-order scales are
     permuted/unpermuted here at call time to match the selected kernel.
+    ``target_rows`` overrides the KV rows grouped per grid step (tuning
+    knob; default = shipped autotune entry for (page, dtype), else the
+    static per-dtype value).
     """
     if softmax_mode is None:
         from flash_attn_tpu.ops.decode import _default_softmax_mode
@@ -334,7 +338,12 @@ def paged_flash_decode(
     # enough pages per step to reach the contiguous kernel's block size;
     # the pool rides in G times with per-sub-page index maps, so each step
     # still DMAs exactly the (scattered) pages the sequence owns.
-    target_rows = 2048 if k_pages.dtype.itemsize == 1 else 512
+    if target_rows is None:
+        from flash_attn_tpu.utils.autotune import get_paged_rows
+
+        target_rows = get_paged_rows(page, k_pages.dtype)
+    if target_rows is None:
+        target_rows = 2048 if k_pages.dtype.itemsize == 1 else 512
     group_pages = max(1, min(target_rows // page, max_pages))
     mp = -(-max_pages // group_pages) * group_pages
     if mp != max_pages:

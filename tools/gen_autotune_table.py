@@ -141,6 +141,142 @@ def main():
             entry[kkey] = asdict(best)
             print(f"bwd winner {kkey}: {entry[kkey]}", flush=True)
 
+    # --- contiguous decode sweep (block_k per KV dtype) ---
+    from flash_attn_tpu.ops.decode import flash_decode
+    from flash_attn_tpu.ops.quant import quantize_kv
+
+    B, S, Hk, Hq, D = 8, 8192, 8, 32, 128
+    key = jax.random.PRNGKey(2)
+    kf = jax.random.normal(key, (B, S, Hk, D), jnp.bfloat16)
+    vf = jax.random.normal(key, (B, S, Hk, D), jnp.bfloat16)
+    qd = jax.random.normal(key, (B, Hq, D), jnp.bfloat16)
+    for mode in ("none", "int8", "fp8"):
+        if mode == "none":
+            kq, ks, vq, vs = kf, None, vf, None
+        else:
+            kq, ks, vq, vs = quantize_kv(kf, vf, mode)
+        # production layout: heads-major cache + lane-dense scales
+        kq = jnp.swapaxes(kq, 1, 2)
+        vq = jnp.swapaxes(vq, 1, 2)
+        ks = None if ks is None else jnp.swapaxes(ks, 1, 2)
+        vs = None if vs is None else jnp.swapaxes(vs, 1, 2)
+        best, best_t = None, float("inf")
+        for bk in (512, 1024, 2048, 4096):
+            try:
+                @jax.jit
+                def f(q_, m=8, bk=bk):
+                    def body(i, c):
+                        return flash_decode(
+                            c, kq, vq, k_scale=ks, v_scale=vs,
+                            kv_layout="bhsd", block_k=bk,
+                        ).astype(jnp.bfloat16)
+
+                    return jnp.sum(
+                        jax.lax.fori_loop(0, m, body, q_).astype(jnp.float32)
+                    )
+
+                @jax.jit
+                def f2(q_):
+                    return f(q_, 16)
+
+                float(f(qd)); float(f2(qd))
+                t = paired(lambda: float(f(qd)), lambda: float(f2(qd)), 8)
+            except Exception as e:
+                print(f"dec {mode} bk={bk}: FAIL {repr(e)[:80]}", flush=True)
+                continue
+            print(f"dec {mode} bk={bk}: {t*1e6:.1f} us", flush=True)
+            if t < best_t:
+                best, best_t = bk, t
+        if best is not None:
+            dt = str(kq.dtype)
+            entry[f"dec:{dt}"] = {"block_k": best}
+            print(f"dec winner {dt}: bk={best}", flush=True)
+
+    # --- paged decode sweep (rows-per-grid-step per page size + dtype) ---
+    from flash_attn_tpu.engine.paged import PagedKVPool
+    from flash_attn_tpu.ops.decode import _permute_scale_lanes
+    from flash_attn_tpu.ops.paged_decode import paged_flash_decode
+
+    for page in (256, 512):
+        per_seq = S // page
+        num_pages = B * per_seq + 1
+        for mode in ("none", "int8", "fp8"):
+            pool = PagedKVPool.create(
+                1, num_pages, page, B, per_seq, Hk, D,
+                dtype=jnp.bfloat16, mode=mode,
+            )
+            for b in range(B):
+                pool = pool.assign_pages(
+                    b, list(range(1 + b * per_seq, 1 + (b + 1) * per_seq))
+                )
+            if mode == "none":
+                kq, ks, vq, vs = kf, None, vf, None
+            else:
+                kq, ks, vq, vs = quantize_kv(kf, vf, mode)
+            kp = jnp.swapaxes(kq, 1, 2).reshape(B, Hk, per_seq, page, D)
+            vp = jnp.swapaxes(vq, 1, 2).reshape(B, Hk, per_seq, page, D)
+            kp = jnp.moveaxis(kp, 2, 1).reshape(B * per_seq, Hk, page, D)
+            vp = jnp.moveaxis(vp, 2, 1).reshape(B * per_seq, Hk, page, D)
+            repl = {"length": jnp.full((B,), S, jnp.int32)}
+            repl["k_pages"] = (pool.k_pages[0].at[1:].set(kp),)
+            repl["v_pages"] = (pool.v_pages[0].at[1:].set(vp),)
+            if ks is not None:
+                ksl = jnp.swapaxes(ks[..., 0], 1, 2).reshape(
+                    B, Hk, per_seq, 1, page)
+                vsl = jnp.swapaxes(vs[..., 0], 1, 2).reshape(
+                    B, Hk, per_seq, 1, page)
+                ksl = jnp.moveaxis(ksl, 2, 1).reshape(B * per_seq, Hk, 1, page)
+                vsl = jnp.moveaxis(vsl, 2, 1).reshape(B * per_seq, Hk, 1, page)
+                if pool.scales_permuted:
+                    ksl = _permute_scale_lanes(ksl, page)
+                    vsl = _permute_scale_lanes(vsl, page)
+                repl["k_scale"] = (pool.k_scale[0].at[1:].set(ksl),)
+                repl["v_scale"] = (pool.v_scale[0].at[1:].set(vsl),)
+            pool = pool._replace(**repl)
+            permuted = pool.scales_permuted
+            ksc = pool.k_scale[0] if ks is not None else None
+            vsc = pool.v_scale[0] if vs is not None else None
+            best, best_t = None, float("inf")
+            for rows in (512, 1024, 2048, 4096):
+                if rows < page:
+                    continue
+                try:
+                    @jax.jit
+                    def f(q_, m=8, rows=rows):
+                        def body(i, c):
+                            return paged_flash_decode(
+                                c, pool.k_pages[0], pool.v_pages[0],
+                                pool.block_table, pool.length,
+                                k_scale=ksc, v_scale=vsc,
+                                scales_permuted=permuted,
+                                target_rows=rows,
+                            ).astype(jnp.bfloat16)
+
+                        return jnp.sum(
+                            jax.lax.fori_loop(0, m, body, q_).astype(
+                                jnp.float32)
+                        )
+
+                    @jax.jit
+                    def f2(q_):
+                        return f(q_, 16)
+
+                    float(f(qd)); float(f2(qd))
+                    t = paired(lambda: float(f(qd)), lambda: float(f2(qd)), 8)
+                except Exception as e:
+                    print(f"paged {mode} page={page} rows={rows}: FAIL "
+                          f"{repr(e)[:80]}", flush=True)
+                    continue
+                print(f"paged {mode} page={page} rows={rows}: {t*1e6:.1f} us",
+                      flush=True)
+                if t < best_t:
+                    best, best_t = rows, t
+            if best is not None:
+                dt = str(pool.k_pages[0].dtype)
+                entry[f"paged:{page}x{dt}"] = {"target_rows": best}
+                print(f"paged winner page={page} {dt}: rows={best}",
+                      flush=True)
+
     with open(out_path, "w") as f:
         json.dump(table, f, indent=1, sort_keys=True)
     print(f"wrote {out_path}", flush=True)
