@@ -40,7 +40,7 @@ def _fwd_config(config, softmax_mode, q, k):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15)
+    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15)
 )
 def _flash_attention_core(
     q,
@@ -50,10 +50,12 @@ def _flash_attention_core(
     segs,  # (q_segment_ids, kv_segment_ids, q_positions, kv_positions) or None
     rope,  # (rope_cos, rope_sin) or None — in-kernel q-side rotation
     alibi,  # [H] slopes or None — in-kernel ALiBi bias
+    dropout_seed,  # int32 scalar array — an OPERAND so distributed wrappers
+    # (ring/ulysses) can pass traced per-step/per-shard seeds and still get
+    # the exact bwd replay (flash_attn.h:33-34 seed/offset, traced form)
     causal: bool,
     scale: Optional[float],
     dropout_rate: float,
-    dropout_seed: int,
     window,
     logit_softcap,
     config,
@@ -85,8 +87,8 @@ def _flash_attention_core(
     return out
 
 
-def _core_fwd(q, k, v, bias, segs, rope, alibi, causal, scale, dropout_rate,
-              dropout_seed, window, logit_softcap, config, softmax_mode,
+def _core_fwd(q, k, v, bias, segs, rope, alibi, dropout_seed, causal, scale,
+              dropout_rate, window, logit_softcap, config, softmax_mode,
               interpret):
     out, lse = flash_fwd(
         q, k, v,
@@ -107,17 +109,18 @@ def _core_fwd(q, k, v, bias, segs, rope, alibi, causal, scale, dropout_rate,
     )
     # Residuals ≙ what the reference saves for flash_attn_bwd: q,k,v,out,lse
     # (flash_attn.h:68-74); the LSE replaces the caller-allocated
-    # softmax_lse workspace.
-    return out, (q, k, v, bias, segs, rope, alibi, out, lse)
+    # softmax_lse workspace.  The seed rides the residuals so the backward
+    # replays the identical dropout mask (flash_attn.h:96-97).
+    return out, (q, k, v, bias, segs, rope, alibi, dropout_seed, out, lse)
 
 
-def _core_bwd(causal, scale, dropout_rate, dropout_seed, window,
+def _core_bwd(causal, scale, dropout_rate, window,
               logit_softcap, config, softmax_mode, interpret, res, dout):
     # softmax_mode shaped only the forward (see _fwd_config); the backward
     # keeps ``config`` as the caller passed it (usually None) so flash_bwd
     # resolves its own get_bwd_config block shapes.
     del softmax_mode
-    q, k, v, bias, segs, rope, alibi, out, lse = res
+    q, k, v, bias, segs, rope, alibi, dropout_seed, out, lse = res
     if _use_jnp_bwd() and dropout_rate == 0.0:
         # Debug-only O(S^2) reference backward (FATPU_JNP_BWD=1).  out was
         # produced from R(q), so rotate q here and pull dq back after.
@@ -167,7 +170,10 @@ def _core_bwd(causal, scale, dropout_rate, dropout_seed, window,
     if rope is not None:
         drope = (jnp.zeros_like(rope[0]), jnp.zeros_like(rope[1]))
     dalibi = None if alibi is None else jnp.zeros_like(alibi)
-    return dq, dk, dv, dbias, _int_cotangent(segs), drope, dalibi
+    import numpy as np
+
+    dseed = np.zeros(jnp.shape(dropout_seed), dtype=jax.dtypes.float0)
+    return dq, dk, dv, dbias, _int_cotangent(segs), drope, dalibi, dseed
 
 
 def _use_jnp_bwd() -> bool:
@@ -361,8 +367,9 @@ def flash_attention(
         )
         return out, lse
     return _flash_attention_core(
-        q, k, v, mask, segs, rope, alibi, causal, scale, float(dropout_rate),
-        dropout_seed if isinstance(dropout_seed, int) else int(dropout_seed),
+        q, k, v, mask, segs, rope, alibi,
+        jnp.asarray(dropout_seed, jnp.int32),
+        causal, scale, float(dropout_rate),
         window,
         None if logit_softcap is None else float(logit_softcap),
         config, softmax_mode, interpret,
@@ -408,27 +415,9 @@ def flash_attention_varlen(
     """
     if q.ndim != 3:
         raise ValueError(f"varlen q must be [total_q, H, D], got {q.shape}")
-    total_q = q.shape[0]
-    total_k = k.shape[0]
-    qseg = cu_seqlens_to_segment_ids(cu_seqlens_q, total_q)[None]
-    kseg = cu_seqlens_to_segment_ids(cu_seqlens_k, total_k)[None]
-
-    # Per-sequence causal on a packed batch: global bottom-right alignment is
-    # wrong; encode the per-sequence alignment into position arrays compared
-    # inside the kernel (kv_pos <= q_pos) — no O(S^2) bias tensor.
-    qpos_arg = kpos_arg = None
-    if causal:
-        from flash_attn_tpu.ops.varlen import segment_ids_to_positions
-
-        qpos = segment_ids_to_positions(qseg[0])
-        kpos = segment_ids_to_positions(kseg[0])
-        # per-Q-token lengths of its own q- and k-sequences, for the
-        # bottom-right alignment shift within each sequence pair
-        qlen = _segment_lengths(cu_seqlens_q, qseg[0])
-        klen_for_q = _segment_lengths(cu_seqlens_k, qseg[0])
-        qpos_arg = (qpos + (klen_for_q - qlen))[None]
-        kpos_arg = kpos[None]
-        causal = False
+    qseg, kseg, qpos_arg, kpos_arg, causal = varlen_segments(
+        cu_seqlens_q, cu_seqlens_k, q.shape[0], k.shape[0], causal
+    )
 
     mask_arg = None
     if mask is not None:
@@ -457,6 +446,36 @@ def flash_attention_varlen(
     if return_lse:
         return out[0][0], out[1][0]
     return out[0]
+
+
+def varlen_segments(cu_seqlens_q, cu_seqlens_k, total_q: int, total_k: int,
+                    causal: bool):
+    """cu_seqlens (flash_attn.h:41-42 format) -> kernel-side segment arrays:
+    ``(q_segment_ids, kv_segment_ids, q_positions, kv_positions, causal)``,
+    each [1, total] (singleton batch) or None.
+
+    Per-sequence causal on a packed batch: global bottom-right alignment is
+    wrong; encode the per-sequence alignment into position arrays compared
+    inside the kernel (kv_pos <= q_pos) — no O(S^2) bias tensor.  When that
+    happens the returned ``causal`` is False (positions carry the mask).
+    Shared by flash_attention_varlen and the C-shim varlen executors
+    (runtime/abi.py) so both paths mask identically."""
+    qseg = cu_seqlens_to_segment_ids(cu_seqlens_q, total_q)[None]
+    kseg = cu_seqlens_to_segment_ids(cu_seqlens_k, total_k)[None]
+    qpos_arg = kpos_arg = None
+    if causal:
+        from flash_attn_tpu.ops.varlen import segment_ids_to_positions
+
+        qpos = segment_ids_to_positions(qseg[0])
+        kpos = segment_ids_to_positions(kseg[0])
+        # per-Q-token lengths of its own q- and k-sequences, for the
+        # bottom-right alignment shift within each sequence pair
+        qlen = _segment_lengths(cu_seqlens_q, qseg[0])
+        klen_for_q = _segment_lengths(cu_seqlens_k, qseg[0])
+        qpos_arg = (qpos + (klen_for_q - qlen))[None]
+        kpos_arg = kpos[None]
+        causal = False
+    return qseg, kseg, qpos_arg, kpos_arg, causal
 
 
 def _segment_lengths(cu_seqlens, segment_ids):

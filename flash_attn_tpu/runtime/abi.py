@@ -177,35 +177,65 @@ def _jax_executor(call_ptr, *, varlen: bool, backward: bool) -> bool:
             if varlen:
                 cu_q = np.ctypeslib.as_array(c.cu_seqlens_q, (c.batch + 1,))
                 cu_k = np.ctypeslib.as_array(c.cu_seqlens_k, (c.batch + 1,))
-                out = flash_attention_varlen(
+                # mask over packed token axes (flash_attn.h:65-66):
+                # [total_q, total_k] or [H, total_q, total_k]
+                out, lse = flash_attention_varlen(
                     q, k, v, jnp.asarray(cu_q), jnp.asarray(cu_k),
-                    causal=c.is_causal, scale=scale,
+                    causal=c.is_causal, mask=mask, scale=scale,
                     dropout_rate=c.dropout_rate, dropout_seed=int(c.dropout_seed),
+                    return_lse=True,
                 )
-                lse = None
+                lse_shape = (c.num_heads, c.total_q)
             else:
                 out, lse = flash_fwd(
                     q, k, v, bias=mask, causal=c.is_causal, scale=scale,
                     dropout_rate=c.dropout_rate, dropout_seed=int(c.dropout_seed),
                 )
+                lse_shape = (c.batch, c.num_heads, c.seqlen_q)
             _np_from(c.out, qs, dtype)[...] = np.asarray(out)
-            if c.lse and lse is not None:
-                np.ctypeslib.as_array(
-                    c.lse, (c.batch, c.num_heads, c.seqlen_q)
-                )[...] = np.asarray(lse)
+            if c.lse:
+                np.ctypeslib.as_array(c.lse, lse_shape)[...] = np.asarray(lse)
             return True
 
-        # backward (dense only through the C path for now)
+        # backward
         dout = jnp.asarray(_np_from(c.dout, qs, dtype))
-        lse_in = jnp.asarray(
-            np.ctypeslib.as_array(c.lse_in, (c.batch, c.num_heads, c.seqlen_q))
-        )
         out_arr = jnp.asarray(_np_from(c.out, qs, dtype))
-        dq, dk, dv = flash_bwd(
-            q, k, v, out_arr, lse_in, dout, bias=mask, causal=c.is_causal,
-            scale=scale, dropout_rate=c.dropout_rate,
-            dropout_seed=int(c.dropout_seed),
-        )
+        if varlen:
+            # ≙ flash_attn_varlen_bwd (flash_attn.h:101-134): cu_seqlens →
+            # segment ids + per-sequence causal positions at this edge, then
+            # the same Pallas backward as the dense path on a singleton batch.
+            from flash_attn_tpu.ops.attention import varlen_segments
+
+            cu_q = np.ctypeslib.as_array(c.cu_seqlens_q, (c.batch + 1,))
+            cu_k = np.ctypeslib.as_array(c.cu_seqlens_k, (c.batch + 1,))
+            qseg, kseg, qpos, kpos, causal = varlen_segments(
+                jnp.asarray(cu_q), jnp.asarray(cu_k),
+                int(c.total_q), int(c.total_k), bool(c.is_causal),
+            )
+            lse_in = jnp.asarray(
+                np.ctypeslib.as_array(c.lse_in, (c.num_heads, c.total_q))
+            )[None]
+            if mask is not None:
+                mask = mask[None, None] if mask.ndim == 2 else mask[None]
+            dq, dk, dv = flash_bwd(
+                q[None], k[None], v[None], out_arr[None], lse_in, dout[None],
+                bias=mask, q_segment_ids=qseg, kv_segment_ids=kseg,
+                q_positions=qpos, kv_positions=kpos, causal=causal,
+                scale=scale, dropout_rate=c.dropout_rate,
+                dropout_seed=int(c.dropout_seed),
+            )
+            dq, dk, dv = dq[0], dk[0], dv[0]
+        else:
+            lse_in = jnp.asarray(
+                np.ctypeslib.as_array(
+                    c.lse_in, (c.batch, c.num_heads, c.seqlen_q)
+                )
+            )
+            dq, dk, dv = flash_bwd(
+                q, k, v, out_arr, lse_in, dout, bias=mask, causal=c.is_causal,
+                scale=scale, dropout_rate=c.dropout_rate,
+                dropout_seed=int(c.dropout_seed),
+            )
         _np_from(c.dq, qs, dtype)[...] = np.asarray(dq)
         _np_from(c.dk, ks, dtype)[...] = np.asarray(dk)
         _np_from(c.dv, ks, dtype)[...] = np.asarray(dv)

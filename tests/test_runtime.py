@@ -82,6 +82,118 @@ def test_c_abi_fwd_through_jax_executor(lib):
     np.testing.assert_allclose(lse, np.asarray(want_lse), atol=1e-3, rtol=1e-3)
 
 
+def _fill_common(call, q, k, v, out):
+    call.struct_size = ctypes.sizeof(abi.FatpuAttnCall)
+    call.q, call.k, call.v = q.ctypes.data, k.ctypes.data, v.ctypes.data
+    call.out = out.ctypes.data
+    call.head_dim = q.shape[-1]
+    call.num_heads, call.num_heads_k = q.shape[-2], k.shape[-2]
+    call.dtype = 0  # f32
+
+
+def test_c_abi_varlen_fwd_with_mask(lib):
+    """Varlen C entry point with a packed-axis additive mask — the
+    attn_mask/mask_dims contract of flash_attn_varlen_fwd
+    (flash_attn.h:65-66) must actually reach the kernel."""
+    abi.register_jax_executor()
+    H, D = 2, 32
+    lens = [24, 40, 16]
+    total = sum(lens)
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((total, H, D), np.float32)
+    k = rng.standard_normal((total, H, D), np.float32)
+    v = rng.standard_normal((total, H, D), np.float32)
+    mask = (rng.standard_normal((total, total)) * 2).astype(np.float32)
+    cu = np.zeros(len(lens) + 1, np.int32)
+    cu[1:] = np.cumsum(lens)
+    out = np.zeros_like(q)
+    lse = np.zeros((H, total), np.float32)
+
+    call = abi.FatpuAttnCall()
+    _fill_common(call, q, k, v, out)
+    call.lse = lse.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    call.attn_mask = mask.ctypes.data
+    dims = (ctypes.c_int64 * 2)(total, total)
+    call.mask_dims = dims
+    call.mask_ndim = 2
+    call.cu_seqlens_q = cu.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    call.cu_seqlens_k = cu.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    call.batch = len(lens)
+    call.total_q = call.total_k = total
+    call.is_causal = True
+    ok = lib.fatpu_attn_varlen_fwd(ctypes.byref(call))
+    assert ok, lib.fatpu_last_error()
+
+    from flash_attn_tpu.ops.attention import flash_attention_varlen
+
+    want, want_lse = flash_attention_varlen(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(cu), jnp.asarray(cu), causal=True,
+        mask=jnp.asarray(mask), return_lse=True,
+    )
+    np.testing.assert_allclose(out, np.asarray(want), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(lse, np.asarray(want_lse), atol=1e-3, rtol=1e-3)
+    # the mask must have had an effect (regression for the silently-dropped
+    # mask bug): rerun without it and require a different output
+    call.attn_mask = 0
+    out2 = np.zeros_like(q)
+    call.out = out2.ctypes.data
+    assert lib.fatpu_attn_varlen_fwd(ctypes.byref(call))
+    assert not np.allclose(out, out2, atol=1e-3)
+
+
+def test_c_abi_varlen_bwd_round_trip(lib):
+    """fwd then bwd through the C path on a packed ragged batch ≙
+    flash_attn_varlen_bwd (flash_attn.h:101-134); grads vs jax.grad of the
+    varlen API."""
+    abi.register_jax_executor()
+    H, D = 2, 32
+    lens = [24, 40]
+    total = sum(lens)
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal((total, H, D), np.float32)
+    k = rng.standard_normal((total, H, D), np.float32)
+    v = rng.standard_normal((total, H, D), np.float32)
+    dout = rng.standard_normal((total, H, D), np.float32)
+    cu = np.zeros(len(lens) + 1, np.int32)
+    cu[1:] = np.cumsum(lens)
+    out = np.zeros_like(q)
+    lse = np.zeros((H, total), np.float32)
+
+    call = abi.FatpuAttnCall()
+    _fill_common(call, q, k, v, out)
+    call.lse = lse.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    call.cu_seqlens_q = cu.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    call.cu_seqlens_k = cu.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    call.batch = len(lens)
+    call.total_q = call.total_k = total
+    call.is_causal = True
+    assert lib.fatpu_attn_varlen_fwd(ctypes.byref(call)), lib.fatpu_last_error()
+
+    dq = np.zeros_like(q)
+    dk = np.zeros_like(k)
+    dv = np.zeros_like(v)
+    call.dout = dout.ctypes.data
+    call.dq, call.dk, call.dv = dq.ctypes.data, dk.ctypes.data, dv.ctypes.data
+    call.lse_in = lse.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    assert lib.fatpu_attn_varlen_bwd(ctypes.byref(call)), lib.fatpu_last_error()
+
+    from flash_attn_tpu.ops.attention import flash_attention_varlen
+
+    def loss(q_, k_, v_):
+        o = flash_attention_varlen(
+            q_, k_, v_, jnp.asarray(cu), jnp.asarray(cu), causal=True
+        )
+        return jnp.sum(o * jnp.asarray(dout))
+
+    wq, wk, wv = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    )
+    np.testing.assert_allclose(dq, np.asarray(wq), atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(dk, np.asarray(wk), atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(dv, np.asarray(wv), atol=5e-4, rtol=5e-4)
+
+
 def test_page_pool_lifecycle(lib):
     pool = abi.PagePool(16)
     assert pool.free_count == 15  # page 0 reserved
