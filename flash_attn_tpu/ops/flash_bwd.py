@@ -86,12 +86,14 @@ def _recompute_p_ds(
         mask &= col <= row + shift
     if window is not None:
         # local attention (left, right), bottom-right aligned; -1 = open —
-        # mirrors the forward kernel's window mask exactly.
+        # mirrors the forward kernel's window mask exactly (incl. the
+        # positions form used by ring shards / packed varlen batches).
         left, right = window
+        wrow, wcol = (qp, kp) if has_pos else (row + shift, col)
         if left >= 0:
-            mask &= col >= row + shift - left
+            mask &= wcol >= wrow - left
         if right >= 0:
-            mask &= col <= row + shift + right
+            mask &= wcol <= wrow + right
     if has_segs:
         mask &= qs == ks  # (bq,1) == (1,bk) broadcast
     if has_pos:

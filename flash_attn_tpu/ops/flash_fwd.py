@@ -304,13 +304,20 @@ def _fwd_kernel(
         elif pad_cols:
             mask = jnp.broadcast_to(col1 < 2**30, (block_q, block_k))
         if window is not None:
-            # local attention (left, right), bottom-right aligned; -1 = open
+            # local attention (left, right), bottom-right aligned; -1 = open.
+            # With explicit positions the window compares THEM instead of
+            # local block coords — this is what lets sliding windows compose
+            # with ring-attention shards (global positions) and packed varlen
+            # batches (per-sequence positions).
             left, right = window
+            wrow, wcol = (
+                (qpos_ref[0], kpos_ref[0]) if has_pos else (row1, col1)
+            )
             if left >= 0:
-                m = col1 >= row1 - left
+                m = wcol >= wrow - left
                 mask = m if mask is None else mask & m
             if right >= 0:
-                m = col1 <= row1 + right
+                m = wcol <= wrow + right
                 mask = m if mask is None else mask & m
         if has_segs:
             m = qseg_ref[0] == kseg_ref[0]  # (bq,1) == (1,bk)

@@ -27,10 +27,25 @@ def ulysses_attention(
     axis_name: str,
     causal: bool = False,
     scale: float | None = None,
+    bias: jax.Array | None = None,
+    window: tuple[int, int] | None = None,
+    logit_softcap: float | None = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: int | jax.Array = 0,
     interpret: bool | None = None,
 ):
     """Shard-local body (inside shard_map): q/k/v local shards
-    [B, S_loc, H, D]; heads H must be divisible by the axis size."""
+    [B, S_loc, H, D]; heads H must be divisible by the axis size.
+
+    Full feature parity with the single-device kernel (flash_attn.h:26,
+    33-36 on the distributed surface): after the all-to-all each device
+    holds the WHOLE sequence for its head subset, so bias / window /
+    softcap / dropout apply via the ordinary kernel.  ``bias`` arrives
+    head-sharded ([B, H/n, S, S] local) since that's the post-a2a layout.
+    Dropout seeds are offset by the device's axis index so head subsets
+    draw independent masks (the kernel mixes the LOCAL head id); the seed
+    is a traced operand of the attention core, so backward replay is exact.
+    """
     n = jax.lax.axis_size(axis_name)
     if q.shape[2] % n:
         raise ValueError(f"num_heads {q.shape[2]} not divisible by axis size {n}")
@@ -62,19 +77,38 @@ def ulysses_attention(
     qh = to_heads(q)
     kh = to_heads(k)
     vh = to_heads(v)
+    seed = jnp.asarray(dropout_seed, jnp.int32) + jax.lax.axis_index(
+        axis_name
+    ).astype(jnp.int32)
     # public API (custom_vjp) so the whole sequence-parallel path is
     # differentiable: all_to_all transposes under AD automatically.
-    out = flash_attention(qh, kh, vh, causal=causal, scale=scale, interpret=interpret)
+    out = flash_attention(
+        qh, kh, vh, causal=causal, scale=scale, mask=bias, window=window,
+        logit_softcap=logit_softcap, dropout_rate=dropout_rate,
+        dropout_seed=seed, interpret=interpret,
+    )
     return to_seq(out)
 
 
 def make_ulysses_attention(mesh, *, axis_name="sp", causal=False, scale=None,
-                           interpret=None):
+                           has_bias=False, window=None, logit_softcap=None,
+                           dropout_rate=0.0, interpret=None):
     body = functools.partial(
         ulysses_attention, axis_name=axis_name, causal=causal, scale=scale,
-        interpret=interpret,
+        window=window, logit_softcap=logit_softcap,
+        dropout_rate=dropout_rate, interpret=interpret,
     )
     spec = P(None, axis_name, None, None)
+    if has_bias:
+        # bias is consumed head-sharded (the post-a2a layout)
+        bias_spec = P(None, axis_name, None, None)
+        return jax.shard_map(
+            lambda q, k, v, bias: body(q, k, v, bias=bias),
+            mesh=mesh,
+            in_specs=(spec, spec, spec, bias_spec),
+            out_specs=spec,
+            check_vma=False,
+        )
     return jax.shard_map(
         lambda q, k, v: body(q, k, v),
         mesh=mesh,
