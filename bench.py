@@ -573,7 +573,8 @@ def bench_ppl_delta(chip_peaks, dims=None):
 
     cont = gen(base_params, "none")  # float-model greedy continuation [T]
 
-    def nll(params, kv_mode):
+    def nll(params, kv_mode, scored=None):
+        scored = cont if scored is None else scored
         cache = llama.make_cache(cfg, 1, CAP, mode=kv_mode)
 
         @jax.jit
@@ -594,7 +595,7 @@ def bench_ppl_delta(chip_peaks, dims=None):
             )
             return jnp.mean(nlls)
 
-        return float(f(params, prompt, cont, cache))
+        return float(f(params, prompt, scored, cache))
 
     out = {}
     base = nll(base_params, "none")
@@ -611,6 +612,24 @@ def bench_ppl_delta(chip_peaks, dims=None):
         v = nll(wq[wmode], kv)
         out[f"ppl_nll_{wmode}_{kv}"] = round(v, 5)
         out[f"ppl_delta_{wmode}_{kv}"] = round(v - base, 5)
+
+    # Scoring the float model's OWN greedy continuation at random init is
+    # the harness's max-sensitivity point: the scored tokens sit exactly at
+    # logit argmaxes of near-uniform noise, so the delta grows ~quadratically
+    # with the weight perturbation and overstates int4 damage ~50x
+    # (r4 probes: int4 scores random tokens at bench dims within 0.02 nat
+    # of float — benchmarks/r4_int4_probe2.py).  Report a random-token
+    # teacher-forced row alongside for each weight mode so both sensitivity
+    # regimes are on record.
+    rand_cont = jnp.asarray(
+        np.random.default_rng(3).integers(0, cfg.vocab_size, (T,)),
+        jnp.int32,
+    )
+    base_r = nll(base_params, "none", scored=rand_cont)
+    out["ppl_nll_bf16_none_rand"] = round(base_r, 5)
+    for wmode in ("int8", "int4"):
+        v = nll(wq[wmode], "none", scored=rand_cont)
+        out[f"ppl_delta_{wmode}_none_rand"] = round(v - base_r, 5)
     return out
 
 

@@ -189,16 +189,35 @@ def _int4_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, nk, gpb, half, out_dtype):
     lo = (pg & 0x0F).astype(x.dtype) - jnp.asarray(8, x.dtype)
     hi = ((pg >> 4) & 0x0F).astype(x.dtype) - jnp.asarray(8, x.dtype)
     vals = jnp.concatenate([lo, hi], axis=1)  # [gpb, g, bn]
-    # scales fold onto the [gpb, bm, bn] partials, not the [K, bn] weights
-    xg = jnp.swapaxes(x.reshape(bm, gpb, g), 0, 1)  # [gpb, bm, g]
-    partial = jax.lax.dot_general(
-        xg, vals, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT
-        if x.dtype != jnp.float32 else jax.lax.Precision.HIGHEST,
-    )  # [gpb, bm, bn]
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if x.dtype != jnp.float32 else jax.lax.Precision.HIGHEST
+    )
     s = s_ref[0].astype(jnp.float32)  # [gpb, bn]
-    acc[...] += jnp.sum(partial * s[:, None, :], axis=0)
+    if g % 128 == 0:
+        # scales fold onto the [gpb, bm, bn] partials, not the [K, bn]
+        # weights; one batched dot over groups
+        xg = jnp.swapaxes(x.reshape(bm, gpb, g), 0, 1)  # [gpb, bm, g]
+        partial = jax.lax.dot_general(
+            xg, vals, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # [gpb, bm, bn]
+        acc[...] += jnp.sum(partial * s[:, None, :], axis=0)
+    else:
+        # g < 128: Mosaic can't shape-cast the lane dim into (gpb, g) —
+        # unroll the (few) groups as lane-sliced dots, folding each
+        # group's scale on its partial (exact, same algebra)
+        add = jnp.zeros_like(acc[...])
+        for i in range(gpb):
+            partial = jax.lax.dot_general(
+                x[:, i * g : (i + 1) * g], vals[i],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )  # [bm, bn]
+            add += partial * s[i][None, :]
+        acc[...] += add
 
     @pl.when(ki == nk - 1)
     def _():

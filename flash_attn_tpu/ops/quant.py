@@ -77,7 +77,8 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def quantize_int4(w: jax.Array, group_size: int = 128) -> Int4Weight:
+def quantize_int4(w: jax.Array, group_size: int = 128,
+                  clip_search: bool = True) -> Int4Weight:
     """Quantize [K, N] weights to packed int4 with per-(group, N) scales.
 
     Packing is *group-local halves*, not interleaved: within each group of
@@ -85,6 +86,12 @@ def quantize_int4(w: jax.Array, group_size: int = 128) -> Int4Weight:
     in its (low, high) nibbles.  This makes the in-kernel unpack a single
     concat along k — no interleave shuffle on the VPU (SURVEY.md §7 hard
     part (d): TPU-friendly unpack layout).
+
+    clip_search: per-(group, column) MSE-optimal clipping — try a few clip
+    ratios below amax and keep the scale with the least round-trip squared
+    error (round-to-nearest under a slightly tighter clip beats pure
+    absmax because the largest weight stops dictating the step size).
+    Load-time cost only; strictly includes the absmax solution.
     """
     K, N = w.shape
     if group_size % 2:
@@ -95,6 +102,20 @@ def quantize_int4(w: jax.Array, group_size: int = 128) -> Int4Weight:
     wf = w.astype(jnp.float32).reshape(K // g, g, N)
     amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)
     scales = jnp.where(amax > 0, amax / 7.0, 1.0)  # [K//g, 1, N]
+    if clip_search:
+        best_err = None
+        best_scales = scales
+        for c in (1.0, 0.95, 0.9, 0.85, 0.8):
+            sc = jnp.where(amax > 0, amax * (c / 7.0), 1.0)
+            qc = jnp.clip(jnp.round(wf / sc), -7, 7)
+            err = jnp.sum(jnp.square(qc * sc - wf), axis=1, keepdims=True)
+            if best_err is None:
+                best_err, best_scales = err, sc
+            else:
+                take = err < best_err
+                best_err = jnp.where(take, err, best_err)
+                best_scales = jnp.where(take, sc, best_scales)
+        scales = best_scales
     q = jnp.clip(jnp.round(wf / scales), -7, 7).astype(jnp.int8)  # [K//g, g, N]
     qu = (q + 8).astype(jnp.uint8)
     lo = qu[:, : g // 2]  # first half of each group

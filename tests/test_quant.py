@@ -38,7 +38,8 @@ def test_fp8_roundtrip_error_bounded():
 
 def test_int4_pack_unpack_exact():
     w = jax.random.normal(jax.random.PRNGKey(2), (256, 128))
-    qw = quantize_int4(w, group_size=128)
+    # absmax scales: the round-trip error bound below only holds unclipped
+    qw = quantize_int4(w, group_size=128, clip_search=False)
     assert qw.packed.shape == (128, 128)
     assert qw.scales.shape == (2, 128)
     # unpack∘pack == the quantized integer grid exactly
@@ -49,6 +50,44 @@ def test_int4_pack_unpack_exact():
     err = np.abs(np.asarray(wr - w))
     scales_full = np.repeat(np.asarray(qw.scales), 128, axis=0)
     assert np.all(err <= scales_full / 2 + 1e-7)
+
+
+def test_int4_clip_search_reduces_mse():
+    """MSE-optimal clipping (quantize_int4 clip_search) never loses to the
+    plain absmax scale, and typically wins."""
+    from flash_attn_tpu.ops.quant import dequantize_int4
+
+    w = jax.random.normal(jax.random.PRNGKey(12), (512, 256))
+    mse_plain = float(
+        jnp.mean(
+            jnp.square(dequantize_int4(
+                quantize_int4(w, clip_search=False)) - w)
+        )
+    )
+    mse_clip = float(
+        jnp.mean(
+            jnp.square(dequantize_int4(
+                quantize_int4(w, clip_search=True)) - w)
+        )
+    )
+    assert mse_clip <= mse_plain * 1.0000001
+    assert mse_clip < mse_plain * 0.95  # a real win on gaussian weights
+
+
+def test_matmul_int4_group64_vs_oracle():
+    """group_size=64 (the unrolled per-group kernel path — Mosaic cannot
+    lane-split g<128) matches the dequantize-then-float oracle."""
+    from flash_attn_tpu.ops.matmul import quantized_matmul
+    from flash_attn_tpu.ops.quant import dequantize_int4
+
+    x = jax.random.normal(jax.random.PRNGKey(13), (16, 256), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(14), (256, 192), jnp.float32)
+    qw = quantize_int4(w, group_size=64)
+    got = quantized_matmul(x, qw, out_dtype=jnp.float32, interpret=True)
+    want = jnp.dot(x, dequantize_int4(qw, jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4
+    )
 
 
 @pytest.mark.parametrize("scales_kind", ["per_col", "per_group"])
