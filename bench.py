@@ -163,7 +163,9 @@ def bench_prefill_8b(chip_peaks, softmax_mode="online"):
     # bounded by probes (stats-free 0.92, best online variant exp2 at
     # 0.630; benchmarks/r3_fwd_softmax_sweep2.py).
     cfg = FlashConfig(block_q=1024, block_k=1024, softmax_mode=softmax_mode)
-    tag = "prefill8b" + ("_online" if softmax_mode == "online" else "")
+    tag = "prefill8b" + (
+        "" if softmax_mode == "clamped" else f"_{softmax_mode}"
+    )
     step = lambda q_, k_, v_: flash_fwd(q_, k_, v_, causal=True, config=cfg)[0]
     flops = 4 * B * H * S * S * D / 2
     floor = flops / (chip_peaks[0] * 1e12) / _MAX_PLAUSIBLE_FRAC
@@ -708,6 +710,13 @@ def _run_bench():
         details.update(bench_prefill_8b(peaks, softmax_mode="clamped"))
     except Exception as e:  # pragma: no cover
         details["prefill8b_clamped_error"] = repr(e)[:200]
+    try:
+        # r4: clamped_verify hybrid — exact-online semantics at
+        # clamped-mode speed when scores stay in range (the training-path
+        # answer to "online is 0.63 of peak")
+        details.update(bench_prefill_8b(peaks, softmax_mode="auto"))
+    except Exception as e:  # pragma: no cover
+        details["prefill8b_auto_error"] = repr(e)[:200]
     for mode in ("fp8", "int8", "none"):
         try:
             details.update(bench_decode(peaks, mode))

@@ -190,6 +190,14 @@ class InferenceEngine:
             )
         self.key = jax.random.PRNGKey(rng_seed)
         self.next_token = np.zeros((max_batch,), np.int32)
+        # Host mirror of cache.length, updated analytically at dispatch
+        # time (prefill sets, decode/burst advances uniformly — the same
+        # math the device applies), so the hot loop never pays a
+        # device->host readback of the lengths for metrics/headroom.
+        self._host_lens = np.zeros((max_batch,), np.int32)
+        # One speculative in-flight burst: (device tokens, slot->req
+        # snapshot at dispatch).  See _do_decode_step.
+        self._inflight = None
         self._prefilling: set[int] = set()
         # Chunked prefill bounds how long a prompt can stall the decode
         # batch; requires the adapter's prefill_chunk path.
@@ -301,6 +309,11 @@ class InferenceEngine:
         steps = 0
         while self.sched.has_work and steps < max_steps:
             steps += 1
+            if self._inflight is not None and not self.sched.active:
+                # everything the in-flight burst was for has completed or
+                # been cancelled; its tokens are dead — drop the reference
+                # (the device-side work is already booked in _host_lens)
+                self._inflight = None
             admitted = self.sched.admit()
             if (
                 len(admitted) >= 2
@@ -345,6 +358,7 @@ class InferenceEngine:
                     jnp.int32(req.slot), jnp.int32(len(req.prompt)),
                 )
         tok = int(sample(logits[None], self._next_key(), self.sampling)[0])
+        self._host_lens[req.slot] = len(req.prompt)
         self.metrics.record_prefill(
             len(req.prompt), _time.perf_counter() - t0
         )
@@ -402,6 +416,8 @@ class InferenceEngine:
             jnp.asarray(lens),
         )
         self.metrics.record_prefill(total, _time.perf_counter() - t0)
+        for i, req in enumerate(reqs):
+            self._host_lens[req.slot] = len(req.prompt)
         for i, req in enumerate(reqs):
             tok = int(
                 sample(last_logits[i][None], self._next_key(), self.sampling)[0]
@@ -483,10 +499,12 @@ class InferenceEngine:
             # keep the device length at the chunk frontier so interleaved
             # decode garbage lands inside the region the next chunk rewrites
             self.cache = self.cache.set_length(slot, pos + len(chunk))
+            self._host_lens[slot] = pos + len(chunk)
             pos += len(chunk)
             if pos < len(prompt):
                 self._do_decode_step()
         self.cache = self.cache.set_length(slot, len(prompt))
+        self._host_lens[slot] = len(prompt)
         self._prefilling.discard(slot)
         return logits
 
@@ -499,41 +517,42 @@ class InferenceEngine:
         slots = [
             s for s in self.sched.active_slots() if s not in self._prefilling
         ]
+        if self._inflight is not None:
+            # a speculative burst is already computing on the device:
+            # optionally chain the next one off its on-device carry, then
+            # sync + consume this one.  Its tokens are valid for every slot
+            # whose request is unchanged since dispatch (snapshot guard) —
+            # freed/reassigned slots just discard theirs.
+            toks_dev, snap = self._inflight
+            self._inflight = None
+            if self._can_speculate():
+                self._speculate(toks_dev)
+            self._process_burst(toks_dev, snap, t0)
+            return
         if not slots:
             return
         if self.spec is not None and self.sampling.temperature == 0.0:
             # verify appends K+1 KV entries before acceptance is known —
             # fall back to plain decode when any slot lacks the headroom
             # (dynamic_update_slice would clamp and corrupt live context)
-            lens = np.asarray(self.cache.length)
             if all(
-                int(lens[s]) + self.spec.num_draft + 1 <= self.capacity
+                int(self._host_lens[s]) + self.spec.num_draft + 1
+                <= self.capacity
                 for s in slots
             ):
                 self._do_spec_decode_step(slots, t0)
                 return
         if self.decode_burst > 1 and self._burst_ok(slots):
-            toks, self.cache = self._burst_jit(
-                self.params, jnp.asarray(self.next_token), self.cache,
-                self._next_key(),
-            )
-            toks = np.asarray(toks)  # [burst, B]
-            self.metrics.record_decode(
-                len(slots) * self.decode_burst, _time.perf_counter() - t0
-            )
-            self.metrics.kv_tokens_in_use = int(
-                np.asarray(self.cache.length).sum()
-            )
-            for slot in slots:
-                for i in range(self.decode_burst):
-                    tok = int(toks[i, slot])
-                    if self.sched.step_done(slot, tok):
-                        # EOS/max mid-burst: the slot's tail tokens are
-                        # discarded (over-appended KV is masked by length
-                        # once the slot is reused)
-                        self.metrics.completed_requests += 1
-                        break
-                    self.next_token[slot] = tok
+            toks_dev = self._dispatch_burst(jnp.asarray(self.next_token))
+            snap = {s: self.sched.active[s] for s in slots}
+            if self._can_speculate():
+                # dispatch burst i+1 BEFORE syncing burst i: the burst's
+                # own last sampled token is the correct continuation for
+                # every slot that stays active, so the device keeps
+                # computing while the host reads back + books burst i
+                # (overlaps relay RTT + host work under device compute)
+                self._speculate(toks_dev)
+            self._process_burst(toks_dev, snap, t0)
             return
         if self.lora_bank is not None:
             toks, self.cache = self._decode_lora_jit(
@@ -546,11 +565,10 @@ class InferenceEngine:
                 self.params, jnp.asarray(self.next_token), self.cache,
                 self._next_key(),
             )
+        self._host_lens += 1  # decode appends for every batch slot
         toks = np.asarray(toks)
         self.metrics.record_decode(len(slots), _time.perf_counter() - t0)
-        self.metrics.kv_tokens_in_use = int(
-            np.asarray(self.cache.length).sum()
-        )
+        self._update_kv_metric()
         for slot in slots:
             tok = int(toks[slot])
             if not self.sched.step_done(slot, tok):
@@ -558,21 +576,86 @@ class InferenceEngine:
                 continue
             self.metrics.completed_requests += 1
 
+    def _dispatch_burst(self, tokens_dev):
+        """Enqueue one burst; the host length mirror advances immediately
+        (device semantics: the burst appends for every batch slot)."""
+        toks_dev, self.cache = self._burst_jit(
+            self.params, tokens_dev, self.cache, self._next_key()
+        )
+        self._host_lens += self.decode_burst
+        return toks_dev
+
+    def _speculate(self, toks_dev):
+        snap = {
+            s: self.sched.active[s]
+            for s in self.sched.active_slots()
+            if s not in self._prefilling
+        }
+        # carry the burst's last sampled tokens on device: no host round
+        # trip between bursts
+        self._inflight = (self._dispatch_burst(toks_dev[-1]), snap)
+
+    def _can_speculate(self) -> bool:
+        """Chain another burst only when it cannot hurt: nothing waiting
+        for a slot, no chunked prefill mid-flight, at least one slot still
+        has token budget, and one more burst of KV headroom everywhere.
+        A burst chained for slots that then complete is discarded tokens +
+        masked KV — wasted device time bounded by one burst."""
+        if self.decode_burst <= 1 or self.sched.waiting or self._prefilling:
+            return False
+        slots = self.sched.active_slots()
+        if not slots:
+            return False
+        if not any(
+            len(self.sched.active[s].generated) < self.sched.active[s].max_tokens
+            for s in slots
+        ):
+            return False
+        return all(
+            int(self._host_lens[s]) + self.decode_burst <= self.capacity
+            for s in slots
+        )
+
+    def _process_burst(self, toks_dev, snap, t0):
+        import time as _time
+
+        toks = np.asarray(toks_dev)  # [burst, B] — the sync point
+        consumed = 0
+        for slot, req in snap.items():
+            if self.sched.active.get(slot) is not req:
+                continue  # slot reassigned since dispatch: discard tokens
+            for i in range(self.decode_burst):
+                tok = int(toks[i, slot])
+                consumed += 1
+                if self.sched.step_done(slot, tok):
+                    # EOS/max mid-burst: the slot's tail tokens are
+                    # discarded (over-appended KV is masked by length
+                    # once the slot is reused)
+                    self.metrics.completed_requests += 1
+                    break
+                self.next_token[slot] = tok
+        self.metrics.record_decode(consumed, _time.perf_counter() - t0)
+        self._update_kv_metric()
+
+    def _update_kv_metric(self):
+        self.metrics.kv_tokens_in_use = int(
+            sum(self._host_lens[s] for s in self.sched.active_slots())
+        )
+
     def _burst_ok(self, slots) -> bool:
         """Burst only when it can't hurt latency or correctness: no
         waiting requests (admission isn't delayed), no mid-chunked-prefill
-        slots, and every active slot has burst tokens of budget and KV
-        headroom."""
+        slots, and one burst of KV headroom on every active slot.  A slot
+        whose budget runs out mid-burst simply discards its tail tokens
+        (step_done stops consuming at max_tokens) — bursting PAST the
+        budget is what keeps the request tail off the expensive one-
+        dispatch-per-token path."""
         if self.sched.waiting or self._prefilling:
             return False
-        lens = np.asarray(self.cache.length)
-        for s in slots:
-            req = self.sched.active[s]
-            if len(req.generated) + self.decode_burst > req.max_tokens:
-                return False
-            if int(lens[s]) + self.decode_burst > self.capacity:
-                return False
-        return True
+        return all(
+            int(self._host_lens[s]) + self.decode_burst <= self.capacity
+            for s in slots
+        )
 
     def _do_spec_decode_step(self, slots, t0):
         """One speculative decode round: draft K tokens per slot on the
@@ -591,7 +674,7 @@ class InferenceEngine:
                 req.prompt + req.generated, self.spec.ngram, K
             )
         tok_in[:, 1:] = drafts
-        lens_before = np.asarray(self.cache.length).copy()
+        lens_before = self._host_lens.copy()
 
         if not hasattr(self, "_verify_jit"):
             self._verify_jit = jax.jit(
@@ -600,16 +683,15 @@ class InferenceEngine:
         logits, self.cache = self._verify_jit(
             self.params, jnp.asarray(tok_in), self.cache
         )
+        self._host_lens += K + 1
         greedy = np.asarray(jnp.argmax(logits, axis=-1))  # [B, K+1]
         self.metrics.record_decode(len(slots), _time.perf_counter() - t0)
-        self.metrics.kv_tokens_in_use = int(
-            np.asarray(self.cache.length).sum()
-        )
+        self._update_kv_metric()
 
         # decode_multi advanced every slot by K+1; active slots roll back
         # to their true consumed context below (the over-appended KV is
         # overwritten by the next append, the chunked-prefill trick).
-        new_len = np.asarray(self.cache.length).copy()
+        new_len = self._host_lens.copy()
         for s in slots:
             n_acc = 0
             while n_acc < K and drafts[s, n_acc] == greedy[s, n_acc]:
@@ -632,6 +714,7 @@ class InferenceEngine:
             self.cache.v_scale, jnp.asarray(new_len), self.cache.mode,
             self.cache.scale_perm_chunk,
         )
+        self._host_lens = new_len.copy()
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -723,6 +806,11 @@ class PagedInferenceEngine:
         self.sched = ContinuousBatchingScheduler(max_batch)
         self.key = jax.random.PRNGKey(rng_seed)
         self.next_token = np.zeros((max_batch,), np.int32)
+        # host mirrors (no device readbacks on the hot path): per-slot
+        # length, and per-slot allocated token capacity (pages * page_size)
+        self._host_lens = np.zeros((max_batch,), np.int32)
+        self._slot_cap = np.zeros((max_batch,), np.int64)
+        self._inflight = None
         from flash_attn_tpu.utils.metrics import EngineMetrics
 
         self.metrics = EngineMetrics(kv_capacity=(num_pages - 1) * page_size)
@@ -730,9 +818,10 @@ class PagedInferenceEngine:
         self._decode_jit = jax.jit(self._decode_batch, donate_argnums=(2,))
         self._prefill_jit = jax.jit(self._prefill_one, donate_argnums=(2,))
         # multi-step scheduling, same contract as InferenceEngine's
-        # decode_burst: pages for prompt+max_tokens are acquired at
-        # admission, so a burst bounded by each slot's remaining budget can
-        # never overrun its pages.
+        # decode_burst: admission acquires pages for prompt + max_tokens
+        # rounded up to a whole final burst, so every burst (including the
+        # request's tail, which may overshoot max_tokens and discard) stays
+        # inside the slot's own pages.
         self.decode_burst = max(1, int(decode_burst))
         if self.decode_burst > 1:
             self._burst_jit = jax.jit(
@@ -757,6 +846,12 @@ class PagedInferenceEngine:
 
     def _pages_needed(self, req: Request) -> int:
         total = len(req.prompt) + req.max_tokens
+        if self.decode_burst > 1:
+            # round the decode budget up to whole bursts: the tail burst
+            # overshoots max_tokens (tokens discarded) but must still land
+            # inside the slot's own pages
+            gen = -(-req.max_tokens // self.decode_burst) * self.decode_burst
+            total = len(req.prompt) + gen
         return -(-total // self.page_size)
 
     # --- jitted bodies ---
@@ -808,10 +903,12 @@ class PagedInferenceEngine:
         steps = 0
         while self.sched.has_work and steps < max_steps:
             steps += 1
+            if self._inflight is not None and not self.sched.active:
+                self._inflight = None  # all its requests are gone
             for req in self.sched.admit(self._can_admit):
                 self._admit_pages(req)
                 self._do_prefill(req)
-            if not self.sched.active:
+            if not self.sched.active and self._inflight is None:
                 continue
             self._do_decode_step()
 
@@ -847,6 +944,7 @@ class PagedInferenceEngine:
     def _admit_pages(self, req: Request):
         pages = self._pending_pages.pop(req.uid)
         self.pool = self.pool.assign_pages(req.slot, pages)
+        self._slot_cap[req.slot] = len(pages) * self.page_size
         if self.prefix is not None:
             self._slot_prefix[req.slot] = self._pending_prefix.pop(req.uid)
             self._slot_pages[req.slot] = pages
@@ -866,6 +964,8 @@ class PagedInferenceEngine:
         self.pool = self.pool.set_lengths(
             self.pool.length.at[req_slot].set(0)
         )
+        self._host_lens[req_slot] = 0
+        self._slot_cap[req_slot] = 0
 
     def _do_prefill(self, req: Request):
         import time as _time
@@ -914,6 +1014,7 @@ class PagedInferenceEngine:
             self.prefix.unref(req.prompt, n_cached)
             self._slot_refs[req.slot] = (full, tuple(req.prompt))
         tok = int(sample(logits[None], self._next_key(), self.sampling)[0])
+        self._host_lens[req.slot] = len(req.prompt)
         req.generated.append(tok)
         if len(req.generated) >= req.max_tokens or (
             req.eos_token is not None and tok == req.eos_token
@@ -930,34 +1031,30 @@ class PagedInferenceEngine:
 
         t0 = _time.perf_counter()
         slots = self.sched.active_slots()
+        if self._inflight is not None:
+            toks_dev, snap = self._inflight
+            self._inflight = None
+            if self._can_speculate():
+                self._speculate(toks_dev)
+            self._process_burst(toks_dev, snap, t0)
+            return
+        if not slots:
+            return
         if self.decode_burst > 1 and self._burst_ok(slots):
-            toks, self.pool = self._burst_jit(
-                self.params, jnp.asarray(self.next_token), self.pool,
-                self._next_key(),
-            )
-            toks = np.asarray(toks)  # [burst, B]
-            self.metrics.record_decode(
-                len(slots) * self.decode_burst, _time.perf_counter() - t0
-            )
-            self.metrics.kv_tokens_in_use = int(
-                np.asarray(self.pool.length).sum()
-            )
-            for slot in slots:
-                for i in range(self.decode_burst):
-                    tok = int(toks[i, slot])
-                    if self.sched.step_done(slot, tok):
-                        self._release(slot)
-                        self.metrics.completed_requests += 1
-                        break
-                    self.next_token[slot] = tok
+            toks_dev = self._dispatch_burst(jnp.asarray(self.next_token))
+            snap = {s: self.sched.active[s] for s in slots}
+            if self._can_speculate():
+                self._speculate(toks_dev)
+            self._process_burst(toks_dev, snap, t0)
             return
         toks, self.pool = self._decode_jit(
             self.params, jnp.asarray(self.next_token), self.pool,
             self._next_key(),
         )
+        self._host_lens += 1
         toks = np.asarray(toks)
         self.metrics.record_decode(len(slots), _time.perf_counter() - t0)
-        self.metrics.kv_tokens_in_use = int(np.asarray(self.pool.length).sum())
+        self._update_kv_metric()
         for slot in slots:
             tok = int(toks[slot])
             if not self.sched.step_done(slot, tok):
@@ -966,14 +1063,71 @@ class PagedInferenceEngine:
                 self._release(slot)
                 self.metrics.completed_requests += 1
 
+    def _dispatch_burst(self, tokens_dev):
+        toks_dev, self.pool = self._burst_jit(
+            self.params, tokens_dev, self.pool, self._next_key()
+        )
+        self._host_lens += self.decode_burst
+        return toks_dev
+
+    def _speculate(self, toks_dev):
+        snap = dict(self.sched.active)
+        self._inflight = (self._dispatch_burst(toks_dev[-1]), snap)
+
+    def _can_speculate(self) -> bool:
+        """Pipeline a second burst off the device-resident carry — only
+        when nothing is waiting for a slot, some slot still has budget,
+        and every active slot's pages cover one more burst."""
+        if self.decode_burst <= 1 or self.sched.waiting:
+            return False
+        slots = self.sched.active_slots()
+        if not slots:
+            return False
+        if not any(
+            len(self.sched.active[s].generated) < self.sched.active[s].max_tokens
+            for s in slots
+        ):
+            return False
+        return all(
+            int(self._host_lens[s]) + self.decode_burst <= int(self._slot_cap[s])
+            for s in slots
+        )
+
+    def _process_burst(self, toks_dev, snap, t0):
+        import time as _time
+
+        toks = np.asarray(toks_dev)  # [burst, B]
+        consumed = 0
+        for slot, req in snap.items():
+            if self.sched.active.get(slot) is not req:
+                continue
+            for i in range(self.decode_burst):
+                tok = int(toks[i, slot])
+                consumed += 1
+                if self.sched.step_done(slot, tok):
+                    self._release(slot)
+                    self.metrics.completed_requests += 1
+                    break
+                self.next_token[slot] = tok
+        self.metrics.record_decode(consumed, _time.perf_counter() - t0)
+        self._update_kv_metric()
+
+    def _update_kv_metric(self):
+        self.metrics.kv_tokens_in_use = int(
+            sum(self._host_lens[s] for s in self.sched.active_slots())
+        )
+
     def _burst_ok(self, slots) -> bool:
+        """Burst whenever nothing is waiting and every active slot's
+        allocated pages cover one more burst; a slot whose budget runs out
+        mid-burst discards its tail (see _pages_needed for why the pages
+        always cover the tail burst)."""
         if self.sched.waiting:
             return False
-        for s in slots:
-            req = self.sched.active[s]
-            if len(req.generated) + self.decode_burst > req.max_tokens:
-                return False
-        return True
+        return all(
+            int(self._host_lens[s]) + self.decode_burst <= int(self._slot_cap[s])
+            for s in slots
+        )
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)

@@ -709,3 +709,56 @@ def test_paged_engine_decode_burst_matches(tiny):
         assert all(r.done for r in reqs)
         outs.append([list(r.generated) for r in reqs])
     assert outs[0] == outs[1]
+
+
+def test_engine_burst_pipeline_waves(tiny):
+    """Pipelined bursts (speculative in-flight dispatch) across several
+    submission waves: slot reuse after completion must not leak tokens or
+    KV between requests (the in-flight snapshot guard + length masking),
+    and every wave's greedy tokens must match the burst=1 engine."""
+    cfg, params = tiny
+    waves = [
+        [list(range(1, 9)), [3, 1, 4, 1, 5]],
+        [[9, 8, 7], list(range(2, 12))],
+        [[5, 5, 5, 5]],
+    ]
+    outs = []
+    for burst in (1, 4):
+        eng = InferenceEngine(
+            params, gpt2.make_adapter(cfg, interpret=True),
+            max_batch=2, capacity=64, cache_dtype=jnp.dtype(cfg.dtype),
+            decode_burst=burst,
+        )
+        got = []
+        for wave in waves:
+            reqs = [eng.submit(p, max_tokens=9) for p in wave]
+            eng.run()
+            assert all(r.done for r in reqs)
+            got.append([list(r.generated) for r in reqs])
+        outs.append(got)
+    assert outs[0] == outs[1]
+
+
+def test_paged_engine_burst_pipeline_waves(tiny):
+    from flash_attn_tpu.engine.engine import PagedInferenceEngine
+
+    cfg, params = tiny
+    waves = [
+        [[1, 2, 3, 4, 5], [7, 8, 9]],
+        [[2, 4, 6], [1, 3, 5, 7, 9, 11]],
+    ]
+    outs = []
+    for burst in (1, 3):
+        eng = PagedInferenceEngine(
+            params, gpt2.make_adapter(cfg, interpret=True),
+            max_batch=2, capacity=64, page_size=16,
+            cache_dtype=jnp.dtype(cfg.dtype), decode_burst=burst,
+        )
+        got = []
+        for wave in waves:
+            reqs = [eng.submit(p, max_tokens=8) for p in wave]
+            eng.run()
+            assert all(r.done for r in reqs)
+            got.append([list(r.generated) for r in reqs])
+        outs.append(got)
+    assert outs[0] == outs[1]
