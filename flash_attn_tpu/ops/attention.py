@@ -30,6 +30,11 @@ def _fwd_config(config, softmax_mode, q, k):
     more live tiles and must pick its own shapes)."""
     if softmax_mode is None:
         return config
+    if softmax_mode == "clamped_verify":
+        # internal mode (returns a 3-tuple); the public surface for it is
+        # "auto" (clamped-speed in range, exact online fallback otherwise)
+        raise ValueError("use softmax_mode='auto' (clamped_verify is the "
+                         "kernel-internal half of it)")
     import dataclasses
 
     if config is None:

@@ -566,3 +566,77 @@ def test_alibi_slope_schedule():
                                rtol=1e-6)
     s6 = alibi_slopes(6)
     assert s6.shape == (6,) and np.all(s6 > 0) and np.all(np.diff(s6[:4]) < 0)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_clamped_verify_in_range(causal):
+    """softmax_mode='clamped_verify': normal-scale scores are flagged
+    valid on every row and the output matches clamped/oracle."""
+    q, k, v = make_qkv(jax.random.PRNGKey(70), 1, 256, 256, 4, 2, 64,
+                       jnp.float32)
+    cfg = FlashConfig(block_q=64, block_k=128, softmax_mode="clamped_verify")
+    out, lse, valid = flash_fwd(q, k, v, causal=causal, config=cfg,
+                                interpret=True)
+    assert np.all(np.asarray(valid) == 1.0)
+    ref_out, ref_lse = mha_reference(q, k, v, causal=causal, return_lse=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_clamped_verify_flags_out_of_range():
+    """Rows whose scores exceed the clamp are flagged invalid (these are
+    exactly the rows where plain clamped mode would be inexact)."""
+    q, k, v = make_qkv(jax.random.PRNGKey(71), 1, 128, 128, 2, 2, 64,
+                       jnp.float32)
+    cfg = FlashConfig(block_q=64, block_k=128, softmax_mode="clamped_verify")
+    _, _, valid = flash_fwd(q * 100.0, k * 100.0, v, config=cfg,
+                            interpret=True)
+    assert np.asarray(valid).min() == 0.0
+
+
+@pytest.mark.parametrize("big", [False, True])
+def test_auto_mode_exact_both_regimes(big):
+    """softmax_mode='auto' == online everywhere: clamped-speed in range,
+    lax.cond fallback to the online kernel when scores leave the window."""
+    q, k, v = make_qkv(jax.random.PRNGKey(72), 1, 256, 256, 4, 2, 64,
+                       jnp.float32)
+    if big:
+        q, k = q * 100.0, k * 100.0
+    cfg_auto = FlashConfig(block_q=64, block_k=128, softmax_mode="auto")
+    cfg_online = FlashConfig(block_q=64, block_k=128, softmax_mode="online")
+    out_a, lse_a = jax.jit(
+        lambda q_, k_, v_: flash_fwd(
+            q_, k_, v_, causal=True, config=cfg_auto, interpret=True
+        )
+    )(q, k, v)
+    out_o, lse_o = flash_fwd(q, k, v, causal=True, config=cfg_online,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_o),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse_a), np.asarray(lse_o),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_clamped_lse_valid_helper():
+    """clamped_lse_valid reads only the clamped kernel's lse: true for
+    in-range scores (incl. dead causal rows when Sk < Sq), false once any
+    element clamps."""
+    from flash_attn_tpu.ops.flash_fwd import clamped_lse_valid
+
+    q, k, v = make_qkv(jax.random.PRNGKey(80), 1, 128, 128, 2, 2, 64,
+                       jnp.float32)
+    cfg = FlashConfig(block_q=64, block_k=128, softmax_mode="clamped")
+    _, lse = flash_fwd(q, k, v, causal=True, config=cfg, interpret=True)
+    assert bool(clamped_lse_valid(lse, 128, 128, causal=True))
+    _, lse_big = flash_fwd(q * 100, k * 100, v, causal=True, config=cfg,
+                           interpret=True)
+    assert not bool(clamped_lse_valid(lse_big, 128, 128, causal=True))
+    # bottom-right causal with Sk < Sq: leading rows are dead (-inf lse)
+    # and must count as exact
+    q2, k2, v2 = make_qkv(jax.random.PRNGKey(81), 1, 128, 64, 2, 2, 64,
+                          jnp.float32)
+    _, lse2 = flash_fwd(q2, k2[:, :64], v2[:, :64], causal=True, config=cfg,
+                        interpret=True)
+    assert bool(clamped_lse_valid(lse2, 128, 64, causal=True))
