@@ -458,6 +458,94 @@ def bench_llama8b_decode(
     return out
 
 
+def bench_llama70b_layer(chip_peaks):
+    """BASELINE config 4 evidence: measured per-LAYER decode time at true
+    Llama-3-70B dims (hidden 8192, 64q/8kv heads, intermediate 28672),
+    INT4 weights + FP8 KV, B=8, 8k ctx — the 1-vs-2-layer difference
+    method of bench_llama8b_decode at 70B scale.
+
+    The reported tokens/s is the CHIP-EQUIVALENT number
+    B / (80 * t_layer + t_nonlayer): per-chip compute throughput if one
+    chip did every layer.  A real 70B deployment tensor-shards layers
+    (dryrun_multichip validates the sharding); this number is the per-chip
+    numerator of that scaling estimate and deliberately excludes TP
+    collectives (env: one physical chip).  Vocab is shrunk to 32k so the
+    embedding fits; head/embedding time cancels in the layer difference.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from flash_attn_tpu.models import llama
+
+    B, S = 8, 8192
+
+    def build(num_layers):
+        cfg = llama.LlamaConfig(
+            vocab_size=32768, hidden=8192, intermediate=28672,
+            num_layers=num_layers, num_heads=64, num_kv_heads=8,
+            head_dim=128, max_position=S, rope_theta=500000.0,
+            dtype="bfloat16",
+        )
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        params = llama.quantize_weights(params, mode="int4", skip=("tok_emb",))
+        cache = llama.make_cache(cfg, B, S, mode="fp8")
+        cache = cache.advance(S - 512)
+        tok0 = jnp.ones((B,), jnp.int32)
+
+        def chained(m):
+            @jax.jit
+            def f(params_, tok, cache_):
+                def step(carry, _):
+                    tok_, c = carry
+                    logits, c = llama.decode_step(params_, tok_, cfg, c)
+                    return (
+                        jnp.argmax(logits, axis=-1).astype(jnp.int32), c
+                    ), None
+
+                (tok, cache_), _ = jax.lax.scan(
+                    step, (tok, cache_), None, length=m
+                )
+                return jnp.sum(tok)
+
+            float(f(params, tok0, cache))
+            float(f(params, tok0, cache))
+            return lambda: float(f(params, tok0, cache))
+
+        return chained(8), chained(16)
+
+    chains = {L: build(L) for L in (1, 2)}
+    samples = {L: ([], []) for L in chains}
+    for _ in range(7):
+        for L, (run_n, run_2n) in chains.items():
+            t0 = time.perf_counter()
+            run_n()
+            samples[L][0].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            run_2n()
+            samples[L][1].append(time.perf_counter() - t0)
+
+    def step_time(L):
+        a, b = samples[L]
+        return max((float(np.median(b)) - float(np.median(a))) / 8, 1e-9)
+
+    t1, t2 = step_time(1), step_time(2)
+    t_layer = max(t2 - t1, 1e-9)
+    t_nonlayer = max(t1 - t_layer, 0.0)
+    t80 = 80 * t_layer + t_nonlayer
+    # per-layer roofline: int4 weights + fp8 KV + fp32 scale lanes
+    layer_bytes = (
+        (8192 * 10240 + 8192 * 8192 + 3 * 8192 * 28672) * 0.5
+        + 2 * B * S * 8 * (128 + 4)
+    )
+    ideal_layer = layer_bytes / (chip_peaks[2] * 1e9)
+    return {
+        "llama70b_int4w_fp8kv_layer_us": round(t_layer * 1e6, 1),
+        "llama70b_layer_roofline_frac": round(ideal_layer / t_layer, 4),
+        "llama70b_step_ms_80layer_est": round(t80 * 1e3, 2),
+        "llama70b_tokens_per_s_chip_equiv": round(B / t80, 1),
+    }
+
+
 def bench_engine(chip_peaks, raw_tokens_per_s=None):
     """Served (engine-level) throughput on chip — VERDICT r2 item 3: the
     continuous-batching engine driven end-to-end (prefill + decode +
@@ -751,6 +839,10 @@ def _run_bench():
         details.update(bench_llama8b_decode(peaks))
     except Exception as e:  # pragma: no cover
         details["llama8b_error"] = repr(e)[:200]
+    try:
+        details.update(bench_llama70b_layer(peaks))
+    except Exception as e:  # pragma: no cover
+        details["llama70b_error"] = repr(e)[:200]
     try:
         details.update(bench_ppl_delta(peaks))
     except Exception as e:  # pragma: no cover
