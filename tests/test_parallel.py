@@ -471,3 +471,50 @@ def test_rdma_ring_matches_single_device(mesh4):
             np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4,
             err_msg=f"causal={causal}",
         )
+
+
+def test_two_level_dcn_ring_train():
+    """BASELINE configs 3-4 topology: a TWO-LEVEL mesh ("dcn", "sp") — data
+    parallelism across the slow inter-slice axis, ring attention (with its
+    reverse-ring backward) along the fast intra-slice axis.  In JAX the DCN
+    boundary is just the outer mesh axis (SURVEY.md §5: DCN-crossing
+    collectives are mesh-layout, not new code); this validates that the
+    ring's fwd AND bwd compile and are exact when nested under a second
+    sharded axis, i.e. the 2-host 128k-ring config is a sharding, not a
+    port."""
+    from jax.sharding import Mesh, NamedSharding
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devs, ("dcn", "sp"))
+    b, s, h, d = 2, 256, 4, 32
+    q, k, v = qkv(jax.random.PRNGKey(50), b, s, h, d)
+    spec = P("dcn", "sp", None, None)
+
+    from flash_attn_tpu.parallel.ring import ring_attention
+
+    fn = jax.shard_map(
+        lambda q_, k_, v_: ring_attention(
+            q_, k_, v_, axis_name="sp", causal=True, interpret=True
+        ),
+        mesh=mesh2, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    qs, ks, vs = (
+        jax.device_put(x, NamedSharding(mesh2, spec)) for x in (q, k, v)
+    )
+
+    @jax.jit
+    def loss_and_dq(q_, k_, v_):
+        f = lambda a: jnp.sum(fn(a, k_, v_).astype(jnp.float32))
+        return jax.value_and_grad(f)(q_)
+
+    got_l, got_dq = loss_and_dq(qs, ks, vs)
+
+    ref = lambda a: jnp.sum(
+        mha_reference(a, k, v, causal=True).astype(jnp.float32)
+    )
+    want_l, want_dq = jax.value_and_grad(ref)(q)
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got_dq), np.asarray(want_dq), atol=2e-4, rtol=2e-4
+    )
