@@ -31,6 +31,7 @@ def main(w_mode="int8", kv_mode="fp8"):
     )
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
     params = llama.quantize_weights(params, mode=w_mode, skip=("tok_emb",))
+    params_f = llama.fuse_projections(params)
     cache = llama.make_cache(cfg, B, S, mode=kv_mode)
     cache = cache.advance(S - 512)
     tok0 = jnp.ones((B,), jnp.int32)
@@ -45,18 +46,20 @@ def main(w_mode="int8", kv_mode="fp8"):
         (tok, cache_), _ = jax.lax.scan(step, (tok, cache_), None, length=16)
         return jnp.sum(tok)
 
-    float(f(params, tok0, cache))
-    float(f(params, tok0, cache))
-
-    outdir = f"/tmp/fatpu_decode_trace_{w_mode}_{kv_mode}"
-    with trace(outdir):
-        float(f(params, tok0, cache))
-
     sys.path.insert(0, "/root/repo/tools")
     from trace_by_source import aggregate
 
-    # 16 scan steps in the traced program -> per-step numbers
-    aggregate(outdir, nstep=16, top=40)
+    # trace unfused and fused back-to-back in ONE session so relay/session
+    # drift can't masquerade as a difference
+    for tag, p in (("unfused", params), ("fused", params_f),
+                   ("unfused2", params), ("fused2", params_f)):
+        float(f(p, tok0, cache))
+        float(f(p, tok0, cache))
+        outdir = f"/tmp/fatpu_decode_trace_{w_mode}_{kv_mode}_{tag}"
+        with trace(outdir):
+            float(f(p, tok0, cache))
+        print(f"=== {tag} ===", flush=True)
+        aggregate(outdir, nstep=16, top=12)
 
 
 if __name__ == "__main__":

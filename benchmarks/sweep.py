@@ -117,22 +117,54 @@ def sweep_matmul(args):
     ideal = w_bytes / (_peaks()[2] * 1e9)
     if args.w == "int4":
         qw = quantize_int4(w, group_size=args.group)
-        consts = ()
-        step = lambda x_: matmul_int4(x_, qw).astype(jnp.bfloat16)  # noqa: E731
+        mm = lambda x_, bn, bk: matmul_int4(  # noqa: E731
+            x_, qw, block_n=bn, block_k=bk
+        )
     elif args.w == "w8a8":
         vals, sc = quantize_int8(w, axes=(0,))
-        step = lambda x_: matmul_w8a8(x_, vals, sc[0]).astype(jnp.bfloat16)  # noqa: E731
-        consts = ()
+        mm = lambda x_, bn, bk: matmul_w8a8(  # noqa: E731
+            x_, vals, sc[0], block_n=bn, block_k=bk
+        )
     else:
         vals, sc = quantize_int8(w, axes=(0,))
-        step = lambda x_: matmul_int8(x_, vals, sc[0]).astype(jnp.bfloat16)  # noqa: E731
-        consts = ()
-    t, info = chain_step_seconds(step, x, consts, n=32)
-    print(
-        f"{args.w} [{args.m}x{args.k}x{args.n}] g={args.group}: "
-        f"{t*1e6:.1f} us ({ideal/t:.3f} of weight-stream roofline, "
-        f"{info['estimator']})"
-    )
+        mm = lambda x_, bn, bk: matmul_int8(  # noqa: E731
+            x_, vals, sc[0], block_n=bn, block_k=bk
+        )
+
+    bns = [int(b) for b in args.block_n.split(",")]
+    bks = [int(b) for b in args.block_k.split(",")]
+    rows = []
+    for bn, bk in itertools.product(bns, bks):
+        if args.w == "int4" and bk % args.group:
+            continue
+        try:
+            # output shape [m, n] != input [m, k]: close the chain with a
+            # tiny data dependence (x + eps*sum(y)) so fori_loop carries a
+            # fixed shape and XLA can't hoist the matmul out of the loop
+            def step(x_, bn=bn, bk=bk):
+                y = mm(x_, bn, bk)
+                return x_ + (jnp.sum(y.astype(jnp.float32)) * 1e-20).astype(
+                    x_.dtype
+                )
+
+            t, info = chain_step_seconds(
+                step, x, (), n=32, floor_s=ideal / 1.3
+            )
+            rows.append((t, bn, bk, info["estimator"]))
+            print(
+                f"bn={bn} bk={bk}: {t*1e6:.1f} us "
+                f"({ideal/t:.3f} of weight-stream roofline, "
+                f"{info['estimator']})", flush=True,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"bn={bn} bk={bk}: FAILED {str(e)[:100]}", flush=True)
+    rows.sort()
+    if rows:
+        t, bn, bk, est = rows[0]
+        print(
+            f"BEST {args.w} [{args.m}x{args.k}x{args.n}]: bn={bn} bk={bk} "
+            f"{t*1e6:.1f} us ({ideal/t:.3f} roofline, {est})"
+        )
 
 
 def main():
@@ -161,6 +193,8 @@ def main():
     m.add_argument("--n", type=int, default=14336)
     m.add_argument("--w", default="int8")
     m.add_argument("--group", type=int, default=128)
+    m.add_argument("--block-n", default="512,1024,2048")
+    m.add_argument("--block-k", default="512,1024,2048,4096")
     args = ap.parse_args()
     {
         "fwd": sweep_fwd, "decode": sweep_decode,

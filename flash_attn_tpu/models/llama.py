@@ -148,14 +148,47 @@ def _proj_l(x, blk, lblk, name, interpret, ids=None, scaling=1.0):
     return y
 
 
+def _qkv_proj(h, blk, cfg, interpret, lblk=None, ids=None, lsc=1.0):
+    """q/k/v projections, fused into ONE matmul when the block carries a
+    ``wqkv`` weight (fuse_projections): the composed decode step pays a
+    fixed cost per pallas_call, so one [K, q+2kv] call beats three.
+    Returns (q [..., q_dim], k [..., kv_dim], v [..., kv_dim]) unreshaped;
+    LoRA deltas (per-name adapters) apply to the split outputs."""
+    q_dim = cfg.num_heads * cfg.head_dim
+    kv_dim = cfg.num_kv_heads * cfg.head_dim
+    if "wqkv" in blk:
+        y = _proj(h, blk["wqkv"], interpret)
+        q = y[..., :q_dim]
+        k = y[..., q_dim : q_dim + kv_dim]
+        v = y[..., q_dim + kv_dim :]
+        if lblk is not None:
+            from flash_attn_tpu.models.lora import lora_delta
+
+            def _add(part, name):
+                if name not in lblk:
+                    return part
+                return part + lora_delta(h, lblk[name], ids, lsc).astype(
+                    part.dtype
+                )
+
+            q, k, v = _add(q, "wq"), _add(k, "wk"), _add(v, "wv")
+        return q, k, v
+    return (
+        _proj_l(h, blk, lblk, "wq", interpret, ids, lsc),
+        _proj_l(h, blk, lblk, "wk", interpret, ids, lsc),
+        _proj_l(h, blk, lblk, "wv", interpret, ids, lsc),
+    )
+
+
 def _block_attn(x, blk, cfg, cos, sin, *, cache=None, layer=None,
                 segment_ids=None, interpret=None):
     """Shared attention sub-block for prefill/forward (full-seq causal)."""
     b, s, _ = x.shape
     h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-    q = _proj(h, blk["wq"], interpret).reshape(b, s, cfg.num_heads, cfg.head_dim)
-    k = _proj(h, blk["wk"], interpret).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    v = _proj(h, blk["wv"], interpret).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q, k, v = _qkv_proj(h, blk, cfg, interpret)
+    q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     k = apply_rope(k, cos, sin)
     if cache is not None:
         cache = cache.append(layer, k, v)
@@ -172,8 +205,25 @@ def _block_attn(x, blk, cfg, cos, sin, *, cache=None, layer=None,
 def _block_mlp(x, blk, cfg, interpret=None, lblk=None, lora_ids=None,
                lora_scaling=1.0):
     h = _rms_norm(x, blk["mlp_norm"], cfg.rms_eps)
-    gate = _proj_l(h, blk, lblk, "w_gate", interpret, lora_ids, lora_scaling)
-    up = _proj_l(h, blk, lblk, "w_up", interpret, lora_ids, lora_scaling)
+    if "w_gate_up" in blk:
+        y = _proj(h, blk["w_gate_up"], interpret)
+        gate = y[..., : cfg.intermediate]
+        up = y[..., cfg.intermediate :]
+        if lblk is not None:
+            from flash_attn_tpu.models.lora import lora_delta
+
+            if "w_gate" in lblk:
+                gate = gate + lora_delta(
+                    h, lblk["w_gate"], lora_ids, lora_scaling
+                ).astype(gate.dtype)
+            if "w_up" in lblk:
+                up = up + lora_delta(
+                    h, lblk["w_up"], lora_ids, lora_scaling
+                ).astype(up.dtype)
+    else:
+        gate = _proj_l(h, blk, lblk, "w_gate", interpret, lora_ids,
+                       lora_scaling)
+        up = _proj_l(h, blk, lblk, "w_up", interpret, lora_ids, lora_scaling)
     act = jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)
     return x + _proj_l(act.astype(x.dtype), blk, lblk, "w_down", interpret,
                        lora_ids, lora_scaling)
@@ -211,12 +261,10 @@ def prefill_with_kv(params, tokens, positions, cfg: LlamaConfig, *, interpret=No
     for i, blk in enumerate(params["blocks"]):
         lblk = lora["blocks"][i] if lora is not None else None
         h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        q = _proj_l(h, blk, lblk, "wq", interpret, lora_id, lsc).reshape(
-            b, s, cfg.num_heads, cfg.head_dim)
-        k = _proj_l(h, blk, lblk, "wk", interpret, lora_id, lsc).reshape(
-            b, s, cfg.num_kv_heads, cfg.head_dim)
-        v = _proj_l(h, blk, lblk, "wv", interpret, lora_id, lsc).reshape(
-            b, s, cfg.num_kv_heads, cfg.head_dim)
+        q, k, v = _qkv_proj(h, blk, cfg, interpret, lblk, lora_id, lsc)
+        q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         k = apply_rope(k, cos, sin)
         kvs.append((k, v))
         # inference-only path: clamped softmax (no running max; exact for
@@ -251,9 +299,10 @@ def prefill_chunk(params, tokens, cfg: LlamaConfig, cache: KVCache, slot,
     cos, sin = rope_cos_sin(qpos, cfg.head_dim, cfg.rope_theta)
     for i, blk in enumerate(params["blocks"]):
         h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        q = _proj(h, blk["wq"], interpret).reshape(b, c, cfg.num_heads, cfg.head_dim)
-        k = _proj(h, blk["wk"], interpret).reshape(b, c, cfg.num_kv_heads, cfg.head_dim)
-        v = _proj(h, blk["wv"], interpret).reshape(b, c, cfg.num_kv_heads, cfg.head_dim)
+        q, k, v = _qkv_proj(h, blk, cfg, interpret)
+        q = q.reshape(b, c, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, c, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(b, c, cfg.num_kv_heads, cfg.head_dim)
         k = apply_rope(k, cos, sin)  # cache stores post-rope K
         cache = cache.insert_at(i, slot, k[0], v[0], start)
         kc, vc = cache.slot_kv_float(i, slot, dtype=x.dtype)
@@ -299,12 +348,10 @@ def prefill_suffix_paged(params, tokens, cfg: LlamaConfig, pool, slot,
         table = pool.block_table[slot][None]
         for i, blk in enumerate(params["blocks"]):
             h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-            q = _proj(h, blk["wq"], interpret).reshape(
-                b, cc, cfg.num_heads, cfg.head_dim)
-            k = _proj(h, blk["wk"], interpret).reshape(
-                b, cc, cfg.num_kv_heads, cfg.head_dim)
-            v = _proj(h, blk["wv"], interpret).reshape(
-                b, cc, cfg.num_kv_heads, cfg.head_dim)
+            q, k, v = _qkv_proj(h, blk, cfg, interpret)
+            q = q.reshape(b, cc, cfg.num_heads, cfg.head_dim)
+            k = k.reshape(b, cc, cfg.num_kv_heads, cfg.head_dim)
+            v = v.reshape(b, cc, cfg.num_kv_heads, cfg.head_dim)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)  # pool stores post-rope K
             pool = pool.append_prefill(i, slot, k[0], v[0], start_cc)
@@ -347,9 +394,10 @@ def prefill_packed(params, tokens, positions, segment_ids, cfg: LlamaConfig,
     kvs = []
     for blk in params["blocks"]:
         h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        q = _proj(h, blk["wq"], interpret).reshape(b, t, cfg.num_heads, cfg.head_dim)
-        k = _proj(h, blk["wk"], interpret).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-        v = _proj(h, blk["wv"], interpret).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        q, k, v = _qkv_proj(h, blk, cfg, interpret)
+        q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         k = apply_rope(k, cos, sin)
         kvs.append((k, v))
         attn = flash_attention(
@@ -382,12 +430,10 @@ def decode_step(params, token, cfg: LlamaConfig, cache: KVCache, *, interpret=No
     for i, blk in enumerate(params["blocks"]):
         lblk = lora["blocks"][i] if lora is not None else None
         h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        q = _proj_l(h, blk, lblk, "wq", interpret, lora_ids, lsc).reshape(
-            b, 1, cfg.num_heads, cfg.head_dim)
-        k = _proj_l(h, blk, lblk, "wk", interpret, lora_ids, lsc).reshape(
-            b, 1, cfg.num_kv_heads, cfg.head_dim)
-        v = _proj_l(h, blk, lblk, "wv", interpret, lora_ids, lsc).reshape(
-            b, 1, cfg.num_kv_heads, cfg.head_dim)
+        q, k, v = _qkv_proj(h, blk, cfg, interpret, lblk, lora_ids, lsc)
+        q = q.reshape(b, 1, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         cache = cache.append(i, k, v)
@@ -424,9 +470,10 @@ def decode_multi(params, tokens, cfg: LlamaConfig, cache: KVCache, *,
     cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
     for i, blk in enumerate(params["blocks"]):
         h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        q = _proj(h, blk["wq"], interpret).reshape(b, t, cfg.num_heads, cfg.head_dim)
-        k = _proj(h, blk["wk"], interpret).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-        v = _proj(h, blk["wv"], interpret).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        q, k, v = _qkv_proj(h, blk, cfg, interpret)
+        q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         cache = cache.append(i, k, v)
@@ -479,9 +526,10 @@ def decode_step_sharded(params, token, cfg: LlamaConfig, cache: KVCache,
     cos, sin = rope_cos_sin(cache.length[:, None], cfg.head_dim, cfg.rope_theta)
     for i, blk in enumerate(params["blocks"]):
         h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        q = _proj(h, blk["wq"], interpret).reshape(b, 1, cfg.num_heads, cfg.head_dim)
-        k = _proj(h, blk["wk"], interpret).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
-        v = _proj(h, blk["wv"], interpret).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        q, k, v = _qkv_proj(h, blk, cfg, interpret)
+        q = q.reshape(b, 1, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         cache = cache.append(i, k, v)
@@ -511,9 +559,10 @@ def decode_step_paged(params, token, cfg: LlamaConfig, pool, *, interpret=None):
     cos, sin = rope_cos_sin(pool.length[:, None], cfg.head_dim, cfg.rope_theta)
     for i, blk in enumerate(params["blocks"]):
         h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        q = _proj(h, blk["wq"], interpret).reshape(b, 1, cfg.num_heads, cfg.head_dim)
-        k = _proj(h, blk["wk"], interpret).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
-        v = _proj(h, blk["wv"], interpret).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        q, k, v = _qkv_proj(h, blk, cfg, interpret)
+        q = q.reshape(b, 1, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         pool = pool.append_token(i, k[:, 0], v[:, 0])
@@ -611,21 +660,51 @@ def quantize_weights(params, mode: str = "int8", group_size: int = 128,
         if mode == "w8a8":
             # same stored weights as int8, but matmul runs native int8xint8
             # MXU with per-token dynamic activation quant (ops/matmul.py)
+            from flash_attn_tpu.ops.matmul import W8A8Weight
+
             vals, scale = quantize_int8(w, axes=(0,))
-            return ("w8a8", vals, scale[0])
+            return W8A8Weight(vals, scale[0])
         if mode == "int4":
             return quantize_int4(w, group_size=group_size)
         raise ValueError(mode)
 
+    proj_names = ("wq", "wk", "wv", "wqkv", "wo", "w_gate", "w_up",
+                  "w_gate_up", "w_down")
     out = {k: v for k, v in params.items()}
     out["blocks"] = []
     for blk in params["blocks"]:
         nb = dict(blk)
-        for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
-            nb[name] = quant(blk[name])
+        for name in proj_names:
+            if name in nb:
+                nb[name] = quant(blk[name])
         out["blocks"].append(nb)
     if "lm_head" not in skip and not isinstance(params["lm_head"], tuple):
         out["lm_head"] = quant(params["lm_head"])
+    return out
+
+
+def fuse_projections(params):
+    """Fuse wq/wk/wv -> wqkv and w_gate/w_up -> w_gate_up per block (single
+    matmul each; ops/matmul.concat_weights).  Works before OR after
+    quantize_weights — every supported scale scheme is column-independent,
+    so the fused matmul is numerically identical to the three separate
+    calls.  Motivation: the r4 device trace put the composed decode step's
+    gap entirely in per-pallas_call fixed cost (15 matmul calls/step);
+    fusing cuts that to 9.  NOT for Megatron-TP trees: the fused output
+    axis concatenates whole projections, which does not align with
+    per-device column shards (parallel/tp.py keeps the unfused names)."""
+    from flash_attn_tpu.ops.matmul import concat_weights
+
+    out = {k: v for k, v in params.items()}
+    out["blocks"] = []
+    for blk in params["blocks"]:
+        nb = {
+            k: v for k, v in blk.items()
+            if k not in ("wq", "wk", "wv", "w_gate", "w_up")
+        }
+        nb["wqkv"] = concat_weights([blk["wq"], blk["wk"], blk["wv"]])
+        nb["w_gate_up"] = concat_weights([blk["w_gate"], blk["w_up"]])
+        out["blocks"].append(nb)
     return out
 
 

@@ -26,10 +26,13 @@ LORA_TARGETS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 def weight_kn(w) -> tuple[int, int]:
     """Original (K, N) of a float or quantized projection weight."""
+    from flash_attn_tpu.ops.matmul import W8A8Weight
     from flash_attn_tpu.ops.quant import Int4Weight
 
     if isinstance(w, Int4Weight):
         return w.shape
+    if isinstance(w, W8A8Weight):
+        return w.vals.shape
     if isinstance(w, tuple):
         if w[0] == "w8a8":
             return w[1].shape

@@ -388,6 +388,25 @@ def matmul_w8a8(
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
+class W8A8Weight:
+    """int8 weight [K, N] + per-column scales [N], flagged for the NATIVE
+    int8 x int8 MXU path (dynamic per-token activation quant in
+    matmul_w8a8).  A pytree class (not the legacy ("w8a8", vals, scales)
+    tuple, whose string tag cannot ride as a jit argument)."""
+
+    vals: jax.Array
+    scales: jax.Array
+
+    def tree_flatten(self):
+        return (self.vals, self.scales), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
 class BiasedWeight:
     """A projection weight of ANY supported kind plus an output bias [N]
     (Qwen-2-style qkv bias).  quantized_matmul unwraps it, so every model
@@ -406,6 +425,56 @@ class BiasedWeight:
         return cls(*children)
 
 
+def concat_weights(ws):
+    """Concatenate projection weights of the SAME kind along the output (N)
+    axis, so several same-input matmuls fuse into one kernel call (qkv,
+    gate+up).  Exact: every supported scheme (per-column int8/w8a8 scales,
+    per-(K-group, column) int4 scales) is column-independent, so
+    quantize-then-concat == concat-then-quantize and the fused matmul's
+    k-loop accumulates each output column identically to the unfused call.
+    The composed decode step pays a fixed cost per pallas_call (r4 device
+    trace: 15 matmul calls/step at ~190 us over the streaming floor), so
+    fewer, wider calls is pure win at decode batch sizes."""
+    kinds = {type(w) for w in ws}
+    if len(kinds) != 1:
+        raise ValueError(f"cannot concat mixed weight kinds: {kinds}")
+    w0 = ws[0]
+    if isinstance(w0, BiasedWeight):
+        return BiasedWeight(
+            concat_weights([w.w for w in ws]),
+            jnp.concatenate([w.bias for w in ws]),
+        )
+    if isinstance(w0, Int4Weight):
+        if len({w.group_size for w in ws}) != 1 or len(
+            {w.shape[0] for w in ws}
+        ) != 1:
+            raise ValueError("int4 concat needs equal K and group_size")
+        return Int4Weight(
+            jnp.concatenate([w.packed for w in ws], axis=1),
+            jnp.concatenate([w.scales for w in ws], axis=1),
+            w0.group_size,
+            (w0.shape[0], sum(w.shape[1] for w in ws)),
+        )
+    if isinstance(w0, W8A8Weight):
+        return W8A8Weight(
+            jnp.concatenate([w.vals for w in ws], axis=1),
+            jnp.concatenate([w.scales for w in ws]),
+        )
+    if isinstance(w0, tuple) and len(w0) == 3 and w0[0] == "w8a8":
+        return (
+            "w8a8",
+            jnp.concatenate([w[1] for w in ws], axis=1),
+            jnp.concatenate([w[2] for w in ws]),
+        )
+    if isinstance(w0, tuple):
+        # scales: [N] per-column or [K//g, N] grouped — N is the last axis
+        return (
+            jnp.concatenate([w[0] for w in ws], axis=1),
+            jnp.concatenate([w[1] for w in ws], axis=w0[1].ndim - 1),
+        )
+    return jnp.concatenate(ws, axis=1)
+
+
 def quantized_matmul(x, w, *, out_dtype=None, interpret=None):
     """Dispatch on weight type: BiasedWeight (any inner kind + bias),
     Int4Weight, (int8, scales) weight-only tuple, ('w8a8', int8, scales)
@@ -418,6 +487,9 @@ def quantized_matmul(x, w, *, out_dtype=None, interpret=None):
         ).astype(y.dtype)
     if isinstance(w, Int4Weight):
         return matmul_int4(x, w, out_dtype=out_dtype, interpret=interpret)
+    if isinstance(w, W8A8Weight):
+        return matmul_w8a8(x, w.vals, w.scales, out_dtype=out_dtype,
+                           interpret=interpret)
     if isinstance(w, tuple) and len(w) == 3 and w[0] == "w8a8":
         _, vals, scales = w
         return matmul_w8a8(x, vals, scales, out_dtype=out_dtype,

@@ -268,3 +268,60 @@ def test_llama_attn_logit_softcap_decode_matches_forward():
     np.testing.assert_allclose(
         np.asarray(logits_d), np.asarray(full2[:, -1]), atol=5e-3, rtol=5e-3
     )
+
+
+@pytest.mark.parametrize("mode", [None, "int8", "int4", "w8a8"])
+def test_fused_projections_exact(tiny, mode):
+    """fuse_projections (wqkv / w_gate_up single-matmul blocks) is
+    numerically equivalent to the unfused tree on forward AND cached
+    decode, for every weight scheme — the schemes' scales are
+    column-independent, so concat-along-N changes nothing but the number
+    of kernel calls (ops/matmul.concat_weights)."""
+    cfg, params = tiny
+    p = (
+        params if mode is None
+        else llama.quantize_weights(params, mode=mode, group_size=32)
+    )
+    pf = llama.fuse_projections(p)
+    toks = jax.random.randint(
+        jax.random.PRNGKey(7), (2, 16), 0, cfg.vocab_size
+    )
+    a = llama.forward(p, toks, cfg, interpret=True)
+    b = llama.forward(pf, toks, cfg, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32),
+        atol=1e-4, rtol=1e-4,
+    )
+
+    tok = jnp.ones((2,), jnp.int32)
+    la, _ = llama.decode_step(
+        p, tok, cfg, llama.make_cache(cfg, 2, 64, mode="int8"),
+        interpret=True,
+    )
+    lb, _ = llama.decode_step(
+        pf, tok, cfg, llama.make_cache(cfg, 2, 64, mode="int8"),
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(la, np.float32), np.asarray(lb, np.float32),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+def test_fuse_projections_quantize_order_invariant(tiny):
+    cfg, params = tiny
+    a = llama.fuse_projections(llama.quantize_weights(params, mode="int8"))
+    b = llama.quantize_weights(llama.fuse_projections(params), mode="int8")
+    tok = jnp.ones((2,), jnp.int32)
+    la, _ = llama.decode_step(
+        a, tok, cfg, llama.make_cache(cfg, 2, 64, mode="int8"),
+        interpret=True,
+    )
+    lb, _ = llama.decode_step(
+        b, tok, cfg, llama.make_cache(cfg, 2, 64, mode="int8"),
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(la, np.float32), np.asarray(lb, np.float32),
+        atol=1e-5, rtol=1e-5,
+    )
