@@ -386,9 +386,13 @@ def bench_llama8b_decode(
         )
         params = llama.init_params(cfg, jax.random.PRNGKey(0))
         # quantized head too: the bf16 head streams 268 MB/step (the
-        # single biggest non-layer op in the r3 device trace, fusion.97)
+        # single biggest non-layer op in the r3 device trace, fusion.97).
+        # The head runs w8a8 (native s8xs8, no int8->bf16 cast): the cast
+        # pinned the large-N head at 0.55 of the streaming roofline
+        # (298 -> 202 us, r4 trace); quality delta measured in the ppl
+        # ladder's int8w8a8h row.
         params = llama.quantize_weights(
-            params, mode=w_mode, skip=("tok_emb",)
+            params, mode=w_mode, skip=("tok_emb",), head_mode="w8a8"
         )
         cache = llama.make_cache(cfg, B, S, mode=kv_mode)
         cache = cache.advance(S - 512)  # decode near full context
@@ -487,7 +491,9 @@ def bench_llama70b_layer(chip_peaks):
             dtype="bfloat16",
         )
         params = llama.init_params(cfg, jax.random.PRNGKey(0))
-        params = llama.quantize_weights(params, mode="int4", skip=("tok_emb",))
+        params = llama.quantize_weights(
+            params, mode="int4", skip=("tok_emb",), head_mode="w8a8"
+        )
         cache = llama.make_cache(cfg, B, S, mode="fp8")
         cache = cache.advance(S - 512)
         tok0 = jnp.ones((B,), jnp.int32)
@@ -698,6 +704,12 @@ def bench_ppl_delta(chip_peaks, dims=None):
         )
         ladder.append((wmode, "none"))
     ladder.append(("int8", "fp8"))
+    # the serving mode the decode bench runs: int8 layers + w8a8 head
+    # (dynamic activation quant on the one large-N matmul)
+    wq["int8w8a8h"] = llama.quantize_weights(
+        base_params, mode="int8", skip=("tok_emb",), head_mode="w8a8"
+    )
+    ladder.append(("int8w8a8h", "fp8"))
     for wmode, kv in ladder:
         v = nll(wq[wmode], kv)
         out[f"ppl_nll_{wmode}_{kv}"] = round(v, 5)

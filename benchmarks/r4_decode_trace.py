@@ -30,7 +30,15 @@ def main(w_mode="int8", kv_mode="fp8"):
         dtype="bfloat16",
     )
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
-    params = llama.quantize_weights(params, mode=w_mode, skip=("tok_emb",))
+    if "+" in w_mode:  # e.g. "int8+w8a8" = int8 layers, w8a8 head
+        lmode, hmode = w_mode.split("+")
+        params = llama.quantize_weights(
+            params, mode=lmode, skip=("tok_emb",), head_mode=hmode
+        )
+    else:
+        params = llama.quantize_weights(
+            params, mode=w_mode, skip=("tok_emb",)
+        )
     params_f = llama.fuse_projections(params)
     cache = llama.make_cache(cfg, B, S, mode=kv_mode)
     cache = cache.advance(S - 512)

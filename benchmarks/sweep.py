@@ -26,9 +26,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _peaks():
-    from bench import chip_peaks
+    from flash_attn_tpu.utils.profiling import CHIP_PEAKS, chip_kind
 
-    return chip_peaks()
+    return CHIP_PEAKS[chip_kind()]
 
 
 def sweep_fwd(args):

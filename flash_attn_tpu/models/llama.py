@@ -642,18 +642,23 @@ def make_adapter(cfg: LlamaConfig, *, interpret=None, eos_token=None,
 
 
 def quantize_weights(params, mode: str = "int8", group_size: int = 128,
-                     skip=("tok_emb", "lm_head")):
+                     skip=("tok_emb", "lm_head"), head_mode: str | None = None):
     """Weight-only quantization of every projection matrix (B7 wiring).
 
-    mode: 'int8' (per-column scales) or 'int4' (grouped Int4Weight).
-    Embeddings / head stay float by default.
+    mode: 'int8' (per-column scales), 'int4' (grouped Int4Weight), or
+    'w8a8' (native int8 MXU with dynamic activation quant).  Embeddings /
+    head stay float by default.  head_mode overrides ``mode`` for the LM
+    head only (when 'lm_head' is not in skip): the head is the one
+    large-N matmul in the decode step, where w8a8's cast-free streaming
+    wins (298 -> 202 us at 8B dims, docs/BENCHMARKS.md r4) while the
+    layer weights may prefer a different scheme.
     """
     from flash_attn_tpu.ops.matmul import BiasedWeight
     from flash_attn_tpu.ops.quant import quantize_int4, quantize_int8
 
-    def quant(w):
+    def quant(w, mode=mode):
         if isinstance(w, BiasedWeight):
-            return BiasedWeight(quant(w.w), w.bias)
+            return BiasedWeight(quant(w.w, mode), w.bias)
         if mode == "int8":
             vals, scale = quantize_int8(w, axes=(0,))
             return (vals, scale[0])
@@ -679,7 +684,7 @@ def quantize_weights(params, mode: str = "int8", group_size: int = 128,
                 nb[name] = quant(blk[name])
         out["blocks"].append(nb)
     if "lm_head" not in skip and not isinstance(params["lm_head"], tuple):
-        out["lm_head"] = quant(params["lm_head"])
+        out["lm_head"] = quant(params["lm_head"], head_mode or mode)
     return out
 
 

@@ -183,12 +183,19 @@ def _int4_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, nk, gpb, half, out_dtype):
     bm = x.shape[0]
     g = 2 * half
     # group-local halves: reshape to groups, unpack lo/hi, concat along k.
-    # Nibble math widens to int32 (Mosaic has no int8 sub) and the offset-8
-    # decode happens as a float subtract — exact for values 0..15.
+    # The unpack is the kernel's VPU bottleneck (decode-shape M=8 is
+    # unpack-bound, not DMA-bound: ~5 ops per packed byte vs 1.2 us/MB of
+    # DMA), so it is kept minimal: widen to int32 (Mosaic has no int8
+    # sub), one mask for lo, one shift for hi (uint8 source: >>4 already
+    # leaves 0..15, no second mask), and NO per-element offset subtract —
+    # the symmetric -8 decodes algebraically on the accumulator instead:
+    #   sum_k x_k (n_k - 8) s = (sum_k x_k n_k) s - 8 s (sum_k x_k)
+    # with the per-group x-sums costing O(bm*block_k) instead of the two
+    # O(block_k*bn) subtracts.
     pg = p.reshape(gpb, half, bn).astype(jnp.int32)
-    lo = (pg & 0x0F).astype(x.dtype) - jnp.asarray(8, x.dtype)
-    hi = ((pg >> 4) & 0x0F).astype(x.dtype) - jnp.asarray(8, x.dtype)
-    vals = jnp.concatenate([lo, hi], axis=1)  # [gpb, g, bn]
+    lo = (pg & 0x0F).astype(x.dtype)
+    hi = (pg >> 4).astype(x.dtype)
+    vals = jnp.concatenate([lo, hi], axis=1)  # [gpb, g, bn], nibbles 0..15
     prec = (
         jax.lax.Precision.DEFAULT
         if x.dtype != jnp.float32 else jax.lax.Precision.HIGHEST
@@ -203,20 +210,24 @@ def _int4_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, nk, gpb, half, out_dtype):
             preferred_element_type=jnp.float32,
             precision=prec,
         )  # [gpb, bm, bn]
+        xsum = jnp.sum(xg.astype(jnp.float32), axis=2)  # [gpb, bm]
+        partial = partial - 8.0 * xsum[:, :, None]
         acc[...] += jnp.sum(partial * s[:, None, :], axis=0)
     else:
         # g < 128: Mosaic can't shape-cast the lane dim into (gpb, g) —
         # unroll the (few) groups as lane-sliced dots, folding each
-        # group's scale on its partial (exact, same algebra)
+        # group's scale and -8 offset on its partial (exact, same algebra)
         add = jnp.zeros_like(acc[...])
         for i in range(gpb):
+            xi = x[:, i * g : (i + 1) * g]
             partial = jax.lax.dot_general(
-                x[:, i * g : (i + 1) * g], vals[i],
+                xi, vals[i],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )  # [bm, bn]
-            add += partial * s[i][None, :]
+            xsum = jnp.sum(xi.astype(jnp.float32), axis=1)  # [bm]
+            add += (partial - 8.0 * xsum[:, None]) * s[i][None, :]
         acc[...] += add
 
     @pl.when(ki == nk - 1)
@@ -229,12 +240,18 @@ def matmul_int4(
     w: Int4Weight,
     *,
     block_m: int = 128,
-    block_n: int = 1024,
+    block_n: int = 2048,
     block_k: int | None = None,
     out_dtype=None,
     interpret: bool | None = None,
 ):
-    """x [M, K] @ packed-int4 w (K, N) with per-(group, N) scales."""
+    """x [M, K] @ packed-int4 w (K, N) with per-(group, N) scales.
+
+    Defaults bn=2048 / bk=min(1024, K): the r4 on-chip sweep at the
+    decode gate shape [8 x 4096 x 14336] ranks (2048, 1024) first at
+    59.2 us vs 68.2 for the old (1024, 512) — the kernel is VPU
+    unpack-bound, and wider n-blocks amortize the per-group x-sum and
+    unpack overhead (benchmarks/sweep.py matmul --w int4)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     out_dtype = out_dtype or x.dtype
@@ -242,7 +259,7 @@ def matmul_int4(
     Kw, N = w.shape
     assert K == Kw, (x.shape, w.shape)
     g = w.group_size
-    block_k = block_k or max(g, min(512, K))
+    block_k = block_k or max(g, min(1024, K))
     if block_k % g:
         block_k = g
     gpb = block_k // g  # groups per k-block

@@ -325,3 +325,27 @@ def test_fuse_projections_quantize_order_invariant(tiny):
         np.asarray(la, np.float32), np.asarray(lb, np.float32),
         atol=1e-5, rtol=1e-5,
     )
+
+
+def test_quantize_head_mode_override(tiny):
+    """head_mode quantizes the LM head with a different scheme than the
+    layer weights (the decode bench's serving mode: int8 layers + w8a8
+    head — the head is the one large-N matmul where the cast-free s8xs8
+    path wins; docs/BENCHMARKS.md r4)."""
+    from flash_attn_tpu.ops.matmul import W8A8Weight
+
+    cfg, params = tiny
+    qp = llama.quantize_weights(
+        params, mode="int8", skip=("tok_emb",), head_mode="w8a8"
+    )
+    assert isinstance(qp["lm_head"], W8A8Weight)
+    assert isinstance(qp["blocks"][0]["wq"], tuple)  # int8 (vals, scales)
+    toks = jax.random.randint(
+        jax.random.PRNGKey(9), (1, 16), 0, cfg.vocab_size
+    )
+    full = llama.forward(params, toks, cfg, interpret=True)
+    qlogits = llama.forward(qp, toks, cfg, interpret=True)
+    agree = float(np.mean(
+        np.argmax(np.asarray(full), -1) == np.argmax(np.asarray(qlogits), -1)
+    ))
+    assert agree > 0.7, agree
