@@ -552,7 +552,7 @@ def bench_llama70b_layer(chip_peaks):
     }
 
 
-def bench_engine(chip_peaks, raw_tokens_per_s=None):
+def bench_engine(chip_peaks, raw_tokens_per_s=None, decode_burst=64):
     """Served (engine-level) throughput on chip — VERDICT r2 item 3: the
     continuous-batching engine driven end-to-end (prefill + decode +
     scheduler + sampler), not just the raw decode_step.
@@ -583,29 +583,42 @@ def bench_engine(chip_peaks, raw_tokens_per_s=None):
     eng = InferenceEngine(
         params, llama.make_adapter(cfg, interpret=False),
         max_batch=B, capacity=S, kv_mode="int8",
-        cache_dtype=jnp.bfloat16, decode_burst=64,
+        cache_dtype=jnp.bfloat16, decode_burst=decode_burst,
     )
     prompt = list(range(1, 65))  # one 64-token bucket for all slots
-    gen_tokens = 512
 
     # warm: compile prefill + burst graphs on a short run
     for _ in range(B):
         eng.submit(prompt, max_tokens=65)
     eng.run()
 
-    reqs = [eng.submit(prompt, max_tokens=gen_tokens) for _ in range(B)]
-    t0 = time.perf_counter()
-    eng.run()
-    wall = time.perf_counter() - t0
-    toks = sum(len(r.generated) for r in reqs)
-    eng_tps = toks / wall
+    def run(gen_tokens):
+        reqs = [eng.submit(prompt, max_tokens=gen_tokens) for _ in range(B)]
+        t0 = time.perf_counter()
+        eng.run()
+        wall = time.perf_counter() - t0
+        return sum(len(r.generated) for r in reqs), wall
+
+    # Two run lengths: the short run carries ~0.5 s of per-batch fixed
+    # cost (8 sequential prefill dispatches x relay RTT + first-burst
+    # pipeline fill) that a production server pays once per admission,
+    # not per token.  The marginal (difference) rate is the steady-state
+    # served tokens/sec; both are reported.
+    toks1, wall1 = run(512)
+    toks2, wall2 = run(2048)
+    eng_tps = toks1 / wall1
+    steady_tps = (toks2 - toks1) / max(wall2 - wall1, 1e-9)
     out = {
         "engine_tokens_per_s_2layer": round(eng_tps, 1),
-        "engine_wall_s": round(wall, 3),
-        "engine_decode_burst": 64,
+        "engine_steady_tokens_per_s_2layer": round(steady_tps, 1),
+        "engine_wall_s": round(wall1 + wall2, 3),
+        "engine_decode_burst": decode_burst,
     }
     if raw_tokens_per_s:
         out["engine_vs_raw_ratio"] = round(raw_tokens_per_s / eng_tps, 3)
+        out["engine_steady_vs_raw_ratio"] = round(
+            raw_tokens_per_s / steady_tps, 3
+        )
     m = eng.metrics.snapshot() if hasattr(eng.metrics, "snapshot") else {}
     if isinstance(m, dict) and "decode_tokens_per_s" in m:
         out["engine_metric_decode_tps"] = round(m["decode_tokens_per_s"], 1)

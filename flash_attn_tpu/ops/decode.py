@@ -995,6 +995,8 @@ def _decode_kernel_call_bhsd(q, k, v, kv_length, *, scale, k_scale, v_scale,
         # path with a replicated fake group of 8: q is KB-sized next to
         # the KV stream and the MXU is idle in decode, so the 8x
         # replication is noise; rows are identical and row 0 is returned.
+        # (rep=4 was probed on real Mosaic and FAILS the same shape-cast
+        # at [Hk, 4, 64] — 8 is the smallest group that lowers here.)
         rep = 8
         res = _decode_kernel_call_bhsd(
             jnp.repeat(q, rep, axis=1), k, v, kv_length, scale=scale,
