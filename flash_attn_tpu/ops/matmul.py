@@ -235,6 +235,77 @@ def _int4_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, nk, gpb, half, out_dtype):
         o_ref[...] = acc[...].astype(out_dtype)
 
 
+def _int4_plane_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, nk, gpb, g,
+                       out_dtype, interpret):
+    """Whole-i32-word nibble decode for the "planes" packing (the fp8
+    packed-pair trick applied to int4): for each nibble position p, one
+    shift + one mask + one OR over the int32 words builds bf16 lanes with
+    the nibble in mantissa bits 3-6 and exponent 127, i.e. EXACTLY
+    1 + n/16 — ~1.5 VPU ops per element (the halves kernel needs ~2.5)
+    and zero concat/shuffle, because the packing places each decoded
+    plane as a contiguous run of g/4 value rows.  The affine decode
+    (w = n - 8 = 16*v - 24) folds on the [bm, bn] accumulator via
+    per-group x-sums."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    x = x_ref[...]  # [bm, block_k]
+    p = w_ref[...]  # [block_k//2, bn] uint8, plane layout
+    bm = x.shape[0]
+    bn = p.shape[-1]
+    quarter = g // 4
+    xg = jnp.swapaxes(x.reshape(bm, gpb, g), 0, 1)  # [gpb, bm, g]
+    s = s_ref[0].astype(jnp.float32)  # [gpb, bn]
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if x.dtype != jnp.float32 else jax.lax.Precision.HIGHEST
+    )
+    dims = (((2,), (1,)), ((0,), (0,)))
+
+    if interpret:
+        # pltpu.bitcast has no interpret lowering: decode with plain jnp.
+        # The plane packing makes value order = [even-row lo; even-row hi;
+        # odd-row lo; odd-row hi] per group, so strided slices reconstruct
+        # it with no gather (exact integers — numerics identical).
+        pg = p.reshape(gpb, g // 2, bn).astype(jnp.int32)
+        ev, od = pg[:, 0::2], pg[:, 1::2]
+        vals = jnp.concatenate(
+            [ev & 0x0F, ev >> 4, od & 0x0F, od >> 4], axis=1
+        ).astype(x.dtype)
+        vals = vals - jnp.asarray(8, x.dtype)
+        partial = jax.lax.dot_general(
+            xg, vals, dims, preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        acc[...] += jnp.sum(partial * s[:, None, :], axis=0)
+    else:
+        w32 = pltpu.bitcast(p, jnp.int32)  # [block_k//8, bn]
+        partial = None
+        for pidx in range(4):
+            t = (w32 << 3) if pidx == 0 else (w32 >> (4 * pidx - 3))
+            t = (t & 0x00780078) | 0x3F803F80
+            plane = pltpu.bitcast(t, jnp.bfloat16)  # [block_k//4, bn]
+            pv = plane.reshape(gpb, quarter, bn)
+            if x.dtype != jnp.bfloat16:
+                pv = pv.astype(x.dtype)
+            xp = xg[:, :, pidx * quarter : (pidx + 1) * quarter]
+            d = jax.lax.dot_general(
+                xp, pv, dims, preferred_element_type=jnp.float32,
+                precision=prec,
+            )  # [gpb, bm, bn]
+            partial = d if partial is None else partial + d
+        xsum = jnp.sum(xg.astype(jnp.float32), axis=2)  # [gpb, bm]
+        partial = 16.0 * partial - 24.0 * xsum[:, :, None]
+        acc[...] += jnp.sum(partial * s[:, None, :], axis=0)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[...] = acc[...].astype(out_dtype)
+
+
 def matmul_int4(
     x: jax.Array,
     w: Int4Weight,
@@ -277,10 +348,21 @@ def matmul_int4(
     Mp = xp.shape[0]
     Np = packed.shape[1]
 
-    out = pl.pallas_call(
-        functools.partial(
+    layout = getattr(w, "layout", "halves")
+    if layout == "planes":
+        if g % 128:
+            raise ValueError("planes layout requires group_size % 128 == 0")
+        kern = functools.partial(
+            _int4_plane_kernel, nk=nk, gpb=gpb, g=g, out_dtype=out_dtype,
+            interpret=interpret,
+        )
+    else:
+        kern = functools.partial(
             _int4_kernel, nk=nk, gpb=gpb, half=half, out_dtype=out_dtype
-        ),
+        )
+
+    out = pl.pallas_call(
+        kern,
         grid=(Mp // block_m, Np // block_n, nk),
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda mi, ni, ki: (mi, ki)),
@@ -464,13 +546,14 @@ def concat_weights(ws):
     if isinstance(w0, Int4Weight):
         if len({w.group_size for w in ws}) != 1 or len(
             {w.shape[0] for w in ws}
-        ) != 1:
-            raise ValueError("int4 concat needs equal K and group_size")
+        ) != 1 or len({getattr(w, "layout", "halves") for w in ws}) != 1:
+            raise ValueError("int4 concat needs equal K, group_size, layout")
         return Int4Weight(
             jnp.concatenate([w.packed for w in ws], axis=1),
             jnp.concatenate([w.scales for w in ws], axis=1),
             w0.group_size,
             (w0.shape[0], sum(w.shape[1] for w in ws)),
+            getattr(w0, "layout", "halves"),
         )
     if isinstance(w0, W8A8Weight):
         return W8A8Weight(

@@ -55,21 +55,59 @@ def dequantize(values: jax.Array, scale: jax.Array, dtype=jnp.float32):
 
 @dataclass
 class Int4Weight:
-    """Packed int4 weight for [K, N] matmul: packed [K//2, N] uint8 (low
-    nibble = even k), scales [K//group_size, N] fp32."""
+    """Packed int4 weight for [K, N] matmul: packed [K//2, N] uint8,
+    scales [K//group_size, N] fp32.
+
+    layout: nibble placement within each group of ``group_size`` k-rows.
+    - "halves": packed row j holds (row j, row j + g/2) in (lo, hi) —
+      in-kernel unpack is one concat, no interleave shuffle.
+    - "planes": rows are placed so the whole-i32-word mantissa-OR decode
+      (_int4_plane_kernel in ops/matmul.py — the fp8 packed-pair trick
+      applied to nibbles: value = 1 + n/16 exactly in bf16, offsets
+      folded on the accumulator) emits each of its four nibble planes as
+      a CONTIGUOUS run of g/4 value rows: no concat, no x permute, ~1.5
+      VPU ops per element instead of ~2.5.  Requires group_size % 128 == 0
+      (the grouped-dot kernel path)."""
 
     packed: jax.Array
     scales: jax.Array
     group_size: int
     shape: tuple  # original (K, N)
+    layout: str = "halves"
 
     def tree_flatten(self):
-        return (self.packed, self.scales), (self.group_size, self.shape)
+        return (self.packed, self.scales), (
+            self.group_size, self.shape, self.layout,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         packed, scales = children
-        return cls(packed, scales, aux[0], aux[1])
+        layout = aux[2] if len(aux) > 2 else "halves"
+        return cls(packed, scales, aux[0], aux[1], layout)
+
+
+def _plane_row_sources(g: int):
+    """For the "planes" layout: value-row index stored in (lo, hi) of each
+    packed row r in 0..g/2 (see _int4_plane_kernel for the derivation from
+    pltpu.bitcast's word/lane order: bf16 row m of plane p decodes packed
+    row 2m + (p >= 2), nibble (lo if p even... p in {0: lo@even, 1: hi@even,
+    2: lo@odd, 3: hi@odd}), and plane p must emit value rows
+    p*g/4 + m)."""
+    import numpy as np
+
+    half, quarter = g // 2, g // 4
+    lo_src = np.empty(half, np.int64)
+    hi_src = np.empty(half, np.int64)
+    for r in range(half):
+        m = r // 2
+        if r % 2 == 0:
+            lo_src[r] = 0 * quarter + m  # plane 0
+            hi_src[r] = 1 * quarter + m  # plane 1
+        else:
+            lo_src[r] = 2 * quarter + m  # plane 2
+            hi_src[r] = 3 * quarter + m  # plane 3
+    return lo_src, hi_src
 
 
 jax.tree_util.register_pytree_node(
@@ -78,7 +116,8 @@ jax.tree_util.register_pytree_node(
 
 
 def quantize_int4(w: jax.Array, group_size: int = 128,
-                  clip_search: bool = True) -> Int4Weight:
+                  clip_search: bool = True,
+                  layout: str | None = None) -> Int4Weight:
     """Quantize [K, N] weights to packed int4 with per-(group, N) scales.
 
     Packing is *group-local halves*, not interleaved: within each group of
@@ -118,26 +157,56 @@ def quantize_int4(w: jax.Array, group_size: int = 128,
         scales = best_scales
     q = jnp.clip(jnp.round(wf / scales), -7, 7).astype(jnp.int8)  # [K//g, g, N]
     qu = (q + 8).astype(jnp.uint8)
-    lo = qu[:, : g // 2]  # first half of each group
-    hi = qu[:, g // 2 :]  # second half
+    if layout is None:
+        layout = "planes" if group_size % 128 == 0 else "halves"
+    if layout == "planes":
+        lo_src, hi_src = _plane_row_sources(g)
+        lo = jnp.take(qu, jnp.asarray(lo_src), axis=1)
+        hi = jnp.take(qu, jnp.asarray(hi_src), axis=1)
+    elif layout == "halves":
+        lo = qu[:, : g // 2]  # first half of each group
+        hi = qu[:, g // 2 :]  # second half
+    else:
+        raise ValueError(f"unknown int4 layout {layout!r}")
     packed = (lo | (hi << 4)).reshape(K // 2, N).astype(jnp.uint8)
-    return Int4Weight(packed, scales[:, 0, :], group_size, (K, N))
+    return Int4Weight(packed, scales[:, 0, :], group_size, (K, N), layout)
 
 
-def unpack_int4(packed: jax.Array, group_size: int) -> jax.Array:
-    """Inverse of the group-local-halves packing: [K//2, N] uint8 ->
-    [K, N] int8 in [-8, 7]."""
+def unpack_int4(packed: jax.Array, group_size: int,
+                layout: str = "halves") -> jax.Array:
+    """Inverse of the group-local packing: [K//2, N] uint8 ->
+    [K, N] int8 in [-8, 7] (value-row order)."""
     K2, N = packed.shape
     g = group_size
     p = packed.reshape(K2 * 2 // g, g // 2, N)
     lo = (p & jnp.uint8(0x0F)).astype(jnp.int8) - 8
     hi = ((p >> 4) & jnp.uint8(0x0F)).astype(jnp.int8) - 8
-    return jnp.concatenate([lo, hi], axis=1).reshape(K2 * 2, N)
+    if layout == "halves":
+        vals = jnp.concatenate([lo, hi], axis=1)
+    elif layout == "planes":
+        # scatter nibbles back to value-row order (inverse of
+        # _plane_row_sources): value row lo_src[r] <- lo[r], etc.
+        import numpy as np
+
+        lo_src, hi_src = _plane_row_sources(g)
+        inv = np.empty(g, np.int64)
+        # value row v came from (packed row, nibble); build a gather over
+        # the concatenated [lo; hi] planes-in-packed-order tensor
+        for r in range(g // 2):
+            inv[lo_src[r]] = r            # lo of packed row r
+            inv[hi_src[r]] = g // 2 + r   # hi of packed row r
+        both = jnp.concatenate([lo, hi], axis=1)  # [.., g, N] packed order
+        vals = jnp.take(both, jnp.asarray(inv), axis=1)
+    else:
+        raise ValueError(f"unknown int4 layout {layout!r}")
+    return vals.reshape(K2 * 2, N)
 
 
 def dequantize_int4(w: Int4Weight, dtype=jnp.float32) -> jax.Array:
     K, N = w.shape
-    vals = unpack_int4(w.packed, w.group_size).astype(jnp.float32)  # [K, N]
+    vals = unpack_int4(
+        w.packed, w.group_size, getattr(w, "layout", "halves")
+    ).astype(jnp.float32)  # [K, N]
     scales = jnp.repeat(w.scales, w.group_size, axis=0)  # [K, N]
     return (vals * scales).astype(dtype)
 

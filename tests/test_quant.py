@@ -196,3 +196,30 @@ def test_llama_w8a8_mode():
     # logits stay well-correlated under int8 weight+activation quant
     c = np.corrcoef(np.asarray(base).ravel(), np.asarray(got).ravel())[0, 1]
     assert c > 0.999, c
+
+
+def test_int4_plane_layout_roundtrip_and_matmul():
+    """The "planes" packing (whole-i32-word mantissa-OR decode,
+    ops/matmul._int4_plane_kernel) dequantizes bitwise-identically to the
+    halves layout and its matmul matches the dequant oracle; auto layout
+    picks planes when group_size % 128 == 0."""
+    import numpy as np
+    from flash_attn_tpu.ops.matmul import quantized_matmul
+    from flash_attn_tpu.ops.quant import dequantize_int4, quantize_int4
+
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.standard_normal((512, 384)) * 0.02, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((8, 512)), jnp.float32)
+    for g in (128, 256):
+        wp = quantize_int4(w, group_size=g)
+        assert wp.layout == "planes"
+        wh = quantize_int4(w, group_size=g, layout="halves")
+        np.testing.assert_array_equal(
+            np.asarray(dequantize_int4(wp)), np.asarray(dequantize_int4(wh))
+        )
+        got = quantized_matmul(x, wp, out_dtype=jnp.float32, interpret=True)
+        want = jnp.dot(x, dequantize_int4(wp))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4
+        )
+    assert quantize_int4(w, group_size=64).layout == "halves"
