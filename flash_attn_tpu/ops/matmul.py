@@ -338,6 +338,13 @@ def matmul_int4(
 
     block_m = min(block_m, _cdiv(M, 8) * 8)
     block_n = min(block_n, _cdiv(N, 128) * 128)
+    # The grouped kernels hold an fp32 [gpb, bm, bn] partial in VMEM; the
+    # bn=2048 decode-shape default (bm=8: 0.5 MB) blows the 16 MB scoped
+    # limit at prefill bm=128 (8*128*2048*4 = 8.4 MB plus planes/buffers,
+    # measured 23.5 MB > 16).  Halve bn until the partial fits a ~4 MB
+    # budget.
+    while gpb * block_m * block_n * 4 > 4 << 20 and block_n > 512:
+        block_n //= 2
     if K % block_k:
         raise ValueError(f"K ({K}) must be a multiple of block_k ({block_k})")
 
