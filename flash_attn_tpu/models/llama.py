@@ -645,8 +645,9 @@ def quantize_weights(params, mode: str = "int8", group_size: int = 128,
                      skip=("tok_emb", "lm_head"), head_mode: str | None = None):
     """Weight-only quantization of every projection matrix (B7 wiring).
 
-    mode: 'int8' (per-column scales), 'int4' (grouped Int4Weight), or
-    'w8a8' (native int8 MXU with dynamic activation quant).  Embeddings /
+    mode: 'int8' (per-column scales), 'int4' (grouped Int4Weight),
+    'w8a8' (native int8 MXU with dynamic activation quant), or 'w4a8'
+    (int4-packed weights on the native int8 MXU).  Embeddings /
     head stay float by default.  head_mode overrides ``mode`` for the LM
     head only (when 'lm_head' is not in skip): the head is the one
     large-N matmul in the decode step, where w8a8's cast-free streaming
@@ -671,6 +672,16 @@ def quantize_weights(params, mode: str = "int8", group_size: int = 128,
             return W8A8Weight(vals, scale[0])
         if mode == "int4":
             return quantize_int4(w, group_size=group_size)
+        if mode == "w4a8":
+            # same packed int4 nibbles as 'int4' (halves layout), but the
+            # matmul decodes them to int8 planes (3 VPU ops / 4 bytes) and
+            # runs the native s8 x s8 MXU with per-token dynamic
+            # activation quant — full weight-streaming speed at int4 bytes
+            # (ops/matmul.matmul_w4a8)
+            from flash_attn_tpu.ops.matmul import W4A8Weight
+
+            q4 = quantize_int4(w, group_size=group_size, layout="halves")
+            return W4A8Weight(q4.packed, q4.scales, q4.group_size, q4.shape)
         raise ValueError(mode)
 
     proj_names = ("wq", "wk", "wv", "wqkv", "wo", "w_gate", "w_up",
@@ -703,6 +714,9 @@ def fuse_projections(params):
     out = {k: v for k, v in params.items()}
     out["blocks"] = []
     for blk in params["blocks"]:
+        if "wqkv" in blk:  # already fused: idempotent no-op
+            out["blocks"].append(blk)
+            continue
         nb = {
             k: v for k, v in blk.items()
             if k not in ("wq", "wk", "wv", "w_gate", "w_up")

@@ -358,10 +358,20 @@ def quantize_weights(params, mode: str = "int8", group_size: int = 128):
             vals, scale = quantize_int8(w, axes=(0,))
             return (vals, scale[0])
         if mode == "w8a8":
+            # W8A8Weight pytree class, same as llama's quantize_weights —
+            # the legacy ("w8a8", ...) string-tagged tuple cannot ride as
+            # a jit argument (quantized_matmul still dispatches old trees).
+            from flash_attn_tpu.ops.matmul import W8A8Weight
+
             vals, scale = quantize_int8(w, axes=(0,))
-            return ("w8a8", vals, scale[0])
+            return W8A8Weight(vals, scale[0])
         if mode == "int4":
             return quantize_int4(w, group_size=group_size)
+        if mode == "w4a8":
+            from flash_attn_tpu.ops.matmul import W4A8Weight
+
+            q4 = quantize_int4(w, group_size=group_size, layout="halves")
+            return W4A8Weight(q4.packed, q4.scales, q4.group_size, q4.shape)
         raise ValueError(mode)
 
     out = {k: v for k, v in params.items()}

@@ -306,6 +306,40 @@ def _int4_plane_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, nk, gpb, g,
         o_ref[...] = acc[...].astype(out_dtype)
 
 
+_PLANES_PROBE_OK = False
+
+
+def _probe_planes_decode():
+    """One-time real-hardware guard for the whole-word nibble decode: the
+    planes kernel's correctness hinges on pltpu.bitcast's uint8->int32
+    byte/sublane order and int32->bf16 half order matching
+    quant._plane_row_sources.  CPU CI cannot see a mismatch (the interpret
+    branch decodes with plain jnp), so the first non-interpret planes
+    matmul in a process runs a tiny known-pattern weight through the real
+    kernel and checks it against the dequantize oracle — raising
+    immediately instead of silently corrupting every default-group-size
+    int4 weight if a JAX/Mosaic change ever reorders the bitcast packing."""
+    global _PLANES_PROBE_OK
+    if _PLANES_PROBE_OK:
+        return
+    _PLANES_PROBE_OK = True  # set first: the probe itself calls matmul_int4
+    from flash_attn_tpu.ops.quant import dequantize_int4, quantize_int4
+
+    wf = jax.random.normal(jax.random.PRNGKey(0), (128, 128), jnp.float32)
+    w = quantize_int4(wf, group_size=128, clip_search=False, layout="planes")
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 128)).astype(jnp.bfloat16)
+    got = matmul_int4(x, w, out_dtype=jnp.float32, interpret=False)
+    want = jnp.dot(x.astype(jnp.float32), dequantize_int4(w),
+                   preferred_element_type=jnp.float32)
+    err = jnp.max(jnp.abs(got - want)) / (jnp.max(jnp.abs(want)) + 1e-9)
+    if not bool(err < 1e-2):  # an order mismatch permutes rows: err ~ O(1)
+        raise RuntimeError(
+            "int4 'planes' decode mismatch on this backend: pltpu.bitcast "
+            f"ordering no longer matches the packing (rel err {float(err):.3g})."
+            " Quantize with layout='halves' until the kernel is fixed."
+        )
+
+
 def matmul_int4(
     x: jax.Array,
     w: Int4Weight,
@@ -338,12 +372,15 @@ def matmul_int4(
 
     block_m = min(block_m, _cdiv(M, 8) * 8)
     block_n = min(block_n, _cdiv(N, 128) * 128)
-    # The grouped kernels hold an fp32 [gpb, bm, bn] partial in VMEM; the
-    # bn=2048 decode-shape default (bm=8: 0.5 MB) blows the 16 MB scoped
-    # limit at prefill bm=128 (8*128*2048*4 = 8.4 MB plus planes/buffers,
-    # measured 23.5 MB > 16).  Halve bn until the partial fits a ~4 MB
-    # budget.
-    while gpb * block_m * block_n * 4 > 4 << 20 and block_n > 512:
+    # The grouped-dot kernels (g % 128 == 0) hold an fp32 [gpb, bm, bn]
+    # partial in VMEM; the bn=2048 decode-shape default (bm=8: 0.5 MB)
+    # blows the 16 MB scoped limit at prefill bm=128 (8*128*2048*4 =
+    # 8.4 MB plus planes/buffers, measured 23.5 MB > 16).  Halve bn until
+    # the partial fits a ~4 MB budget.  The unrolled g < 128 path only
+    # ever materializes a [bm, bn] partial, so its budget must not be
+    # gpb-scaled (group_size=32 at K>=1024 would needlessly force bn=512).
+    partial_rows = gpb if g % 128 == 0 else 1
+    while partial_rows * block_m * block_n * 4 > 4 << 20 and block_n > 512:
         block_n //= 2
     if K % block_k:
         raise ValueError(f"K ({K}) must be a multiple of block_k ({block_k})")
@@ -359,6 +396,8 @@ def matmul_int4(
     if layout == "planes":
         if g % 128:
             raise ValueError("planes layout requires group_size % 128 == 0")
+        if not interpret:
+            _probe_planes_decode()
         kern = functools.partial(
             _int4_plane_kernel, nk=nk, gpb=gpb, g=g, out_dtype=out_dtype,
             interpret=interpret,
@@ -492,6 +531,176 @@ def matmul_w8a8(
     return out[:M, :N]
 
 
+def _w4a8_kernel(x_ref, sx_ref, w_ref, s_ref, o_ref, acc, *, nk, gpb, g,
+                 out_dtype, interpret):
+    """Packed-int4 weights on the NATIVE s8 x s8 MXU (W4A8): nibble planes
+    are decoded with THREE whole-i32-word VPU ops per four packed bytes —
+    (w32 & 0x0F0F0F0F) is every byte's lo nibble and
+    ((w32 >> 4) & 0x0F0F0F0F) every byte's hi nibble, both byte-symmetric,
+    so (unlike the bf16 'planes' decode) the result is INDEPENDENT of
+    pltpu.bitcast's byte/sublane ordering — then fed straight to the MXU
+    as int8 with int32 accumulation.  ~0.4 VPU ops per weight element vs
+    ~1.5 for the bf16 planes decode and ~2.5 for halves: the int4 unpack
+    stops being the kernel's bottleneck, and the MXU feed is cast-free
+    (the w8a8 recipe, halved weight bytes).
+
+    Halves packing makes each plane a CONTIGUOUS run of g/2 value rows per
+    group (byte row j of group i holds value rows i*g+j and i*g+g/2+j), so
+    the lo/hi planes pair with x's per-group halves with no shuffle.  The
+    symmetric -8 offset folds on the accumulator via per-group x-sums
+    (exact: sum_k x_k (n_k - 8) = dot(x, n) - 8 * sum_k x_k), and the
+    per-(group, col) weight scales multiply the [gpb, bm, bn] int32
+    partials in fp32; the per-row activation scale applies at finalize.
+    """
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    xq = x_ref[...]  # [bm, block_k] int8
+    p = w_ref[...]   # [block_k//2, bn] uint8, halves layout
+    bm = xq.shape[0]
+    bn = p.shape[-1]
+    half = g // 2
+
+    if interpret:
+        # pltpu.bitcast has no interpret lowering; plain jnp decode is
+        # bit-identical (the masks are byte-symmetric).
+        p32 = p.astype(jnp.int32)
+        lo8 = (p32 & 0x0F).astype(jnp.int8)
+        hi8 = (p32 >> 4).astype(jnp.int8)
+    else:
+        w32 = pltpu.bitcast(p, jnp.int32)  # [block_k//8, bn]
+        lo8 = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)
+        hi8 = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
+    lo_g = lo8.reshape(gpb, half, bn)  # value rows i*g ..  i*g+g/2
+    hi_g = hi8.reshape(gpb, half, bn)  # value rows i*g+g/2 .. (i+1)*g
+
+    xg = jnp.swapaxes(xq.reshape(bm, gpb, g), 0, 1)  # [gpb, bm, g]
+    x_lo = xg[:, :, :half]
+    x_hi = xg[:, :, half:]
+    dims = (((2,), (1,)), ((0,), (0,)))
+    d = jax.lax.dot_general(
+        x_lo, lo_g, dims, preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
+    ) + jax.lax.dot_general(
+        x_hi, hi_g, dims, preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # [gpb, bm, bn]
+    xsum = jnp.sum(xg.astype(jnp.int32), axis=2)  # [gpb, bm]
+    s = s_ref[0].astype(jnp.float32)  # [gpb, bn]
+    partial = (d - 8 * xsum[:, :, None]).astype(jnp.float32)
+    acc[...] += jnp.sum(partial * s[:, None, :], axis=0)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        sx = sx_ref[...].astype(jnp.float32)  # [bm, 1]
+        o_ref[...] = (acc[...] * sx).astype(out_dtype)
+
+
+def matmul_w4a8(
+    x: jax.Array,
+    w,
+    *,
+    block_m: int = 128,
+    block_n: int = 2048,
+    block_k: int | None = None,
+    out_dtype=None,
+    interpret: bool | None = None,
+):
+    """x [M, K] float -> dynamic per-token int8, packed-int4 w (K, N)
+    (halves layout) with per-(group, N) scales, on the s8 x s8 MXU.
+
+    out ≈ x @ dequantize_int4(w) with int8 activation-quant noise on top
+    of the int4 weight error — the W4A8 serving mode (BASELINE config 4's
+    70B INT4 row at full weight-streaming speed)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    out_dtype = out_dtype or x.dtype
+    M, K = x.shape
+    Kw, N = w.shape
+    assert K == Kw, (x.shape, w.shape)
+    if getattr(w, "layout", "halves") != "halves":
+        raise ValueError("matmul_w4a8 requires the 'halves' int4 layout")
+    g = w.group_size
+    block_k = block_k or max(g, min(1024, K))
+    if block_k % g:
+        block_k = g
+    gpb = block_k // g
+
+    xq, sx = quantize_activations(x)
+
+    block_m = min(block_m, _cdiv(M, 32) * 32)
+    block_n = min(block_n, _cdiv(N, 128) * 128)
+    # fp32 [gpb, bm, bn] partials + int32 [gpb, bm, bn] dot outputs: same
+    # VMEM budget rule as the grouped int4 kernels.
+    while gpb * block_m * block_n * 4 > 4 << 20 and block_n > 512:
+        block_n //= 2
+    if K % block_k:
+        raise ValueError(f"K ({K}) must be a multiple of block_k ({block_k})")
+
+    xp = _pad2(xq, block_m, block_k)
+    packed = _pad2(w.packed, block_k // 2, block_n)
+    sxp = _pad2(sx, block_m, 1)
+    nk = K // block_k
+    sp = _pad2(w.scales, gpb * nk, block_n).reshape(nk, gpb, -1)
+    Mp = xp.shape[0]
+    Np = packed.shape[1]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w4a8_kernel, nk=nk, gpb=gpb, g=g, out_dtype=out_dtype,
+            interpret=interpret,
+        ),
+        grid=(Mp // block_m, Np // block_n, nk),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda mi, ni, ki: (mi, ki)),
+            pl.BlockSpec((block_m, 1), lambda mi, ni, ki: (mi, 0)),
+            pl.BlockSpec((block_k // 2, block_n), lambda mi, ni, ki: (ki, ni)),
+            pl.BlockSpec((1, gpb, block_n), lambda mi, ni, ki: (ki, 0, ni)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda mi, ni, ki: (mi, ni)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + K * N // 2 + M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, sxp, packed, sp)
+    return out[:M, :N]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class W4A8Weight:
+    """Packed int4 weight ('halves' layout; [K//2, N] uint8 + per-(group, N)
+    fp32 scales), flagged for the s8 x s8 MXU path with dynamic per-token
+    int8 activations (matmul_w4a8).  Same packing as Int4Weight — the class
+    IS the dispatch flag (a string tag cannot ride as a jit argument)."""
+
+    packed: jax.Array
+    scales: jax.Array
+    group_size: int
+    shape: tuple  # original (K, N)
+
+    @property
+    def layout(self):
+        return "halves"
+
+    def tree_flatten(self):
+        return (self.packed, self.scales), (self.group_size, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class W8A8Weight:
@@ -562,6 +771,17 @@ def concat_weights(ws):
             (w0.shape[0], sum(w.shape[1] for w in ws)),
             getattr(w0, "layout", "halves"),
         )
+    if isinstance(w0, W4A8Weight):
+        if len({w.group_size for w in ws}) != 1 or len(
+            {w.shape[0] for w in ws}
+        ) != 1:
+            raise ValueError("w4a8 concat needs equal K and group_size")
+        return W4A8Weight(
+            jnp.concatenate([w.packed for w in ws], axis=1),
+            jnp.concatenate([w.scales for w in ws], axis=1),
+            w0.group_size,
+            (w0.shape[0], sum(w.shape[1] for w in ws)),
+        )
     if isinstance(w0, W8A8Weight):
         return W8A8Weight(
             jnp.concatenate([w.vals for w in ws], axis=1),
@@ -594,6 +814,8 @@ def quantized_matmul(x, w, *, out_dtype=None, interpret=None):
         ).astype(y.dtype)
     if isinstance(w, Int4Weight):
         return matmul_int4(x, w, out_dtype=out_dtype, interpret=interpret)
+    if isinstance(w, W4A8Weight):
+        return matmul_w4a8(x, w, out_dtype=out_dtype, interpret=interpret)
     if isinstance(w, W8A8Weight):
         return matmul_w8a8(x, w.vals, w.scales, out_dtype=out_dtype,
                            interpret=interpret)

@@ -96,20 +96,37 @@ def shard_params_quant(params, mesh, tp_axis: str = TENSOR_AXIS):
     group-local (ops/quant.py), so K-shards at group boundaries stay
     self-contained (requires (K//group_size) % tp == 0).
     """
+    from flash_attn_tpu.ops.matmul import W4A8Weight, W8A8Weight
     from flash_attn_tpu.ops.quant import Int4Weight
 
     def place(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     def place_weight(w, kind):
+        if isinstance(w, W4A8Weight):
+            # same packed/scales geometry as Int4Weight (halves layout)
+            if kind == "col":
+                return W4A8Weight(place(w.packed, P(None, tp_axis)),
+                                  place(w.scales, P(None, tp_axis)),
+                                  w.group_size, w.shape)
+            return W4A8Weight(place(w.packed, P(tp_axis, None)),
+                              place(w.scales, P(tp_axis, None)),
+                              w.group_size, w.shape)
+        if isinstance(w, W8A8Weight):
+            if kind == "col":
+                return W8A8Weight(place(w.vals, P(None, tp_axis)),
+                                  place(w.scales, P(tp_axis)))
+            return W8A8Weight(place(w.vals, P(tp_axis, None)),
+                              place(w.scales, P()))
         if isinstance(w, Int4Weight):
+            layout = getattr(w, "layout", "halves")
             if kind == "col":
                 return Int4Weight(place(w.packed, P(None, tp_axis)),
                                   place(w.scales, P(None, tp_axis)),
-                                  w.group_size, w.shape)
+                                  w.group_size, w.shape, layout)
             return Int4Weight(place(w.packed, P(tp_axis, None)),
                               place(w.scales, P(tp_axis, None)),
-                              w.group_size, w.shape)
+                              w.group_size, w.shape, layout)
         if isinstance(w, tuple) and len(w) == 2:  # int8 (vals, scale)
             vals, scale = w
             if kind == "col":
@@ -130,6 +147,16 @@ def shard_params_quant(params, mesh, tp_axis: str = TENSOR_AXIS):
     for blk in params["blocks"]:
         nb = {}
         for name, w in blk.items():
+            if name in ("wqkv", "w_gate_up"):
+                # Fused projections concatenate whole projections along the
+                # output axis, which does not align with per-device column
+                # shards — silently replicating them would defeat TP.  Use
+                # the unfused tree under TP (llama.fuse_projections doc).
+                raise ValueError(
+                    f"shard_params_quant got fused projection {name!r}: "
+                    "TP requires the unfused param tree (shard first, or "
+                    "skip fuse_projections)"
+                )
             if name in _LLAMA_COL:
                 nb[name] = place_weight(w, "col")
             elif name in _LLAMA_ROW:

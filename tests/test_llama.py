@@ -149,12 +149,19 @@ def test_decode_multi_matches_sequential_steps(tiny):
                                atol=1e-5, rtol=1e-5)
 
 
-def test_llama_70b_structure_tp_int4_fp8_decode():
+@pytest.mark.parametrize(
+    "group_size,tp",
+    [(64, 4),    # group 64 -> 'halves' packing
+     (128, 2)],  # group 128 -> auto 'planes' packing; tp=2 keeps K//g % tp == 0
+)
+def test_llama_70b_structure_tp_int4_fp8_decode(group_size, tp):
     """BASELINE config 4 shape on the virtual mesh: a 70B-STRUCTURE model
     (GQA 8:1 like 70B's 64/8 heads, scaled dims) with
-    INT4 weights and an FP8 KV cache, TP-sharded over 4 devices
+    INT4 weights and an FP8 KV cache, TP-sharded over the mesh
     (parallel.tp.shard_params_quant) — sharded decode logits must match the
-    unsharded quantized model's."""
+    unsharded quantized model's.  The group_size=128 case exercises the
+    'planes' Int4Weight layout surviving the shard (the layout field must
+    ride through place_weight's reconstruction)."""
     from flash_attn_tpu.parallel.mesh import MeshConfig, make_mesh
     from flash_attn_tpu.parallel.tp import shard_params_quant
 
@@ -164,7 +171,13 @@ def test_llama_70b_structure_tp_int4_fp8_decode():
         rope_theta=500000.0, dtype="float32",
     )
     params = llama.init_params(cfg, jax.random.PRNGKey(50))
-    qparams = llama.quantize_weights(params, mode="int4", group_size=64)
+    qparams = llama.quantize_weights(params, mode="int4", group_size=group_size)
+    if group_size == 128:
+        from flash_attn_tpu.ops.quant import Int4Weight
+        layouts = {w.layout for w in jax.tree.leaves(
+            qparams, is_leaf=lambda x: isinstance(x, Int4Weight))
+            if isinstance(w, Int4Weight)}
+        assert "planes" in layouts  # the auto-layout this case is about
 
     B, T = 2, 16
     toks = jax.random.randint(jax.random.PRNGKey(51), (B, T), 0, cfg.vocab_size)
@@ -183,7 +196,7 @@ def test_llama_70b_structure_tp_int4_fp8_decode():
 
     want_l, want_s = run(qparams)
 
-    mesh = make_mesh(MeshConfig(tp=4))
+    mesh = make_mesh(MeshConfig(tp=tp))
     sharded = shard_params_quant(qparams, mesh)
     got_l, got_s = jax.jit(run)(sharded)
     np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
@@ -306,6 +319,27 @@ def test_fused_projections_exact(tiny, mode):
         np.asarray(la, np.float32), np.asarray(lb, np.float32),
         atol=1e-4, rtol=1e-4,
     )
+
+
+def test_fuse_projections_idempotent_and_tp_rejects_fused(tiny):
+    """Re-fusing an already-fused tree is a no-op (no KeyError), and
+    shard_params_quant refuses fused trees instead of silently replicating
+    wqkv/w_gate_up (which would defeat TP)."""
+    from flash_attn_tpu.parallel.mesh import MeshConfig, make_mesh
+    from flash_attn_tpu.parallel.tp import shard_params_quant
+
+    cfg, params = tiny
+    pf = llama.fuse_projections(params)
+    pff = llama.fuse_projections(pf)
+    la = jax.tree.leaves(pf)
+    lb = jax.tree.leaves(pff)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    mesh = make_mesh(MeshConfig(tp=2))
+    with pytest.raises(ValueError, match="fused projection"):
+        shard_params_quant(pf, mesh)
 
 
 def test_fuse_projections_quantize_order_invariant(tiny):

@@ -59,12 +59,19 @@ def test_cached_decode_matches_forward(tiny):
     )
 
 
-@pytest.mark.parametrize("mode", ["int8", "int4"])
+@pytest.mark.parametrize("mode", ["int8", "int4", "w8a8"])
 def test_quantized_experts_forward_close(tiny, mode):
     cfg, params = tiny
     tokens = jax.random.randint(jax.random.PRNGKey(4), (1, 12), 0, cfg.vocab_size)
     base = mx.forward(params, tokens, cfg, interpret=True)
     qp = mx.quantize_weights(params, mode=mode, group_size=32)
+    if mode == "w8a8":
+        # same jit-safe pytree class as llama's quantize_weights (the
+        # legacy string-tagged tuple cannot ride as a jit argument)
+        from flash_attn_tpu.ops.matmul import W8A8Weight
+
+        assert isinstance(qp["blocks"][0]["wq"], W8A8Weight)
+        assert isinstance(qp["blocks"][0]["experts"][0]["w_gate"], W8A8Weight)
     got = mx.forward(qp, tokens, cfg, interpret=True)
     # logits are pre-softmax; quantization noise is bounded, not tiny
     err = float(jnp.max(jnp.abs(got - base)))

