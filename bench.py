@@ -352,7 +352,8 @@ def bench_paged_decode(chip_peaks, contiguous_us=None, mode="int8"):
 
 def bench_llama8b_decode(
     chip_peaks,
-    modes=(("int8", "int8"), ("int8", "fp8"), ("int4", "fp8")),
+    modes=(("int8", "int8"), ("int8", "fp8"), ("int4", "fp8"),
+           ("w4a8", "fp8")),
 ):
     """Measured (not extrapolated) Llama-8B decode tokens/s/chip.
 
@@ -462,11 +463,14 @@ def bench_llama8b_decode(
     return out
 
 
-def bench_llama70b_layer(chip_peaks):
+def bench_llama70b_layer(chip_peaks, w_modes=("int4", "w4a8")):
     """BASELINE config 4 evidence: measured per-LAYER decode time at true
     Llama-3-70B dims (hidden 8192, 64q/8kv heads, intermediate 28672),
-    INT4 weights + FP8 KV, B=8, 8k ctx — the 1-vs-2-layer difference
-    method of bench_llama8b_decode at 70B scale.
+    int4-packed weights + FP8 KV, B=8, 8k ctx — the 1-vs-2-layer
+    difference method of bench_llama8b_decode at 70B scale, timed
+    INTERLEAVED across weight modes ('int4' = weight-only bf16 decode,
+    'w4a8' = same nibbles on the native s8 MXU) so session drift can't
+    masquerade as a mode difference.
 
     The reported tokens/s is the CHIP-EQUIVALENT number
     B / (80 * t_layer + t_nonlayer): per-chip compute throughput if one
@@ -483,7 +487,7 @@ def bench_llama70b_layer(chip_peaks):
 
     B, S = 8, 8192
 
-    def build(num_layers):
+    def build(w_mode, num_layers):
         cfg = llama.LlamaConfig(
             vocab_size=32768, hidden=8192, intermediate=28672,
             num_layers=num_layers, num_heads=64, num_kv_heads=8,
@@ -492,7 +496,7 @@ def bench_llama70b_layer(chip_peaks):
         )
         params = llama.init_params(cfg, jax.random.PRNGKey(0))
         params = llama.quantize_weights(
-            params, mode="int4", skip=("tok_emb",), head_mode="w8a8"
+            params, mode=w_mode, skip=("tok_emb",), head_mode="w8a8"
         )
         cache = llama.make_cache(cfg, B, S, mode="fp8")
         cache = cache.advance(S - 512)
@@ -519,37 +523,42 @@ def bench_llama70b_layer(chip_peaks):
 
         return chained(8), chained(16)
 
-    chains = {L: build(L) for L in (1, 2)}
-    samples = {L: ([], []) for L in chains}
+    chains = {(w, L): build(w, L) for w in w_modes for L in (1, 2)}
+    samples = {k: ([], []) for k in chains}
     for _ in range(7):
-        for L, (run_n, run_2n) in chains.items():
+        for k, (run_n, run_2n) in chains.items():
             t0 = time.perf_counter()
             run_n()
-            samples[L][0].append(time.perf_counter() - t0)
+            samples[k][0].append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             run_2n()
-            samples[L][1].append(time.perf_counter() - t0)
+            samples[k][1].append(time.perf_counter() - t0)
 
-    def step_time(L):
-        a, b = samples[L]
-        return max((float(np.median(b)) - float(np.median(a))) / 8, 1e-9)
-
-    t1, t2 = step_time(1), step_time(2)
-    t_layer = max(t2 - t1, 1e-9)
-    t_nonlayer = max(t1 - t_layer, 0.0)
-    t80 = 80 * t_layer + t_nonlayer
     # per-layer roofline: int4 weights + fp8 KV + fp32 scale lanes
     layer_bytes = (
         (8192 * 10240 + 8192 * 8192 + 3 * 8192 * 28672) * 0.5
         + 2 * B * S * 8 * (128 + 4)
     )
     ideal_layer = layer_bytes / (chip_peaks[2] * 1e9)
-    return {
-        "llama70b_int4w_fp8kv_layer_us": round(t_layer * 1e6, 1),
-        "llama70b_layer_roofline_frac": round(ideal_layer / t_layer, 4),
-        "llama70b_step_ms_80layer_est": round(t80 * 1e3, 2),
-        "llama70b_tokens_per_s_chip_equiv": round(B / t80, 1),
-    }
+    out = {}
+    for w in w_modes:
+        def step_time(L, w=w):
+            a, b = samples[(w, L)]
+            return max((float(np.median(b)) - float(np.median(a))) / 8, 1e-9)
+
+        t1, t2 = step_time(1), step_time(2)
+        t_layer = max(t2 - t1, 1e-9)
+        t_nonlayer = max(t1 - t_layer, 0.0)
+        t80 = 80 * t_layer + t_nonlayer
+        tag = "llama70b" if w == "int4" else f"llama70b_{w}"
+        out.update({
+            f"{tag}_int4w_fp8kv_layer_us" if w == "int4"
+            else f"{tag}w_fp8kv_layer_us": round(t_layer * 1e6, 1),
+            f"{tag}_layer_roofline_frac": round(ideal_layer / t_layer, 4),
+            f"{tag}_step_ms_80layer_est": round(t80 * 1e3, 2),
+            f"{tag}_tokens_per_s_chip_equiv": round(B / t80, 1),
+        })
+    return out
 
 
 def bench_engine(chip_peaks, raw_tokens_per_s=None, decode_burst=64):
@@ -717,12 +726,21 @@ def bench_ppl_delta(chip_peaks, dims=None):
         )
         ladder.append((wmode, "none"))
     ladder.append(("int8", "fp8"))
+    # BASELINE config 4's exact combo: int4 weights + fp8 KV
+    ladder.append(("int4", "fp8"))
     # the serving mode the decode bench runs: int8 layers + w8a8 head
     # (dynamic activation quant on the one large-N matmul)
     wq["int8w8a8h"] = llama.quantize_weights(
         base_params, mode="int8", skip=("tok_emb",), head_mode="w8a8"
     )
     ladder.append(("int8w8a8h", "fp8"))
+    # w4a8: same int4 nibbles as the 'int4' rows plus per-token int8
+    # activation quant (the s8-MXU serving mode) — its delta vs the int4
+    # row isolates the activation-quant cost
+    wq["w4a8"] = llama.quantize_weights(
+        base_params, mode="w4a8", skip=("tok_emb",), head_mode="w8a8"
+    )
+    ladder.append(("w4a8", "fp8"))
     for wmode, kv in ladder:
         v = nll(wq[wmode], kv)
         out[f"ppl_nll_{wmode}_{kv}"] = round(v, 5)

@@ -106,18 +106,24 @@ def sweep_matmul(args):
     from bench import chain_step_seconds
     from flash_attn_tpu.models import llama  # noqa: F401 (env warm)
     from flash_attn_tpu.ops.matmul import (
-        matmul_int4, matmul_int8, matmul_w8a8
+        W4A8Weight, matmul_int4, matmul_int8, matmul_w4a8, matmul_w8a8
     )
     from flash_attn_tpu.ops.quant import quantize_int4, quantize_int8
 
     key = jax.random.PRNGKey(2)
     x = jax.random.normal(key, (args.m, args.k), jnp.bfloat16)
     w = jax.random.normal(key, (args.k, args.n), jnp.float32) * 0.02
-    w_bytes = args.k * args.n * (0.5 if args.w == "int4" else 1)
+    w_bytes = args.k * args.n * (0.5 if args.w in ("int4", "w4a8") else 1)
     ideal = w_bytes / (_peaks()[2] * 1e9)
     if args.w == "int4":
         qw = quantize_int4(w, group_size=args.group)
         mm = lambda x_, bn, bk: matmul_int4(  # noqa: E731
+            x_, qw, block_n=bn, block_k=bk
+        )
+    elif args.w == "w4a8":
+        q4 = quantize_int4(w, group_size=args.group, layout="halves")
+        qw = W4A8Weight(q4.packed, q4.scales, q4.group_size, q4.shape)
+        mm = lambda x_, bn, bk: matmul_w4a8(  # noqa: E731
             x_, qw, block_n=bn, block_k=bk
         )
     elif args.w == "w8a8":
@@ -135,7 +141,7 @@ def sweep_matmul(args):
     bks = [int(b) for b in args.block_k.split(",")]
     rows = []
     for bn, bk in itertools.product(bns, bks):
-        if args.w == "int4" and bk % args.group:
+        if args.w in ("int4", "w4a8") and bk % args.group:
             continue
         try:
             # output shape [m, n] != input [m, k]: close the chain with a

@@ -198,6 +198,90 @@ def test_llama_w8a8_mode():
     assert c > 0.999, c
 
 
+def test_matmul_w4a8_matches_oracle():
+    """W4A8 (int8 activations x packed-int4 weights decoded to int8 nibble
+    planes, s8 x s8 MXU) vs the exact integer oracle and the dequant-float
+    oracle.  Exercises multi-group blocks (gpb > 1) and the halves-layout
+    plane pairing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flash_attn_tpu.ops.matmul import (
+        W4A8Weight, matmul_w4a8, quantize_activations, quantized_matmul,
+    )
+    from flash_attn_tpu.ops.quant import dequantize_int4, quantize_int4
+
+    M, K, N, g = 16, 512, 384, 64
+    x = jax.random.normal(jax.random.PRNGKey(0), (M, K), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (K, N), jnp.float32) * 0.02
+    q4 = quantize_int4(w, group_size=g, layout="halves")
+    w48 = W4A8Weight(q4.packed, q4.scales, q4.group_size, q4.shape)
+
+    got = matmul_w4a8(x, w48, interpret=True)
+
+    # exact oracle on the quantized values: both paths see the same ints
+    xq, sx = quantize_activations(x)
+    want = (xq.astype(jnp.float32) @ dequantize_int4(q4)) * sx
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)
+    # close to the float-x product (activation-quant noise bound)
+    full = x @ dequantize_int4(q4)
+    err = np.abs(np.asarray(got) - np.asarray(full))
+    assert err.max() / np.abs(np.asarray(full)).max() < 0.02
+    # dispatch: quantized_matmul routes W4A8Weight here
+    got2 = quantized_matmul(x, w48, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(got),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_llama_w4a8_mode_and_tp():
+    """llama quantize_weights(mode='w4a8'): forward stays correlated with
+    float, fused projections stay exact vs unfused, and the tree shards
+    under TP (BASELINE config 4 serving mode)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flash_attn_tpu.models import llama as ll
+    from flash_attn_tpu.ops.matmul import W4A8Weight
+    from flash_attn_tpu.parallel.mesh import MeshConfig, make_mesh
+    from flash_attn_tpu.parallel.tp import shard_params_quant
+
+    cfg = ll.LLAMA_TINY
+    params = ll.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]])
+    base = ll.forward(params, toks, cfg, interpret=True)
+    qp = ll.quantize_weights(params, mode="w4a8", group_size=32)
+    assert isinstance(qp["blocks"][0]["wq"], W4A8Weight)
+    got = ll.forward(qp, toks, cfg, interpret=True)
+    c = np.corrcoef(np.asarray(base).ravel(), np.asarray(got).ravel())[0, 1]
+    assert c > 0.98, c  # int4 weight noise bound (same as mode='int4')
+    # vs mode='int4' (identical nibbles+scales, halves layout): the only
+    # difference is per-token int8 activation quant — near-identical logits
+    qp4 = ll.quantize_weights(params, mode="int4", group_size=32)
+    got4 = ll.forward(qp4, toks, cfg, interpret=True)
+    c48 = np.corrcoef(np.asarray(got4).ravel(), np.asarray(got).ravel())[0, 1]
+    assert c48 > 0.999, c48
+
+    # fused projections exact vs unfused
+    pf = ll.fuse_projections(qp)
+    got_f = ll.forward(pf, toks, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_f, np.float32),
+                               np.asarray(got, np.float32),
+                               atol=1e-4, rtol=1e-4)
+
+    # TP shard: logits match unsharded
+    mesh = make_mesh(MeshConfig(tp=2))
+    sharded = shard_params_quant(qp, mesh)
+    got_tp = jax.jit(
+        lambda p: ll.forward(p, toks, cfg, interpret=True)
+    )(sharded)
+    np.testing.assert_allclose(np.asarray(got_tp, np.float32),
+                               np.asarray(got, np.float32),
+                               atol=2e-3, rtol=2e-3)
+
+
 def test_int4_plane_layout_roundtrip_and_matmul():
     """The "planes" packing (whole-i32-word mantissa-OR decode,
     ops/matmul._int4_plane_kernel) dequantizes bitwise-identically to the
