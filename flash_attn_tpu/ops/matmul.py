@@ -322,6 +322,17 @@ def _probe_planes_decode():
     global _PLANES_PROBE_OK
     if _PLANES_PROBE_OK:
         return
+    try:
+        from jax._src import core as _core
+
+        if not _core.trace_state_clean():
+            # Called while TRACING a jit function: under omnistaging even
+            # constant-input ops stage as tracers, and pallas_call has no
+            # eval rule under ensure_compile_time_eval.  Skip — the probe
+            # runs at quantize_int4 time (eager model load) instead.
+            return
+    except (ImportError, AttributeError):  # private API moved: fail open
+        pass
     _PLANES_PROBE_OK = True  # set first: the probe itself calls matmul_int4
     from flash_attn_tpu.ops.quant import dequantize_int4, quantize_int4
 
@@ -588,10 +599,17 @@ def _w4a8_kernel(x_ref, sx_ref, w_ref, s_ref, o_ref, acc, *, nk, gpb, g,
         x_hi, hi_g, dims, preferred_element_type=jnp.int32,
         precision=jax.lax.Precision.DEFAULT,
     )  # [gpb, bm, bn]
-    xsum = jnp.sum(xg.astype(jnp.int32), axis=2)  # [gpb, bm]
     s = s_ref[0].astype(jnp.float32)  # [gpb, bn]
-    partial = (d - 8 * xsum[:, :, None]).astype(jnp.float32)
-    acc[...] += jnp.sum(partial * s[:, None, :], axis=0)
+    # the -8 offset rides the MXU, not the VPU: sum_g s[g,n] * 8*xsum[g,m]
+    # is a [bm, gpb] x [gpb, bn] dot, removing the per-(g,m,n) int subtract
+    xsum = jnp.sum(xg, axis=2, dtype=jnp.float32)  # [gpb, bm]
+    offs = jax.lax.dot_general(
+        jnp.swapaxes(xsum, 0, 1), s, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [bm, bn]
+    partial = d.astype(jnp.float32)
+    acc[...] += jnp.sum(partial * s[:, None, :], axis=0) - 8.0 * offs
 
     @pl.when(ki == nk - 1)
     def _():
@@ -624,18 +642,24 @@ def matmul_w4a8(
     if getattr(w, "layout", "halves") != "halves":
         raise ValueError("matmul_w4a8 requires the 'halves' int4 layout")
     g = w.group_size
-    block_k = block_k or max(g, min(1024, K))
+    # bk=2048 default from the on-chip g=128 sweep (45.0 us / 0.80 of the
+    # weight-streaming roofline at [8 x 4096 x 14336] vs 46.7 at bk=1024)
+    block_k = block_k or max(g, min(2048, K))
     if block_k % g:
         block_k = g
     gpb = block_k // g
 
     xq, sx = quantize_activations(x)
 
-    block_m = min(block_m, _cdiv(M, 32) * 32)
+    # bm rounds to 8, not 32: Mosaic lowers 8-sublane int8 blocks fine, and
+    # the [gpb, bm, bn] partial handling is the kernel's VPU cost — at
+    # decode M=8 a 32-row block would 4x it (on-chip: 0.67 -> 0.80 of the
+    # weight-streaming roofline at the 8B gate shape, g=128).
+    block_m = min(block_m, _cdiv(M, 8) * 8)
     block_n = min(block_n, _cdiv(N, 128) * 128)
-    # fp32 [gpb, bm, bn] partials + int32 [gpb, bm, bn] dot outputs: same
-    # VMEM budget rule as the grouped int4 kernels.
-    while gpb * block_m * block_n * 4 > 4 << 20 and block_n > 512:
+    # int32 [gpb, bm, bn] dot outputs + fp32 partials: 8 bytes/elem budget
+    # (bn=4096 at gpb=8/bm=32 compiled OOM with the 4-byte estimate).
+    while gpb * block_m * block_n * 8 > 4 << 20 and block_n > 512:
         block_n //= 2
     if K % block_k:
         raise ValueError(f"K ({K}) must be a multiple of block_k ({block_k})")

@@ -160,6 +160,16 @@ def quantize_int4(w: jax.Array, group_size: int = 128,
     if layout is None:
         layout = "planes" if group_size % 128 == 0 else "halves"
     if layout == "planes":
+        # Load-time guard (advisor r4): the planes matmul's whole-word
+        # bitcast decode is backend-ordering-sensitive; verify it on this
+        # backend once per process, at quantize (model-load) time, where
+        # evaluation is eager.  No-op on CPU (interpret decodes with jnp)
+        # or under an active trace (then the matmul's first eager call
+        # runs it).
+        if jax.default_backend() != "cpu":
+            from flash_attn_tpu.ops.matmul import _probe_planes_decode
+
+            _probe_planes_decode()
         lo_src, hi_src = _plane_row_sources(g)
         lo = jnp.take(qu, jnp.asarray(lo_src), axis=1)
         hi = jnp.take(qu, jnp.asarray(hi_src), axis=1)

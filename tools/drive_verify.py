@@ -165,6 +165,33 @@ def main():
     )[:, 0]
     ok &= check("paged decode packed fp8", op, wantp, 4e-2)
 
+    # 6b. quantized decode matmuls: int4 planes + w4a8 vs dequant oracle
+    from flash_attn_tpu.ops.matmul import (
+        W4A8Weight, matmul_int4, matmul_w4a8, quantize_activations,
+    )
+    from flash_attn_tpu.ops.quant import dequantize_int4, quantize_int4
+
+    xq8 = jax.random.normal(jax.random.PRNGKey(7), (8, 1024)).astype(
+        jnp.bfloat16
+    )
+    wq8 = jax.random.normal(jax.random.PRNGKey(8), (1024, 2048),
+                            jnp.float32) * 0.02
+    q4p = quantize_int4(wq8, group_size=128)  # planes (also runs the probe)
+    q4h = quantize_int4(wq8, group_size=128, layout="halves")
+    w48 = W4A8Weight(q4h.packed, q4h.scales, q4h.group_size, q4h.shape)
+    want_i4 = jnp.dot(xq8.astype(jnp.float32), dequantize_int4(q4p))
+    got_i4 = jax.jit(lambda x_: matmul_int4(x_, q4p, out_dtype=jnp.float32))(
+        xq8
+    )
+    ok &= check("int4 planes matmul", got_i4, want_i4, 1e-2,
+                rtol=1e-2)
+    xa, sa = quantize_activations(xq8)
+    want_48 = (xa.astype(jnp.float32) @ dequantize_int4(q4h)) * sa
+    got_48 = jax.jit(lambda x_: matmul_w4a8(x_, w48, out_dtype=jnp.float32))(
+        xq8
+    )
+    ok &= check("w4a8 s8-MXU matmul", got_48, want_48, 1e-3, rtol=1e-3)
+
     # 7. error surface: bad shapes raise clean ValueErrors
     try:
         flash_attention(qb[:, :, :, :64], kb, vb)
