@@ -523,16 +523,25 @@ def bench_llama70b_layer(chip_peaks, w_modes=("int4", "w4a8")):
 
         return chained(8), chained(16)
 
-    chains = {(w, L): build(w, L) for w in w_modes for L in (1, 2)}
-    samples = {k: ([], []) for k in chains}
-    for _ in range(7):
-        for k, (run_n, run_2n) in chains.items():
-            t0 = time.perf_counter()
-            run_n()
-            samples[k][0].append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            run_2n()
-            samples[k][1].append(time.perf_counter() - t0)
+    # Modes run SEQUENTIALLY (unlike the 8B bench's full interleave): four
+    # resident 70B slices (2 modes x {1,2} layers + embeddings + caches)
+    # overcommit the chip and the timings go nonsensical (r5: int4
+    # t2 < t1, w4a8 3.4x its own component sum).  The critical 1-vs-2
+    # layer SUBTRACTION stays interleaved within each mode; only the
+    # cross-mode comparison rides on session stability.
+    samples = {}
+    for w in w_modes:
+        chains = {L: build(w, L) for L in (1, 2)}
+        samples.update({(w, L): ([], []) for L in chains})
+        for _ in range(7):
+            for L, (run_n, run_2n) in chains.items():
+                t0 = time.perf_counter()
+                run_n()
+                samples[(w, L)][0].append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                run_2n()
+                samples[(w, L)][1].append(time.perf_counter() - t0)
+        del chains  # free this mode's weights/caches before the next build
 
     # per-layer roofline: int4 weights + fp8 KV + fp32 scale lanes
     layer_bytes = (

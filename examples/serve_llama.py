@@ -19,7 +19,7 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--kv-mode", default="none", choices=["none", "int8", "fp8"])
     ap.add_argument("--weights", default="none",
-                    choices=["none", "int8", "int4", "w8a8"])
+                    choices=["none", "int8", "int4", "w8a8", "w4a8"])
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--capacity", type=int, default=4096)
     ap.add_argument("--port", type=int, default=8477)

@@ -661,6 +661,11 @@ def matmul_w4a8(
     # (bn=4096 at gpb=8/bm=32 compiled OOM with the 4-byte estimate).
     while gpb * block_m * block_n * 8 > 4 << 20 and block_n > 512:
         block_n //= 2
+    # prefill bm=128 at bk=2048/g=128 still holds 8+ MB at bn=512 — shed
+    # groups per block instead
+    while gpb > 1 and gpb * block_m * block_n * 8 > 4 << 20:
+        block_k //= 2
+        gpb = block_k // g
     if K % block_k:
         raise ValueError(f"K ({K}) must be a multiple of block_k ({block_k})")
 
