@@ -395,6 +395,12 @@ def bench_llama8b_decode(
         params = llama.quantize_weights(
             params, mode=w_mode, skip=("tok_emb",), head_mode="w8a8"
         )
+        if w_mode == "w4a8":
+            # w4a8's best 8B serving config is FUSED qkv/gate-up (0.776
+            # vs 0.747 roofline, r5 interleaved A/B); int8/int4 keep
+            # unfused (fusing destroys their layer-1 DMA runahead: int8
+            # 0.707 -> 0.558, r4+r5 interleaved A/Bs).
+            params = llama.fuse_projections(params)
         cache = llama.make_cache(cfg, B, S, mode=kv_mode)
         cache = cache.advance(S - 512)  # decode near full context
         tok0 = jnp.ones((B,), jnp.int32)
@@ -498,6 +504,11 @@ def bench_llama70b_layer(chip_peaks, w_modes=("int4", "w4a8")):
         params = llama.quantize_weights(
             params, mode=w_mode, skip=("tok_emb",), head_mode="w8a8"
         )
+        # At 70B dims FUSED qkv/gate-up wins for both int4 and w4a8 (r5
+        # interleaved A/Bs: int4 0.521 -> 0.767, w4a8 0.688 -> 0.936 of
+        # the per-layer roofline): fewer, wider kernel calls beat the
+        # layer-1 DMA runahead that fusing costs at 8B dims.
+        params = llama.fuse_projections(params)
         cache = llama.make_cache(cfg, B, S, mode="fp8")
         cache = cache.advance(S - 512)
         tok0 = jnp.ones((B,), jnp.int32)

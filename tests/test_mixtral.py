@@ -59,7 +59,7 @@ def test_cached_decode_matches_forward(tiny):
     )
 
 
-@pytest.mark.parametrize("mode", ["int8", "int4", "w8a8"])
+@pytest.mark.parametrize("mode", ["int8", "int4", "w8a8", "w4a8"])
 def test_quantized_experts_forward_close(tiny, mode):
     cfg, params = tiny
     tokens = jax.random.randint(jax.random.PRNGKey(4), (1, 12), 0, cfg.vocab_size)
