@@ -780,7 +780,7 @@ def bench_ppl_delta(chip_peaks, dims=None):
     )
     base_r = nll(base_params, "none", scored=rand_cont)
     out["ppl_nll_bf16_none_rand"] = round(base_r, 5)
-    for wmode in ("int8", "int4"):
+    for wmode in ("int8", "int4", "w4a8"):
         v = nll(wq[wmode], "none", scored=rand_cont)
         out[f"ppl_delta_{wmode}_none_rand"] = round(v - base_r, 5)
     return out

@@ -235,6 +235,31 @@ def test_matmul_w4a8_matches_oracle():
                                atol=1e-6, rtol=1e-6)
 
 
+def test_matmul_w4a8_prefill_blocks():
+    """Prefill-shaped w4a8 (M=128): the VMEM budget path sheds groups per
+    k-block (block_k 2048 -> smaller) instead of only shrinking bn; the
+    result must stay exact vs the integer oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flash_attn_tpu.ops.matmul import (
+        W4A8Weight, matmul_w4a8, quantize_activations,
+    )
+    from flash_attn_tpu.ops.quant import dequantize_int4, quantize_int4
+
+    M, K, N, g = 128, 2048, 1024, 128
+    x = jax.random.normal(jax.random.PRNGKey(3), (M, K), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(4), (K, N), jnp.float32) * 0.02
+    q4 = quantize_int4(w, group_size=g, layout="halves")
+    w48 = W4A8Weight(q4.packed, q4.scales, q4.group_size, q4.shape)
+    got = matmul_w4a8(x, w48, interpret=True)
+    xq, sx = quantize_activations(x)
+    want = (xq.astype(jnp.float32) @ dequantize_int4(q4)) * sx
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=2e-3)
+
+
 def test_llama_w4a8_mode_and_tp():
     """llama quantize_weights(mode='w4a8'): forward stays correlated with
     float, fused projections stay exact vs unfused, and the tree shards
