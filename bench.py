@@ -581,7 +581,8 @@ def bench_llama70b_layer(chip_peaks, w_modes=("int4", "w4a8")):
     return out
 
 
-def bench_engine(chip_peaks, raw_tokens_per_s=None, decode_burst=64):
+def bench_engine(chip_peaks, raw_tokens_per_s=None, decode_burst=64,
+                 w_mode="int8", kv_mode="int8", tag=""):
     """Served (engine-level) throughput on chip — VERDICT r2 item 3: the
     continuous-batching engine driven end-to-end (prefill + decode +
     scheduler + sampler), not just the raw decode_step.
@@ -608,10 +609,12 @@ def bench_engine(chip_peaks, raw_tokens_per_s=None, decode_burst=64):
         dtype="bfloat16",
     )
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
-    params = llama.quantize_weights(params, mode="int8", skip=("tok_emb",))
+    params = llama.quantize_weights(params, mode=w_mode, skip=("tok_emb",))
+    if w_mode == "w4a8":
+        params = llama.fuse_projections(params)  # w4a8's best config (r5)
     eng = InferenceEngine(
         params, llama.make_adapter(cfg, interpret=False),
-        max_batch=B, capacity=S, kv_mode="int8",
+        max_batch=B, capacity=S, kv_mode=kv_mode,
         cache_dtype=jnp.bfloat16, decode_burst=decode_burst,
     )
     prompt = list(range(1, 65))  # one 64-token bucket for all slots
@@ -638,19 +641,23 @@ def bench_engine(chip_peaks, raw_tokens_per_s=None, decode_burst=64):
     eng_tps = toks1 / wall1
     steady_tps = (toks2 - toks1) / max(wall2 - wall1, 1e-9)
     out = {
-        "engine_tokens_per_s_2layer": round(eng_tps, 1),
-        "engine_steady_tokens_per_s_2layer": round(steady_tps, 1),
-        "engine_wall_s": round(wall1 + wall2, 3),
-        "engine_decode_burst": decode_burst,
+        f"engine{tag}_tokens_per_s_2layer": round(eng_tps, 1),
+        f"engine{tag}_steady_tokens_per_s_2layer": round(steady_tps, 1),
+        f"engine{tag}_wall_s": round(wall1 + wall2, 3),
+        f"engine{tag}_decode_burst": decode_burst,
     }
     if raw_tokens_per_s:
-        out["engine_vs_raw_ratio"] = round(raw_tokens_per_s / eng_tps, 3)
-        out["engine_steady_vs_raw_ratio"] = round(
+        out[f"engine{tag}_vs_raw_ratio"] = round(
+            raw_tokens_per_s / eng_tps, 3
+        )
+        out[f"engine{tag}_steady_vs_raw_ratio"] = round(
             raw_tokens_per_s / steady_tps, 3
         )
     m = eng.metrics.snapshot() if hasattr(eng.metrics, "snapshot") else {}
     if isinstance(m, dict) and "decode_tokens_per_s" in m:
-        out["engine_metric_decode_tps"] = round(m["decode_tokens_per_s"], 1)
+        out[f"engine{tag}_metric_decode_tps"] = round(
+            m["decode_tokens_per_s"], 1
+        )
     return out
 
 
@@ -919,6 +926,18 @@ def _run_bench():
         details.update(bench_engine(peaks, raw_tokens_per_s=raw2))
     except Exception as e:  # pragma: no cover
         details["engine_error"] = repr(e)[:200]
+    try:
+        # served throughput in the FASTEST serving mode (w4a8 fused
+        # weights + fp8 KV), ratio'd against its own matching raw step
+        raw48 = None
+        if "llama8b_w4a8w_fp8kv_step_ms_2layer" in details:
+            raw48 = 8 / (details["llama8b_w4a8w_fp8kv_step_ms_2layer"] / 1e3)
+        details.update(bench_engine(
+            peaks, raw_tokens_per_s=raw48, w_mode="w4a8", kv_mode="fp8",
+            tag="_w4a8",
+        ))
+    except Exception as e:  # pragma: no cover
+        details["engine_w4a8_error"] = repr(e)[:200]
 
     # Headline = BASELINE config 1: Llama-8B-shaped decode with FP8 KV.
     frac = details.get("decode_fp8_roofline_frac", 0.0)
