@@ -23,7 +23,15 @@ from flash_attn_tpu.ops.attention import flash_attention, flash_attention_varlen
 from flash_attn_tpu.ops.decode import flash_decode, flash_decode_chunk
 from flash_attn_tpu.ops.flash_fwd import FlashConfig
 from flash_attn_tpu.ops.lse import lse_merge, lse_merge2
-from flash_attn_tpu.ops.matmul import matmul_int4, matmul_int8, quantized_matmul
+from flash_attn_tpu.ops.matmul import (
+    W4A8Weight,
+    W8A8Weight,
+    matmul_int4,
+    matmul_int8,
+    matmul_w4a8,
+    matmul_w8a8,
+    quantized_matmul,
+)
 from flash_attn_tpu.ops.quant import (
     quantize_fp8,
     quantize_int4,
@@ -41,8 +49,12 @@ __all__ = [
     "flash_decode_chunk",
     "lse_merge",
     "lse_merge2",
+    "W4A8Weight",
+    "W8A8Weight",
     "matmul_int4",
     "matmul_int8",
+    "matmul_w4a8",
+    "matmul_w8a8",
     "mha_reference",
     "quantize_fp8",
     "quantize_int4",
