@@ -395,12 +395,12 @@ def bench_llama8b_decode(
         params = llama.quantize_weights(
             params, mode=w_mode, skip=("tok_emb",), head_mode="w8a8"
         )
-        if w_mode == "w4a8":
-            # w4a8's best 8B serving config is FUSED qkv/gate-up (0.776
-            # vs 0.747 roofline, r5 interleaved A/B); int8/int4 keep
-            # unfused (fusing destroys their layer-1 DMA runahead: int8
-            # 0.707 -> 0.558, r4+r5 interleaved A/Bs).
-            params = llama.fuse_projections(params)
+        # All 8B modes stay UNFUSED: fusing destroys the layer-1 DMA
+        # runahead at these dims (int8 0.707 -> 0.558 fused, r4+r5
+        # interleaved A/Bs; a dedicated 4-chain A/B showed w4a8 +4%
+        # fused, but the full 8-chain bench measured it -10%, so the
+        # marginal w4a8 fuse win does not replicate).  70B is different —
+        # see bench_llama70b_layer.
         cache = llama.make_cache(cfg, B, S, mode=kv_mode)
         cache = cache.advance(S - 512)  # decode near full context
         tok0 = jnp.ones((B,), jnp.int32)
@@ -610,8 +610,6 @@ def bench_engine(chip_peaks, raw_tokens_per_s=None, decode_burst=64,
     )
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
     params = llama.quantize_weights(params, mode=w_mode, skip=("tok_emb",))
-    if w_mode == "w4a8":
-        params = llama.fuse_projections(params)  # w4a8's best config (r5)
     eng = InferenceEngine(
         params, llama.make_adapter(cfg, interpret=False),
         max_batch=B, capacity=S, kv_mode=kv_mode,
