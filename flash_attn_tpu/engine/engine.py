@@ -33,22 +33,34 @@ from flash_attn_tpu.engine.scheduler import (
 
 @dataclass
 class SpecConfig:
-    """Speculative decoding via prompt-lookup ("n-gram") drafting.
+    """Speculative decoding: n-gram (prompt-lookup) or draft-model.
 
-    Host-side drafting: the last ``ngram`` tokens of a request's history
-    (prompt + generated) are searched for a prior occurrence; the tokens
-    that followed it are proposed as ``num_draft`` drafts.  Verification
-    is ONE decode_multi call scoring [current token, drafts] against the
-    KV cache in a single sweep (ops/decode.py flash_decode_chunk); the
-    longest draft prefix agreeing with greedy argmax is accepted plus the
-    model's own correction token, so greedy output is preserved EXACTLY —
-    speculation is a pure latency optimization.  Used only when
-    sampling.temperature == 0 (greedy); stochastic sampling falls back to
-    regular decode.
+    Host-side n-gram drafting (default): the last ``ngram`` tokens of a
+    request's history (prompt + generated) are searched for a prior
+    occurrence; the tokens that followed it are proposed as ``num_draft``
+    drafts.  Verification is ONE decode_multi call scoring [current
+    token, drafts] against the KV cache in a single sweep
+    (ops/decode.py flash_decode_chunk); the longest draft prefix agreeing
+    with greedy argmax is accepted plus the model's own correction token,
+    so greedy output is preserved EXACTLY — speculation is a pure latency
+    optimization.  Used only when sampling.temperature == 0 (greedy);
+    stochastic sampling falls back to regular decode.
+
+    Draft-model drafting: set ``draft_params`` + ``draft_adapter`` (a
+    smaller model over the SAME vocabulary).  The engine keeps a second
+    KV cache for the draft, prefills it alongside the target at
+    admission, and each round runs num_draft+1 batched draft decode
+    steps in one dispatch (the +1 appends the last draft's KV so the
+    draft cache mirrors decode_multi's K+1 appended entries; both caches
+    roll back to the accepted length identically).  Verification and the
+    greedy-exactness guarantee are unchanged — a bad draft model can
+    only cost speed, never tokens.
     """
 
     num_draft: int = 4
     ngram: int = 2
+    draft_params: object = None
+    draft_adapter: object = None  # ModelAdapter of the draft model
 
 
 def _ngram_draft(history: list[int], n: int, k: int) -> list[int]:
@@ -150,6 +162,36 @@ class InferenceEngine:
         if spec is not None and adapter.decode_multi is None:
             raise ValueError("spec decoding needs adapter.decode_multi")
         self.spec = spec
+        self.draft_cache = None
+        if spec is not None and spec.draft_adapter is not None:
+            da = spec.draft_adapter
+            if da.prefill_with_kv is None or da.decode_step is None:
+                raise ValueError(
+                    "draft-model speculation needs the draft adapter's "
+                    "prefill_with_kv and decode_step"
+                )
+            if mesh is not None:
+                raise ValueError(
+                    "draft-model speculation does not compose with "
+                    "sharded KV yet"
+                )
+            if prefill_chunk_size is not None:
+                raise ValueError(
+                    "draft-model speculation does not compose with "
+                    "chunked prefill yet"
+                )
+            # the draft's own cache: unquantized (the draft is small; its
+            # exactness keeps acceptance high)
+            self.draft_cache = KVCache.create(
+                da.num_layers, max_batch, capacity, da.num_kv_heads,
+                da.head_dim, dtype=cache_dtype, mode="none",
+            )
+            self._draft_prefill_jit = jax.jit(
+                self._draft_prefill_one, donate_argnums=(2,)
+            )
+            self._draft_scan_jit = jax.jit(
+                self._draft_scan, donate_argnums=(2,)
+            )
         self.mesh = mesh
         self.kv_shard_axis = kv_shard_axis
         self.sched = ContinuousBatchingScheduler(max_batch)
@@ -248,6 +290,41 @@ class InferenceEngine:
         # logits at the last *real* token of the padded prompt
         logits = logits_all[0, true_len - 1]
         return logits, cache
+
+    def _draft_prefill_one(self, params, tokens, cache: KVCache, slot,
+                           true_len):
+        """Draft-model admission prefill: KV + length only (the draft's
+        first proposal comes from its decode step, seeded by the
+        target's sampled first token)."""
+        positions = jnp.arange(tokens.shape[1])[None]
+        _, kvs = self.spec.draft_adapter.prefill_with_kv(
+            params, tokens, positions
+        )
+        for layer, (k, v) in enumerate(kvs):
+            cache = _insert_slot_kv(cache, layer, slot, k[0], v[0])
+        return KVCache(
+            cache.k, cache.v, cache.k_scale, cache.v_scale,
+            cache.length.at[slot].set(true_len), cache.mode,
+            cache.scale_perm_chunk,
+        )
+
+    def _draft_scan(self, params, toks, cache: KVCache):
+        """num_draft+1 greedy draft decode steps in one dispatch: returns
+        drafts [B, K].  The +1 step's logits are discarded — it exists to
+        append the last draft token's KV so the draft cache holds exactly
+        the K+1 entries decode_multi appends to the target cache, making
+        the post-verify length rollback identical for both."""
+
+        def step(carry, _):
+            tok, c = carry
+            logits, c = self.spec.draft_adapter.decode_step(params, tok, c)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (nxt, c), nxt
+
+        (_, cache), drafts = jax.lax.scan(
+            step, (toks, cache), None, length=self.spec.num_draft + 1
+        )
+        return jnp.swapaxes(drafts[:-1], 0, 1), cache  # [B, K]
 
     def _decode_batch(self, params, tokens, cache: KVCache, key):
         logits, cache = self.adapter.decode_step(params, tokens, cache)
@@ -357,6 +434,12 @@ class InferenceEngine:
                     self.params, jnp.asarray(toks), self.cache,
                     jnp.int32(req.slot), jnp.int32(len(req.prompt)),
                 )
+            if self.draft_cache is not None:
+                self.draft_cache = self._draft_prefill_jit(
+                    self.spec.draft_params, jnp.asarray(toks),
+                    self.draft_cache, jnp.int32(req.slot),
+                    jnp.int32(len(req.prompt)),
+                )
         tok = int(sample(logits[None], self._next_key(), self.sampling)[0])
         self._host_lens[req.slot] = len(req.prompt)
         self.metrics.record_prefill(
@@ -415,6 +498,18 @@ class InferenceEngine:
             self.cache, jnp.asarray(ends), jnp.asarray(slots),
             jnp.asarray(lens),
         )
+        if self.draft_cache is not None:
+            # draft admission per request (the draft is small; a packed
+            # draft prefill isn't worth a second varlen path)
+            for r in reqs:
+                db = min(bucket_length(len(r.prompt)), self.capacity)
+                dt = np.zeros((1, db), np.int32)
+                dt[0, : len(r.prompt)] = r.prompt
+                self.draft_cache = self._draft_prefill_jit(
+                    self.spec.draft_params, jnp.asarray(dt),
+                    self.draft_cache, jnp.int32(r.slot),
+                    jnp.int32(len(r.prompt)),
+                )
         self.metrics.record_prefill(total, _time.perf_counter() - t0)
         for i, req in enumerate(reqs):
             self._host_lens[req.slot] = len(req.prompt)
@@ -667,12 +762,19 @@ class InferenceEngine:
         max_b = self.next_token.shape[0]
         tok_in = np.zeros((max_b, K + 1), np.int32)
         tok_in[:, 0] = self.next_token
-        drafts = np.zeros((max_b, K), np.int32)
-        for s in slots:
-            req = self.sched.active[s]
-            drafts[s] = _ngram_draft(
-                req.prompt + req.generated, self.spec.ngram, K
+        if self.draft_cache is not None:
+            drafts_dev, self.draft_cache = self._draft_scan_jit(
+                self.spec.draft_params, jnp.asarray(self.next_token),
+                self.draft_cache,
             )
+            drafts = np.asarray(drafts_dev)  # [B, K]
+        else:
+            drafts = np.zeros((max_b, K), np.int32)
+            for s in slots:
+                req = self.sched.active[s]
+                drafts[s] = _ngram_draft(
+                    req.prompt + req.generated, self.spec.ngram, K
+                )
         tok_in[:, 1:] = drafts
         lens_before = self._host_lens.copy()
 
@@ -714,6 +816,14 @@ class InferenceEngine:
             self.cache.v_scale, jnp.asarray(new_len), self.cache.mode,
             self.cache.scale_perm_chunk,
         )
+        if self.draft_cache is not None:
+            # the draft scan appended the same K+1 entries the verify
+            # appended to the target cache: identical length rollback
+            dc = self.draft_cache
+            self.draft_cache = KVCache(
+                dc.k, dc.v, dc.k_scale, dc.v_scale, jnp.asarray(new_len),
+                dc.mode, dc.scale_perm_chunk,
+            )
         self._host_lens = new_len.copy()
 
     def _next_key(self):

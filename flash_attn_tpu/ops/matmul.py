@@ -306,6 +306,28 @@ def _int4_plane_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, nk, gpb, g,
         o_ref[...] = acc[...].astype(out_dtype)
 
 
+# Above this M, the packed-int4 matmuls are COMPUTE-bound, not
+# weight-streaming-bound, and the in-kernel decode machinery only steals
+# MXU time: dequantize once and ride the bf16 MXU at full rate instead.
+# On-chip at [M x 4096 x 14336], g=128: dequant+dot 542/1492 us at
+# M=512/2048 vs 721/2983 for the decode kernel (bf16 itself: 325/1241);
+# M=256 is a wash (380 vs ~360).
+_PREFILL_M = 512
+
+
+def _dequant_dot(x, w, out_dtype):
+    """Prefill path for packed-int4 weights: XLA-fused dequantize (strided
+    slices + concat, no gather) then a plain bf16 MXU dot."""
+    from flash_attn_tpu.ops.quant import dequantize_int4
+
+    wf = dequantize_int4(w, dtype=x.dtype)
+    return jnp.dot(
+        x, wf, preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT),
+    ).astype(out_dtype)
+
+
 _PLANES_PROBE_OK = False
 
 
@@ -374,6 +396,8 @@ def matmul_int4(
     M, K = x.shape
     Kw, N = w.shape
     assert K == Kw, (x.shape, w.shape)
+    if M >= _PREFILL_M:
+        return _dequant_dot(x, w, out_dtype)
     g = w.group_size
     block_k = block_k or max(g, min(1024, K))
     if block_k % g:
@@ -641,6 +665,13 @@ def matmul_w4a8(
     assert K == Kw, (x.shape, w.shape)
     if getattr(w, "layout", "halves") != "halves":
         raise ValueError("matmul_w4a8 requires the 'halves' int4 layout")
+    if M >= _PREFILL_M:
+        # prefill: compute-bound — activation quant stops paying (it only
+        # buys weight-streaming bandwidth) and the s8 grouped-dot path is
+        # 4x slower than the bf16 MXU here.  Weight-only dequant+dot is
+        # both faster AND numerically closer to the float model; a8 noise
+        # applies only at decode shapes, where the ppl ladder measures it.
+        return _dequant_dot(x, w, out_dtype)
     g = w.group_size
     # bk=2048 default from the on-chip g=128 sweep (45.0 us / 0.80 of the
     # weight-streaming roofline at [8 x 4096 x 14336] vs 46.7 at bk=1024)

@@ -348,6 +348,55 @@ def test_engine_speculative_decode_matches_greedy():
     assert m.spec_emitted >= m.spec_steps
 
 
+def test_engine_draft_model_spec_matches_greedy():
+    """Draft-MODEL speculative decoding: greedy output is token-exact vs
+    plain greedy decode for (a) a self-draft (draft == target: near-full
+    acceptance) and (b) an unrelated random draft (acceptance may be low
+    but exactness must hold — a bad draft can only cost speed)."""
+    from flash_attn_tpu.engine.engine import SpecConfig
+    from flash_attn_tpu.models import llama
+
+    cfg = llama.LLAMA_TINY
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    adapter = llama.make_adapter(cfg, interpret=True)
+    # a smaller draft over the same vocab
+    import dataclasses
+    dcfg = dataclasses.replace(
+        cfg, hidden=64, intermediate=128, num_layers=1, num_heads=2,
+        num_kv_heads=1,
+    )
+    draft_params = llama.init_params(dcfg, jax.random.PRNGKey(99))
+    draft_adapter = llama.make_adapter(dcfg, interpret=True)
+    prompt = [5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6]
+
+    def run(spec):
+        eng = InferenceEngine(
+            params, adapter, max_batch=2, capacity=64,
+            cache_dtype=jnp.float32, spec=spec,
+        )
+        r1 = eng.submit(prompt, max_tokens=8)
+        r2 = eng.submit([9, 10, 11], max_tokens=6)
+        eng.run()
+        assert r1.done and r2.done
+        return list(r1.generated), list(r2.generated), eng.metrics
+
+    plain = run(None)
+    self_draft = run(SpecConfig(num_draft=3, draft_params=params,
+                                draft_adapter=adapter))
+    small_draft = run(SpecConfig(num_draft=3, draft_params=draft_params,
+                                 draft_adapter=draft_adapter))
+
+    for got in (self_draft, small_draft):
+        assert got[0] == plain[0]
+        assert got[1] == plain[1]
+    # the self-draft proposes exactly the target's greedy tokens: every
+    # verify step must accept all drafts + the correction token
+    m = self_draft[2]
+    assert m.spec_steps > 0
+    assert m.spec_emitted == m.spec_steps * (3 + 1)
+    assert small_draft[2].spec_steps > 0
+
+
 def test_engine_sharded_kv_matches_unsharded():
     """Sequence-sharded KV engine (BASELINE configs 3-4 glue): cache
     capacity axis sharded over a 4-device mesh, decode via per-shard

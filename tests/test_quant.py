@@ -260,6 +260,41 @@ def test_matmul_w4a8_prefill_blocks():
                                atol=2e-3, rtol=2e-3)
 
 
+def test_int4_w4a8_prefill_route_weight_only():
+    """M >= 512 routes both packed-int4 matmuls through dequantize-then-
+    bf16-dot (compute-bound regime): results equal the weight-only dequant
+    oracle exactly — w4a8's activation quant applies only at decode
+    shapes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flash_attn_tpu.ops.matmul import (
+        W4A8Weight, matmul_int4, matmul_w4a8,
+    )
+    from flash_attn_tpu.ops.quant import dequantize_int4, quantize_int4
+
+    M, K, N, g = 512, 256, 256, 64
+    x = jax.random.normal(jax.random.PRNGKey(5), (M, K), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(6), (K, N), jnp.float32) * 0.02
+    q4 = quantize_int4(w, group_size=g, layout="halves")
+    want = x @ dequantize_int4(q4)
+    got_i4 = matmul_int4(x, q4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_i4), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    w48 = W4A8Weight(q4.packed, q4.scales, q4.group_size, q4.shape)
+    got_48 = matmul_w4a8(x, w48, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_48), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    # planes layout dequantizes identically through the strided-slice path
+    q4p = quantize_int4(w, group_size=128)
+    assert q4p.layout == "planes"
+    got_p = matmul_int4(x, q4p, interpret=True)
+    want_p = x @ dequantize_int4(q4p)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_llama_w4a8_mode_and_tp():
     """llama quantize_weights(mode='w4a8'): forward stays correlated with
     float, fused projections stay exact vs unfused, and the tree shards
