@@ -791,6 +791,140 @@ def bench_ppl_delta(chip_peaks, dims=None):
     return out
 
 
+def bench_ppl_trained(chip_peaks, steps=400, windows=4, interpret=False):
+    """Quality ladder on a TRAINED model (r3 Weak #2 head-on): train a
+    tiny byte-level Llama on this repo's own kernel sources (real,
+    structured data present in any environment — no egress needed), then
+    teacher-force held-out source bytes under each weight-quantization
+    mode through the same prefill+decode path as bench_ppl_delta.
+
+    The random-init 8B-dims ladder scores the float model's own greedy
+    continuation at random init — a max-sensitivity probe whose ~1-nat
+    int4 delta is a property of the harness, not the scheme
+    (benchmarks/r4_int4_probe2.py).  These deltas are the meaningful
+    ones: quantization damage on a model with real learned structure,
+    measured on real held-out data.
+
+    Training runs as ONE jitted lax.scan over the whole step schedule
+    (fixed pre-cropped batches ride in as a scan input), so the relay
+    pays a single dispatch.
+    """
+    import glob
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from flash_attn_tpu.models import llama
+    from flash_attn_tpu.utils.train import TrainConfig, make_train_step
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    train_files = sorted(glob.glob(
+        os.path.join(root, "flash_attn_tpu", "ops", "*.py")
+    ))
+    held_file = os.path.join(root, "flash_attn_tpu", "engine", "engine.py")
+    train_bytes = b"".join(open(f, "rb").read() for f in train_files)
+    held_bytes = open(held_file, "rb").read()
+    train_arr = np.frombuffer(train_bytes, np.uint8).astype(np.int32)
+    held_arr = np.frombuffer(held_bytes, np.uint8).astype(np.int32)
+
+    B, S = 16, 128
+    # bf16 params: Mosaic rejects the f32-model training path on chip
+    # (f32 x bf16 "Bad rhs type" in the fused attention matmul); adam
+    # moments ride in bf16 too — fine at this scale (loss curve checked).
+    cfg = llama.LlamaConfig(
+        vocab_size=256, hidden=128, intermediate=512, num_layers=4,
+        num_heads=4, num_kv_heads=2, head_dim=32, max_position=256,
+        rope_theta=10000.0,
+        dtype="float32" if interpret else "bfloat16",
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(11))
+
+    rng = np.random.default_rng(0)
+    starts = rng.integers(0, len(train_arr) - S - 1, (steps, B))
+    data = np.stack([
+        np.stack([train_arr[s : s + S + 1] for s in row]) for row in starts
+    ])  # [steps, B, S+1]
+
+    def fwd(p, tokens):
+        return llama.forward(p, tokens, cfg, interpret=interpret)
+
+    init_fn, step_fn = make_train_step(fwd, TrainConfig(learning_rate=3e-3))
+    opt_state = init_fn(params)
+
+    @jax.jit
+    def train_all(params, opt_state, data):
+        def one(carry, batch):
+            p, o = carry
+            p, o, m = step_fn(p, o, batch[:, :-1], batch[:, 1:])
+            return (p, o), m["loss"]
+
+        (params, _), losses = jax.lax.scan(
+            one, (params, opt_state), data
+        )
+        return params, losses
+
+    params, losses = train_all(params, opt_state, jnp.asarray(data))
+    losses = np.asarray(losses)
+    out = {
+        "ppl_trained_loss_first": round(float(losses[:10].mean()), 4),
+        "ppl_trained_loss_final": round(float(losses[-10:].mean()), 4),
+        "ppl_trained_steps": int(steps),
+    }
+
+    # held-out teacher-forced NLL through the engine decode path
+    P, T = 128, 64
+    CAP = 256
+    win_starts = np.linspace(
+        0, len(held_arr) - (P + T) - 1, windows
+    ).astype(np.int64)
+
+    def nll(p, kv_mode):
+        total = 0.0
+        for w0 in win_starts:
+            seq = jnp.asarray(held_arr[w0 : w0 + P + T])
+            prompt, cont = seq[None, :P], seq[P:]
+            cache = llama.make_cache(cfg, 1, CAP, mode=kv_mode)
+
+            @jax.jit
+            def f(p_, prompt_, cont_, cache_):
+                logits, cache_ = llama.prefill_chunk(
+                    p_, prompt_, cfg, cache_, 0, 0,
+                    interpret=interpret,
+                )
+                cache_ = cache_.set_length(0, P)
+
+                def step(carry, t):
+                    lg, c = carry
+                    logp = jax.nn.log_softmax(lg.astype(jnp.float32))
+                    lg2, c = llama.decode_step(
+                        p_, t[None], cfg, c, interpret=interpret
+                    )
+                    return (lg2[0], c), -logp[t]
+
+                (_, _), nlls = jax.lax.scan(
+                    step, (logits[0, -1], cache_), cont_
+                )
+                return jnp.mean(nlls)
+
+            total += float(f(p, prompt, cont, cache))
+        return total / len(win_starts)
+
+    base = nll(params, "none")
+    out["ppl_trained_nll_float"] = round(base, 5)
+    for mode in ("int8", "int4", "w4a8"):
+        qp = llama.quantize_weights(params, mode=mode)
+        v = nll(qp, "none")
+        out[f"ppl_trained_nll_{mode}"] = round(v, 5)
+        out[f"ppl_trained_delta_{mode}"] = round(v - base, 5)
+    # BASELINE config-4 combo on the trained model: int4 weights + fp8 KV
+    qp = llama.quantize_weights(params, mode="int4")
+    v = nll(qp, "fp8")
+    out["ppl_trained_nll_int4_fp8"] = round(v, 5)
+    out["ppl_trained_delta_int4_fp8"] = round(v - base, 5)
+    return out
+
+
 def main():
     import os
     import subprocess
@@ -915,6 +1049,10 @@ def _run_bench():
         details.update(bench_ppl_delta(peaks))
     except Exception as e:  # pragma: no cover
         details["ppl_error"] = repr(e)[:200]
+    try:
+        details.update(bench_ppl_trained(peaks))
+    except Exception as e:  # pragma: no cover
+        details["ppl_trained_error"] = repr(e)[:200]
     try:
         # raw 2-layer decode-step throughput for the overhead ratio:
         # tokens/s at the 2-layer step time measured above

@@ -313,3 +313,23 @@ def test_train_kill_restart_recovery(tmp_path):
     assert set(a.files) == set(b.files)
     for k in a.files:
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_bench_ppl_trained_smoke():
+    """bench.bench_ppl_trained (the trained-model quantization ladder)
+    runs end-to-end in interpret mode: trains on repo-source bytes, scores
+    held-out bytes under every weight mode, returns finite NLLs."""
+    import math
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    out = bench.bench_ppl_trained(None, steps=4, windows=1, interpret=True)
+    for k in ("ppl_trained_nll_float", "ppl_trained_nll_int8",
+              "ppl_trained_nll_int4", "ppl_trained_nll_w4a8",
+              "ppl_trained_nll_int4_fp8"):
+        assert math.isfinite(out[k]), (k, out)
+    # 4 steps cannot train, but scores must stay near the uniform ceiling
+    assert out["ppl_trained_nll_float"] < math.log(256.0) + 1.0
