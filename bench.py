@@ -816,7 +816,7 @@ def bench_ppl_trained(chip_peaks, steps=400, windows=4, interpret=False):
     import jax.numpy as jnp
 
     from flash_attn_tpu.models import llama
-    from flash_attn_tpu.utils.train import TrainConfig, make_train_step
+    from flash_attn_tpu.utils.train import train_tiny_lm
 
     root = os.path.dirname(os.path.abspath(__file__))
     train_files = sorted(glob.glob(
@@ -828,7 +828,6 @@ def bench_ppl_trained(chip_peaks, steps=400, windows=4, interpret=False):
     train_arr = np.frombuffer(train_bytes, np.uint8).astype(np.int32)
     held_arr = np.frombuffer(held_bytes, np.uint8).astype(np.int32)
 
-    B, S = 16, 128
     # bf16 params: Mosaic rejects the f32-model training path on chip
     # (f32 x bf16 "Bad rhs type" in the fused attention matmul); adam
     # moments ride in bf16 too — fine at this scale (loss curve checked).
@@ -838,33 +837,9 @@ def bench_ppl_trained(chip_peaks, steps=400, windows=4, interpret=False):
         rope_theta=10000.0,
         dtype="float32" if interpret else "bfloat16",
     )
-    params = llama.init_params(cfg, jax.random.PRNGKey(11))
-
-    rng = np.random.default_rng(0)
-    starts = rng.integers(0, len(train_arr) - S - 1, (steps, B))
-    data = np.stack([
-        np.stack([train_arr[s : s + S + 1] for s in row]) for row in starts
-    ])  # [steps, B, S+1]
-
-    def fwd(p, tokens):
-        return llama.forward(p, tokens, cfg, interpret=interpret)
-
-    init_fn, step_fn = make_train_step(fwd, TrainConfig(learning_rate=3e-3))
-    opt_state = init_fn(params)
-
-    @jax.jit
-    def train_all(params, opt_state, data):
-        def one(carry, batch):
-            p, o = carry
-            p, o, m = step_fn(p, o, batch[:, :-1], batch[:, 1:])
-            return (p, o), m["loss"]
-
-        (params, _), losses = jax.lax.scan(
-            one, (params, opt_state), data
-        )
-        return params, losses
-
-    params, losses = train_all(params, opt_state, jnp.asarray(data))
+    params, losses = train_tiny_lm(
+        cfg, train_arr, steps, jax.random.PRNGKey(11), interpret=interpret
+    )
     losses = np.asarray(losses)
     out = {
         "ppl_trained_loss_first": round(float(losses[:10].mean()), 4),
@@ -879,35 +854,35 @@ def bench_ppl_trained(chip_peaks, steps=400, windows=4, interpret=False):
         0, len(held_arr) - (P + T) - 1, windows
     ).astype(np.int64)
 
+    # ONE jitted scorer shared by every (window, quant-mode) pair — the
+    # quantized trees differ in structure (retrace per mode) but windows
+    # hit the jit cache instead of recompiling the same graph
+    @jax.jit
+    def score(p_, prompt_, cont_, cache_):
+        logits, cache_ = llama.prefill_chunk(
+            p_, prompt_, cfg, cache_, 0, 0, interpret=interpret
+        )
+        cache_ = cache_.set_length(0, P)
+
+        def step(carry, t):
+            lg, c = carry
+            logp = jax.nn.log_softmax(lg.astype(jnp.float32))
+            lg2, c = llama.decode_step(
+                p_, t[None], cfg, c, interpret=interpret
+            )
+            return (lg2[0], c), -logp[t]
+
+        (_, _), nlls = jax.lax.scan(
+            step, (logits[0, -1], cache_), cont_
+        )
+        return jnp.mean(nlls)
+
     def nll(p, kv_mode):
         total = 0.0
         for w0 in win_starts:
             seq = jnp.asarray(held_arr[w0 : w0 + P + T])
-            prompt, cont = seq[None, :P], seq[P:]
             cache = llama.make_cache(cfg, 1, CAP, mode=kv_mode)
-
-            @jax.jit
-            def f(p_, prompt_, cont_, cache_):
-                logits, cache_ = llama.prefill_chunk(
-                    p_, prompt_, cfg, cache_, 0, 0,
-                    interpret=interpret,
-                )
-                cache_ = cache_.set_length(0, P)
-
-                def step(carry, t):
-                    lg, c = carry
-                    logp = jax.nn.log_softmax(lg.astype(jnp.float32))
-                    lg2, c = llama.decode_step(
-                        p_, t[None], cfg, c, interpret=interpret
-                    )
-                    return (lg2[0], c), -logp[t]
-
-                (_, _), nlls = jax.lax.scan(
-                    step, (logits[0, -1], cache_), cont_
-                )
-                return jnp.mean(nlls)
-
-            total += float(f(p, prompt, cont, cache))
+            total += float(score(p, seq[None, :P], seq[P:], cache))
         return total / len(win_starts)
 
     base = nll(params, "none")

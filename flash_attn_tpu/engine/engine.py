@@ -192,6 +192,11 @@ class InferenceEngine:
             self._draft_scan_jit = jax.jit(
                 self._draft_scan, donate_argnums=(2,)
             )
+            # one plain draft step: keeps the draft cache in lockstep on
+            # rounds where spec falls back to regular decode (headroom)
+            self._draft_sync_jit = jax.jit(
+                da.decode_step, donate_argnums=(2,)
+            )
         self.mesh = mesh
         self.kv_shard_axis = kv_shard_axis
         self.sched = ContinuousBatchingScheduler(max_batch)
@@ -659,6 +664,17 @@ class InferenceEngine:
             toks, self.cache = self._decode_jit(
                 self.params, jnp.asarray(self.next_token), self.cache,
                 self._next_key(),
+            )
+        if self.draft_cache is not None and self.sampling.temperature == 0.0:
+            # spec fell back to plain decode this round (some slot lacked
+            # K+1 of KV headroom): append the SAME tokens to the draft
+            # cache so both caches stay in lockstep — otherwise a later
+            # spec round's rollback would claim draft context over
+            # positions the draft never wrote (stale KV, acceptance
+            # collapse).
+            _, self.draft_cache = self._draft_sync_jit(
+                self.spec.draft_params, jnp.asarray(self.next_token),
+                self.draft_cache,
             )
         self._host_lens += 1  # decode appends for every batch slot
         toks = np.asarray(toks)

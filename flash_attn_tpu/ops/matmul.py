@@ -411,12 +411,17 @@ def matmul_int4(
     # partial in VMEM; the bn=2048 decode-shape default (bm=8: 0.5 MB)
     # blows the 16 MB scoped limit at prefill bm=128 (8*128*2048*4 =
     # 8.4 MB plus planes/buffers, measured 23.5 MB > 16).  Halve bn until
-    # the partial fits a ~4 MB budget.  The unrolled g < 128 path only
-    # ever materializes a [bm, bn] partial, so its budget must not be
-    # gpb-scaled (group_size=32 at K>=1024 would needlessly force bn=512).
-    partial_rows = gpb if g % 128 == 0 else 1
-    while partial_rows * block_m * block_n * 4 > 4 << 20 and block_n > 512:
-        block_n //= 2
+    # the partial fits a ~4 MB budget.  The unrolled g < 128 path's
+    # partial is only [bm, bn], but it materializes the decoded
+    # [block_k, bn] weights (int32 nibbles + casts), so ITS budget is
+    # block_k-scaled — with more headroom than the gpb rule (8 MB) so
+    # group_size=32 decode shapes keep wide n-blocks.
+    if g % 128 == 0:
+        while gpb * block_m * block_n * 4 > 4 << 20 and block_n > 512:
+            block_n //= 2
+    else:
+        while block_k * block_n * 4 > 8 << 20 and block_n > 512:
+            block_n //= 2
     if K % block_k:
         raise ValueError(f"K ({K}) must be a multiple of block_k ({block_k})")
 
@@ -693,10 +698,13 @@ def matmul_w4a8(
     while gpb * block_m * block_n * 8 > 4 << 20 and block_n > 512:
         block_n //= 2
     # prefill bm=128 at bk=2048/g=128 still holds 8+ MB at bn=512 — shed
-    # groups per block instead
+    # groups per block instead.  gpb must stay a divisor of K//g (plain
+    # halving broke both the block_k % g == 0 kernel invariant and the
+    # K % block_k check for K an odd multiple of g, e.g. K=1152 g=128).
+    n_groups = K // g
     while gpb > 1 and gpb * block_m * block_n * 8 > 4 << 20:
-        block_k //= 2
-        gpb = block_k // g
+        gpb = next(d for d in range(gpb - 1, 0, -1) if n_groups % d == 0)
+        block_k = gpb * g
     if K % block_k:
         raise ValueError(f"K ({K}) must be a multiple of block_k ({block_k})")
 

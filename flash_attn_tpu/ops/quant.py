@@ -163,10 +163,11 @@ def quantize_int4(w: jax.Array, group_size: int = 128,
         # Load-time guard (advisor r4): the planes matmul's whole-word
         # bitcast decode is backend-ordering-sensitive; verify it on this
         # backend once per process, at quantize (model-load) time, where
-        # evaluation is eager.  No-op on CPU (interpret decodes with jnp)
-        # or under an active trace (then the matmul's first eager call
-        # runs it).
-        if jax.default_backend() != "cpu":
+        # evaluation is eager.  TPU only: the probe runs a Mosaic kernel
+        # (interpret mode decodes with plain jnp, and quantize itself
+        # must keep working on any other backend).  Skipped under an
+        # active trace (then the matmul's first eager call runs it).
+        if jax.default_backend() == "tpu":
             from flash_attn_tpu.ops.matmul import _probe_planes_decode
 
             _probe_planes_decode()

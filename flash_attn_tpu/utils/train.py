@@ -137,3 +137,48 @@ def make_train_step(forward_fn: Callable, tcfg: TrainConfig):
         return params, opt_state, {"loss": loss, "grad_norm": gnorm}
 
     return init_fn, step_fn
+
+
+def train_tiny_lm(cfg, corpus, steps, key, *, batch=16, seqlen=128,
+                  learning_rate=3e-3, interpret=False):
+    """Train a small Llama on a 1-D token corpus with fixed pre-cropped
+    batches, the whole step schedule as ONE jitted lax.scan (a single
+    dispatch through the axon relay).  Deterministic: crops come from
+    numpy rng(0).  Returns (params, losses[steps]).
+
+    Shared by bench.bench_ppl_trained (the trained-model quantization
+    ladder) and tools/demo_draft_spec.py (the draft-model speculation
+    demo) — one recipe, two consumers.
+    """
+    import numpy as np
+
+    from flash_attn_tpu.models import llama
+
+    params = llama.init_params(cfg, key)
+    rng = np.random.default_rng(0)
+    starts = rng.integers(0, len(corpus) - seqlen - 1, (steps, batch))
+    data = np.stack([
+        np.stack([corpus[s : s + seqlen + 1] for s in row])
+        for row in starts
+    ])  # [steps, batch, seqlen+1]
+
+    def fwd(p, tokens):
+        return llama.forward(p, tokens, cfg, interpret=interpret)
+
+    init_fn, step_fn = make_train_step(
+        fwd, TrainConfig(learning_rate=learning_rate)
+    )
+    opt_state = init_fn(params)
+
+    @jax.jit
+    def train_all(params, opt_state, data):
+        def one(carry, batch_):
+            p, o = carry
+            p, o, m = step_fn(p, o, batch_[:, :-1], batch_[:, 1:])
+            return (p, o), m["loss"]
+
+        (params, _), losses = jax.lax.scan(one, (params, opt_state), data)
+        return params, losses
+
+    params, losses = train_all(params, opt_state, jnp.asarray(data))
+    return params, losses

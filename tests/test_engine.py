@@ -397,6 +397,54 @@ def test_engine_draft_model_spec_matches_greedy():
     assert small_draft[2].spec_steps > 0
 
 
+def test_engine_draft_spec_survives_headroom_fallback():
+    """When a slot nears KV capacity, spec falls back to plain decode for
+    the round; the draft cache must follow (same appends) so that when
+    the tight slot completes and speculation RESUMES for the rest, the
+    draft still proposes from valid context.  With a self-draft, resumed
+    verify rounds must keep FULL acceptance — a desynced draft cache
+    passes the exactness check (verify guarantees it) but collapses
+    acceptance, which is what this asserts against."""
+    from flash_attn_tpu.engine.engine import SpecConfig
+    from flash_attn_tpu.models import llama
+
+    cfg = llama.LLAMA_TINY
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    adapter = llama.make_adapter(cfg, interpret=True)
+    K = 3
+    # slot0: 58-token prompt in a 64-capacity cache (capacity must be a
+    # multiple of the 32-token append block) — forces plain-decode
+    # fallback (needs K+1=4 headroom) partway through its 6 tokens;
+    # slot1 keeps plenty of headroom and speculates again after slot0
+    # completes
+    p0 = [(i % 11) + 1 for i in range(58)]
+    p1 = [9, 10, 11, 12, 13, 14]
+
+    def run(spec):
+        eng = InferenceEngine(
+            params, adapter, max_batch=2, capacity=64,
+            cache_dtype=jnp.float32, spec=spec,
+        )
+        r0 = eng.submit(p0, max_tokens=6)
+        r1 = eng.submit(p1, max_tokens=24)
+        eng.run()
+        assert r0.done and r1.done
+        return list(r0.generated), list(r1.generated), eng.metrics
+
+    plain = run(None)
+    spec = run(SpecConfig(num_draft=K, draft_params=params,
+                          draft_adapter=adapter))
+    assert spec[0] == plain[0]
+    assert spec[1] == plain[1]
+    m = spec[2]
+    assert m.spec_steps > 0
+    # self-draft: every verify round (including post-fallback resumed
+    # ones) must accept all K drafts + the correction token
+    assert m.spec_emitted == m.spec_steps * (K + 1), (
+        m.spec_emitted, m.spec_steps,
+    )
+
+
 def test_engine_sharded_kv_matches_unsharded():
     """Sequence-sharded KV engine (BASELINE configs 3-4 glue): cache
     capacity axis sharded over a 4-device mesh, decode via per-shard

@@ -23,37 +23,11 @@ import numpy as np
 
 
 def train_model(cfg, train_arr, steps, key, interpret):
-    import jax
-    import jax.numpy as jnp
+    from flash_attn_tpu.utils.train import train_tiny_lm
 
-    from flash_attn_tpu.models import llama
-    from flash_attn_tpu.utils.train import TrainConfig, make_train_step
-
-    B, S = 16, 128
-    params = llama.init_params(cfg, key)
-    rng = np.random.default_rng(0)
-    starts = rng.integers(0, len(train_arr) - S - 1, (steps, B))
-    data = np.stack([
-        np.stack([train_arr[s : s + S + 1] for s in row]) for row in starts
-    ])
-
-    def fwd(p, tokens):
-        return llama.forward(p, tokens, cfg, interpret=interpret)
-
-    init_fn, step_fn = make_train_step(fwd, TrainConfig(learning_rate=3e-3))
-    opt_state = init_fn(params)
-
-    @jax.jit
-    def train_all(params, opt_state, data):
-        def one(carry, batch):
-            p, o = carry
-            p, o, m = step_fn(p, o, batch[:, :-1], batch[:, 1:])
-            return (p, o), m["loss"]
-
-        (params, _), losses = jax.lax.scan(one, (params, opt_state), data)
-        return params, losses
-
-    params, losses = train_all(params, opt_state, jnp.asarray(data))
+    params, losses = train_tiny_lm(
+        cfg, train_arr, steps, key, interpret=interpret
+    )
     losses = np.asarray(losses)
     print(f"  trained {cfg.num_layers}-layer: loss "
           f"{losses[:10].mean():.3f} -> {losses[-10:].mean():.3f}",
