@@ -12,6 +12,7 @@ forces a scalar host readback; kernel time = (t_chain - t_roundtrip) / N.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -571,13 +572,20 @@ def bench_llama70b_layer(chip_peaks, w_modes=("int4", "w4a8")):
         t_nonlayer = max(t1 - t_layer, 0.0)
         t80 = 80 * t_layer + t_nonlayer
         tag = "llama70b" if w == "int4" else f"llama70b_{w}"
+        frac = ideal_layer / t_layer
         out.update({
             f"{tag}_int4w_fp8kv_layer_us" if w == "int4"
             else f"{tag}w_fp8kv_layer_us": round(t_layer * 1e6, 1),
-            f"{tag}_layer_roofline_frac": round(ideal_layer / t_layer, 4),
+            f"{tag}_layer_roofline_frac": round(frac, 4),
             f"{tag}_step_ms_80layer_est": round(t80 * 1e3, 2),
             f"{tag}_tokens_per_s_chip_equiv": round(B / t80, 1),
         })
+        if frac > _MAX_PLAUSIBLE_FRAC:
+            # the 2L-minus-1L subtraction went below the physical floor —
+            # happens under host-side contention (shared-CPU dispatch
+            # jitter swamps the paired chains); mark the row so readers
+            # don't trust a >roofline "win"
+            out[f"{tag}_layer_estimator"] = "implausible_rejected"
     return out
 
 
@@ -651,6 +659,11 @@ def bench_engine(chip_peaks, raw_tokens_per_s=None, decode_burst=64,
         out[f"engine{tag}_steady_vs_raw_ratio"] = round(
             raw_tokens_per_s / steady_tps, 3
         )
+        if steady_tps > raw_tokens_per_s * _MAX_PLAUSIBLE_FRAC:
+            # serving cannot beat its own raw decode step; one of the two
+            # measurements was contaminated (host contention / session
+            # drift between the raw and engine runs)
+            out[f"engine{tag}_estimator"] = "implausible_rejected"
     m = eng.metrics.snapshot() if hasattr(eng.metrics, "snapshot") else {}
     if isinstance(m, dict) and "decode_tokens_per_s" in m:
         out[f"engine{tag}_metric_decode_tps"] = round(
@@ -776,7 +789,7 @@ def bench_ppl_delta(chip_peaks, dims=None):
     # logit argmaxes of near-uniform noise, so the delta grows ~quadratically
     # with the weight perturbation and overstates int4 damage ~50x
     # (r4 probes: int4 scores random tokens at bench dims within 0.02 nat
-    # of float — benchmarks/r4_int4_probe2.py).  Report a random-token
+    # of float — benchmarks/int4_probe.py).  Report a random-token
     # teacher-forced row alongside for each weight mode so both sensitivity
     # regimes are on record.
     rand_cont = jnp.asarray(
@@ -801,7 +814,7 @@ def bench_ppl_trained(chip_peaks, steps=400, windows=4, interpret=False):
     The random-init 8B-dims ladder scores the float model's own greedy
     continuation at random init — a max-sensitivity probe whose ~1-nat
     int4 delta is a property of the harness, not the scheme
-    (benchmarks/r4_int4_probe2.py).  These deltas are the meaningful
+    (benchmarks/int4_probe.py).  These deltas are the meaningful
     ones: quantization damage on a model with real learned structure,
     measured on real held-out data.
 
@@ -1050,19 +1063,59 @@ def _run_bench():
     except Exception as e:  # pragma: no cover
         details["engine_w4a8_error"] = repr(e)[:200]
 
-    # Headline = BASELINE config 1: Llama-8B-shaped decode with FP8 KV.
+    emit_result(details)
+
+
+SUMMARY_KEYS = (
+    "decode_int8_roofline_frac",
+    "bwd_frac_peak",
+    "prefill8b_frac_peak",
+    "paged_decode_fp8_vs_contiguous",
+    "llama8b_int4w_fp8kv_tokens_per_s_chip",
+    "llama8b_w4a8w_fp8kv_tokens_per_s_chip",
+    "llama70b_w4a8_layer_roofline_frac",
+    "ppl_delta_int8_none",
+    "engine_steady_vs_raw_ratio",
+    "engine_metric_decode_tps",
+)
+
+
+def emit_result(details, out=None, details_path=None):
+    """Print the driver-facing result: full details on an earlier line +
+    file, then a SHORT final JSON line.
+
+    The final stdout line must stay short: the driver keeps only the tail
+    of our output and json-parses the last line — rounds 3/4 inlined the
+    full details dict there and the line outgrew the capture window
+    (BENCH_r03/r04 record "parsed": null).  Headline = BASELINE config 1:
+    Llama-8B-shaped decode with FP8 KV."""
+    import sys
+
+    out = out or sys.stdout
     frac = details.get("decode_fp8_roofline_frac", 0.0)
-    print(
-        json.dumps(
-            {
-                "metric": "decode_attention_roofline_frac_fp8kv",
-                "value": frac,
-                "unit": "fraction_of_hbm_roofline",
-                "vs_baseline": round(frac / 0.90, 4),  # target: >=90% of roofline
-                "details": details,
-            }
+    print(json.dumps({"details": details}), file=out)
+    if details_path is None:
+        details_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
         )
+    try:
+        with open(details_path, "w") as f:
+            json.dump(details, f, indent=1)
+    except OSError:
+        pass
+    line = json.dumps(
+        {
+            "metric": "decode_attention_roofline_frac_fp8kv",
+            "value": frac,
+            "unit": "fraction_of_hbm_roofline",
+            "vs_baseline": round(frac / 0.90, 4),  # target: >=90% of roofline
+            "details": {
+                k: details[k] for k in SUMMARY_KEYS if k in details
+            },
+        }
     )
+    assert len(line) < 1000, "final driver line must stay tail-parseable"
+    print(line, file=out)
 
 
 if __name__ == "__main__":

@@ -35,6 +35,20 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _default_block_k(K, g, cap):
+    """Largest block_k <= cap that is a multiple of g AND divides K.
+
+    The packed-int4 kernels require K % block_k == 0 (scales are grouped
+    per k-block); a bare min(cap, K) default fails for K an odd multiple
+    of g (e.g. K=1536, g=128).  quantize_int4 guarantees g | K, so gpb=1
+    always terminates the search."""
+    n_groups = K // g
+    gpb = max(1, min(cap // g, n_groups))
+    while n_groups % gpb:
+        gpb -= 1
+    return gpb * g
+
+
 def _pad2(x, m0, m1):
     p0 = _cdiv(x.shape[0], m0) * m0 - x.shape[0]
     p1 = _cdiv(x.shape[1], m1) * m1 - x.shape[1]
@@ -399,7 +413,7 @@ def matmul_int4(
     if M >= _PREFILL_M:
         return _dequant_dot(x, w, out_dtype)
     g = w.group_size
-    block_k = block_k or max(g, min(1024, K))
+    block_k = block_k or _default_block_k(K, g, 1024)
     if block_k % g:
         block_k = g
     gpb = block_k // g  # groups per k-block
@@ -680,7 +694,7 @@ def matmul_w4a8(
     g = w.group_size
     # bk=2048 default from the on-chip g=128 sweep (45.0 us / 0.80 of the
     # weight-streaming roofline at [8 x 4096 x 14336] vs 46.7 at bk=1024)
-    block_k = block_k or max(g, min(2048, K))
+    block_k = block_k or _default_block_k(K, g, 2048)
     if block_k % g:
         block_k = g
     gpb = block_k // g

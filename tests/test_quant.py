@@ -120,6 +120,32 @@ def test_matmul_int4_vs_oracle():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-3)
 
 
+def test_matmul_int4_w4a8_odd_group_multiple_K():
+    """Default block_k must divide K even when K is an odd multiple of the
+    group size (e.g. K=1536 = 12*128: min(1024, K) does not divide).  The
+    default shrinks to the largest valid divisor; explicit bad block_k
+    still raises."""
+    import pytest
+
+    from flash_attn_tpu.ops.matmul import W4A8Weight, matmul_w4a8
+
+    K, N, g = 1536, 256, 128
+    x = jax.random.normal(jax.random.PRNGKey(11), (8, K), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(12), (K, N), jnp.float32) * 0.02
+    qw = quantize_int4(w, group_size=g)  # auto layout (planes at g=128)
+    got = matmul_int4(x, qw, interpret=True)
+    want = x @ dequantize_int4(qw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)
+    qh = quantize_int4(w, group_size=g, layout="halves")
+    w48 = W4A8Weight(qh.packed, qh.scales, qh.group_size, qh.shape)
+    got48 = matmul_w4a8(x, w48, interpret=True)
+    err = np.abs(np.asarray(got48) - np.asarray(want))
+    assert err.max() / np.abs(np.asarray(want)).max() < 0.02
+    with pytest.raises(ValueError):
+        matmul_int4(x, qw, block_k=1024, interpret=True)
+
+
 def test_quantized_matmul_dispatch():
     x = jax.random.normal(jax.random.PRNGKey(7), (8, 256), jnp.float32)
     w = jax.random.normal(jax.random.PRNGKey(8), (256, 128), jnp.float32)

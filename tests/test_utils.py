@@ -333,3 +333,31 @@ def test_bench_ppl_trained_smoke():
         assert math.isfinite(out[k]), (k, out)
     # 4 steps cannot train, but scores must stay near the uniform ceiling
     assert out["ppl_trained_nll_float"] < math.log(256.0) + 1.0
+
+
+def test_bench_emit_final_line_stays_short(tmp_path):
+    """The driver json-parses the LAST stdout line and keeps only the tail
+    of our output — the final line must stay short no matter how large the
+    details dict grows (rounds 3/4 regression: BENCH_r03/r04 "parsed": null)."""
+    import io
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    details = {f"filler_metric_{i}": float(i) * 1.2345 for i in range(400)}
+    details["decode_fp8_roofline_frac"] = 0.91
+    details["engine_steady_vs_raw_ratio"] = 1.07
+    buf = io.StringIO()
+    bench.emit_result(details, out=buf, details_path=str(tmp_path / "d.json"))
+    lines = buf.getvalue().strip().splitlines()
+    last = json.loads(lines[-1])
+    assert len(lines[-1]) < 1000
+    assert last["metric"] == "decode_attention_roofline_frac_fp8kv"
+    assert last["value"] == 0.91
+    assert last["vs_baseline"] == round(0.91 / 0.90, 4)
+    assert last["details"]["engine_steady_vs_raw_ratio"] == 1.07
+    # the full dict rides the earlier line + the details file
+    assert json.loads(lines[0])["details"]["filler_metric_399"] == details["filler_metric_399"]
+    assert json.loads((tmp_path / "d.json").read_text())["decode_fp8_roofline_frac"] == 0.91
